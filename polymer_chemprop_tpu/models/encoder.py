@@ -1,0 +1,140 @@
+"""wD-MPNN graph encoder — functional JAX implementation.
+
+Semantics match the reference MPNEncoder exactly (reference mpn.py:14-173):
+
+* ``input = W_i(f_bonds)``; ``message = act(input)``              (mpn.py:93-97)
+* depth-1 iterations of the weighted directed-bond update
+  ``m(a1->a2) = [sum_{a0 in N(a1)} w(a0->a1) m(a0->a1)] - m(a2->a1)``
+  followed by ``message = dropout(act(input + W_h(message)))`` — the
+  residual is to the *layer-0* input (mpn.py:110-124)
+* atom readout: weighted incoming sum, concat with f_atoms, W_o, act,
+  dropout (mpn.py:126-134)
+* molecule readout: stoichiometry-weighted aggregation scaled by
+  1+log10(Xn) (mpn.py:145-171)
+
+Mechanics differ TPU-first: flat edge-parallel segment sums instead of
+dense max-in-degree gathers, static shapes, and an optional Pallas fused
+message kernel (ops/pallas_mpnn.py) for the hot loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.segment import (
+    atom_readout,
+    bond_message_step,
+    molecule_readout,
+    segment_sum,
+    weighted_segment_sum,
+)
+from .nn import dropout, get_activation, init_linear, linear
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    """Static encoder hyperparameters (subset of reference TrainArgs used by
+    MPNEncoder, args.py:309-359). Hashable so it can be a jit static arg."""
+
+    atom_fdim: int
+    bond_fdim: int
+    hidden_size: int = 300
+    depth: int = 3
+    dropout: float = 0.0
+    activation: str = "relu"
+    aggregation: str = "mean"
+    aggregation_norm: float = 100.0
+    bias: bool = False
+    undirected: bool = False
+    atom_messages: bool = False
+    atom_descriptors: Optional[str] = None
+    atom_descriptors_size: int = 0
+
+
+def init_encoder(key: jax.Array, cfg: EncoderConfig) -> Dict:
+    """Parameters of one MPNEncoder (reference mpn.py:46-64)."""
+    k_i, k_h, k_o, k_d = jax.random.split(key, 4)
+    input_dim = cfg.atom_fdim if cfg.atom_messages else cfg.bond_fdim
+    w_h_input = cfg.hidden_size + (cfg.bond_fdim if cfg.atom_messages else 0)
+    params = {
+        "W_i": init_linear(k_i, input_dim, cfg.hidden_size, bias=cfg.bias),
+        "W_h": init_linear(k_h, w_h_input, cfg.hidden_size, bias=cfg.bias),
+        "W_o": init_linear(k_o, cfg.atom_fdim + cfg.hidden_size,
+                           cfg.hidden_size, bias=True),
+    }
+    if cfg.atom_descriptors == "descriptor":
+        d = cfg.hidden_size + cfg.atom_descriptors_size
+        params["W_d"] = init_linear(k_d, d, d, bias=True)
+    return params
+
+
+def apply_encoder(params: Dict,
+                  batch: Dict[str, jnp.ndarray],
+                  cfg: EncoderConfig,
+                  dropout_key: Optional[jax.Array] = None,
+                  deterministic: bool = True,
+                  atom_descriptors: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Encode a GraphBatch (arrays dict) -> (num_mols, hidden) embeddings."""
+    act = get_activation(cfg.activation)
+    f_atoms = batch["f_atoms"]
+    f_bonds = batch["f_bonds"]
+    w_atoms = batch["w_atoms"]
+    w_bonds = batch["w_bonds"]
+    b2a = batch["b2a"]
+    b2dst = batch["b2dst"]
+    b2revb = batch["b2revb"]
+    a2mol = batch["a2mol"]
+    num_atoms = f_atoms.shape[0]
+    num_mols = batch["degree_of_polym"].shape[0]
+
+    keys = iter(jax.random.split(dropout_key, cfg.depth + 2)) \
+        if dropout_key is not None else iter([None] * (cfg.depth + 2))
+
+    if cfg.atom_messages:
+        # atom-message mode consumes bond-only features: the last bond_fdim
+        # columns of the concat(src-atom, bond) vectors (reference
+        # featurization.py:838-843 get_components slicing)
+        f_bonds = f_bonds[:, -cfg.bond_fdim:]
+        inputs = linear(params["W_i"], f_atoms)
+        message = act(inputs)
+        for _ in range(cfg.depth - 1):
+            if cfg.undirected:
+                message = (message + message[b2revb]) / 2
+            # gather neighbour atom messages along bonds, concat bond feats,
+            # sum over incoming bonds (reference mpn.py:104-108)
+            nei = jnp.concatenate([message[b2a], f_bonds], axis=1)
+            message = segment_sum(nei, b2dst, num_atoms)
+            message = linear(params["W_h"], message)
+            message = act(inputs + message)
+            message = dropout(message, cfg.dropout, next(keys), deterministic)
+        a_message = weighted_segment_sum(message[b2a], w_bonds, b2dst, num_atoms)
+    else:
+        inputs = linear(params["W_i"], f_bonds)
+        message = act(inputs)
+        for _ in range(cfg.depth - 1):
+            if cfg.undirected:
+                message = (message + message[b2revb]) / 2
+            message = bond_message_step(message, w_bonds, b2a, b2dst, b2revb,
+                                        num_atoms)
+            message = linear(params["W_h"], message)
+            message = act(inputs + message)  # layer-0 residual (mpn.py:123)
+            message = dropout(message, cfg.dropout, next(keys), deterministic)
+        a_message = atom_readout(message, w_bonds, b2dst, num_atoms)
+
+    a_input = jnp.concatenate([f_atoms, a_message], axis=1)
+    atom_hiddens = act(linear(params["W_o"], a_input))
+    atom_hiddens = dropout(atom_hiddens, cfg.dropout, next(keys), deterministic)
+
+    if atom_descriptors is not None:
+        atom_hiddens = jnp.concatenate([atom_hiddens, atom_descriptors], axis=1)
+        atom_hiddens = linear(params["W_d"], atom_hiddens)
+        atom_hiddens = dropout(atom_hiddens, cfg.dropout, next(keys), deterministic)
+
+    return molecule_readout(atom_hiddens, w_atoms, a2mol, num_mols,
+                            batch["degree_of_polym"],
+                            aggregation=cfg.aggregation,
+                            aggregation_norm=cfg.aggregation_norm)

@@ -1,0 +1,134 @@
+"""Golden tests for the featurization layer: exact vocabulary dimensions,
+index arrays, polymer weights/structure, reaction feature widths, and the
+static-shape batcher. The reference has no such tests (SURVEY.md §4)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from polymer_chemprop_tpu.features import (
+    ATOM_FDIM,
+    BOND_FDIM,
+    FeaturizationConfig,
+    MolGraph,
+    batch_graphs,
+    mol2graph,
+    parse_polymer_rules,
+)
+
+
+class TestFeatureVectors:
+    def test_dims(self):
+        assert ATOM_FDIM == 133 and BOND_FDIM == 14
+        g = MolGraph("CCO")
+        assert len(g.f_atoms[0]) == 133
+        assert len(g.f_bonds[0]) == 147
+
+    def test_atom_feature_content(self):
+        g = MolGraph("C")  # methane
+        f = g.f_atoms[0]
+        assert f[5] == 1                   # atomic_num 6 -> slot index 5
+        assert sum(f[:101]) == 1
+        deg = f[101:108]
+        assert deg[4] == 1                 # total degree 4 (4 Hs)
+        nh = f[119:125]
+        assert nh[4] == 1                  # 4 hydrogens
+        assert f[131] == 0                 # not aromatic
+        assert abs(f[132] - 0.12011) < 1e-4  # 0.01 * mass
+
+    def test_bond_feature_content(self):
+        g = MolGraph("C=C")
+        fb = g.f_bonds[0][133:]
+        assert fb[0] == 0 and fb[2] == 1   # not-None, double bond
+        assert fb[5] == 1                  # conjugated (both sp2)
+        assert fb[6] == 0                  # not in ring
+        assert fb[7] == 1                  # stereo none slot
+
+    def test_directed_pairing(self):
+        g = MolGraph("CCO")
+        assert g.b2a == [0, 1, 1, 2]
+        assert g.b2dst == [1, 0, 2, 1]
+        assert g.b2revb == [1, 0, 3, 2]
+        assert g.w_bonds == [1.0] * 4
+        assert g.w_atoms == [1.0] * 3
+
+
+class TestPolymer:
+    CFG = FeaturizationConfig(polymer=True)
+
+    def test_rules_parsing(self):
+        info, xn = parse_polymer_rules(["1-2:0.375:0.625", "2-1:0.625:0.375~100"])
+        assert info == [("1", "2", 0.375, 0.625), ("2", "1", 0.625, 0.375)]
+        assert abs(xn - (1 + math.log10(100))) < 1e-12
+
+    def test_polymer_graph(self):
+        g = MolGraph("[*:1]CC[*:2]|1.0|<1-2:0.3:0.7", self.CFG)
+        assert g.n_atoms == 2              # wildcards removed
+        assert g.w_atoms == [1.0, 1.0]
+        # 1 intra bond (2 directed) + 1 stochastic (2 directed)
+        assert g.n_bonds == 4
+        assert g.w_bonds == [1.0, 1.0, 0.3, 0.7]
+
+    def test_stoichiometry_weights(self):
+        g = MolGraph("[*:1]C[*:2].[*:3]O[*:4]|0.25|0.75|<1-3:0.5:0.5", self.CFG)
+        assert g.w_atoms == [0.25, 0.75]
+
+    def test_attachment_saturation(self):
+        # featurized with wildcard attached: the C has 2 heavy neighbours
+        g = MolGraph("[*:1]CC[*:2]|1.0|<1-2:0.5:0.5", self.CFG)
+        f = g.f_atoms[0]
+        deg = f[101:108]
+        # total degree includes Hs: C + wildcard + 2 Hs = 4 (the wildcard
+        # counts as a neighbour, so only 2 Hs — not the 3 of a free CH3)
+        assert deg[4] == 1
+        nh = f[119:125]
+        assert nh[2] == 1                  # 2 Hs, not 3
+
+    def test_degree_of_polym_default(self):
+        g = MolGraph("[*:1]CC[*:2]|1.0|<1-2:0.5:0.5", self.CFG)
+        assert g.degree_of_polym == 1.0
+
+
+class TestReaction:
+    def test_reac_diff_widths(self):
+        cfg = FeaturizationConfig.for_reaction("reac_diff")
+        g = MolGraph("[CH3:1][OH:2]>>[CH3:1][O-:2]", cfg)
+        assert len(g.f_atoms[0]) == 133 + 32
+        assert len(g.f_bonds[0]) == (133 + 32) + (14 + 14)
+        assert g.w_atoms == [1.0, 1.0]
+        assert g.w_bonds == [1.0, 1.0]
+
+    @pytest.mark.parametrize("mode", ["reac_prod", "prod_diff", "reac_diff_balance"])
+    def test_modes_run(self, mode):
+        cfg = FeaturizationConfig.for_reaction(mode)
+        g = MolGraph("[CH2:1]=[CH2:2].[H:3][H:4]>>[CH3:1][CH3:2]", cfg)
+        assert g.n_atoms >= 2
+
+
+class TestBatching:
+    def test_padding_envelope(self):
+        b = mol2graph(["CCO", "c1ccccc1"], pad_atoms=64, pad_bonds=64, pad_mols=4)
+        assert b.f_atoms.shape == (64, 133)
+        assert b.f_bonds.shape == (64, 147)
+        assert b.mol_mask.tolist() == [1, 1, 0, 0]
+        # slot 0 is all-zero padding
+        assert b.f_atoms[0].sum() == 0 and b.w_atoms[0] == 0
+
+    def test_index_offsets(self):
+        g1, g2 = MolGraph("CCO"), MolGraph("CC")
+        b = batch_graphs([g1, g2], pad_atoms=32, pad_bonds=32, pad_mols=2)
+        # second molecule's atoms start after first molecule's (offset 1+3)
+        assert b.a2mol[4] == 1
+        # its first bond points at atom 4
+        assert b.b2a[5] == 4 and b.b2dst[5] == 5
+        # reverse-bond pairing is self-consistent everywhere
+        real = slice(1, b.n_bonds_real)
+        rev = b.b2revb[real]
+        assert (b.b2revb[rev] == np.arange(1, b.n_bonds_real)).all()
+        # reverse bond swaps src/dst
+        assert (b.b2a[rev] == b.b2dst[real]).all()
+
+    def test_envelope_overflow_raises(self):
+        with pytest.raises(ValueError):
+            mol2graph(["CCCCCCCCCC"], pad_atoms=4, pad_bonds=4, pad_mols=1)
