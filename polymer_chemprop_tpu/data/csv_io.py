@@ -1,0 +1,181 @@
+"""CSV ingestion (reference data/utils.py:53-389).
+
+Loads SMILES + targets + optional feature files into a MoleculeDataset,
+filtering rows whose molecules fail to parse (reference utils.py:158-174).
+"""
+
+from __future__ import annotations
+
+import csv
+from collections import OrderedDict
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..chem import parse_smiles
+from ..features import FeaturizationConfig
+from .datapoint import MoleculeDatapoint, MoleculeDataset
+
+
+def get_header(path: str) -> List[str]:
+    with open(path) as f:
+        return next(csv.reader(f))
+
+
+def preprocess_smiles_columns(path: str,
+                              smiles_columns: Optional[Sequence[str]] = None,
+                              number_of_molecules: int = 1) -> List[str]:
+    """Resolve which columns hold SMILES (reference data/utils.py:24-50):
+    default is the first ``number_of_molecules`` columns."""
+    if smiles_columns is None:
+        return get_header(path)[:number_of_molecules]
+    smiles_columns = list(smiles_columns)
+    header = get_header(path)
+    for c in smiles_columns:
+        if c not in header:
+            raise ValueError(f"SMILES column {c} not found in {path}")
+    return smiles_columns
+
+
+def get_task_names(path: str,
+                   smiles_columns: Optional[Sequence[str]] = None,
+                   target_columns: Optional[Sequence[str]] = None,
+                   ignore_columns: Optional[Sequence[str]] = None,
+                   number_of_molecules: int = 1) -> List[str]:
+    """Target column names (reference data/utils.py:53-98)."""
+    if target_columns is not None:
+        return list(target_columns)
+    header = get_header(path)
+    smiles_columns = preprocess_smiles_columns(path, smiles_columns,
+                                               number_of_molecules)
+    ignore = set(smiles_columns) | set(ignore_columns or [])
+    return [c for c in header if c not in ignore]
+
+
+def get_data_weights(path: str) -> List[float]:
+    """Per-datapoint loss weights file (reference data/utils.py:101-119)."""
+    weights = []
+    with open(path) as f:
+        reader = csv.reader(f)
+        next(reader)
+        for row in reader:
+            weights.append(float(row[0]))
+    avg = sum(weights) / len(weights)
+    weights = [w / avg for w in weights]
+    if min(weights) < 0:
+        raise ValueError("Data weights must be non-negative.")
+    return weights
+
+
+def _parseable(smiles: List[str], config: FeaturizationConfig) -> bool:
+    for s in smiles:
+        if config.reaction:
+            parts = [s.split(">")[0], s.split(">")[-1]]
+        elif config.polymer:
+            parts = s.split("|")[0].split(".")
+        else:
+            parts = [s]
+        for p in parts:
+            if parse_smiles(p, keep_h=config.explicit_h, strict=False) is None:
+                return False
+    return True
+
+
+def get_data(path: str,
+             smiles_columns: Optional[Sequence[str]] = None,
+             target_columns: Optional[Sequence[str]] = None,
+             ignore_columns: Optional[Sequence[str]] = None,
+             number_of_molecules: int = 1,
+             config: Optional[FeaturizationConfig] = None,
+             features_path: Optional[Sequence[str]] = None,
+             features_generators: Optional[Sequence[str]] = None,
+             data_weights_path: Optional[str] = None,
+             max_data_size: Optional[int] = None,
+             skip_invalid_smiles: bool = True,
+             store_row: bool = False) -> MoleculeDataset:
+    """CSV -> MoleculeDataset (reference data/utils.py:177-355)."""
+    config = config or FeaturizationConfig()
+    smiles_columns = preprocess_smiles_columns(path, smiles_columns,
+                                               number_of_molecules)
+    task_names = get_task_names(path, smiles_columns, target_columns,
+                                ignore_columns, number_of_molecules)
+    max_data_size = max_data_size or float("inf")
+
+    features_data = None
+    if features_path is not None:
+        from ..features.utils import load_features
+        feats = [load_features(p) for p in features_path]
+        features_data = np.concatenate(feats, axis=1)
+
+    data_weights = get_data_weights(data_weights_path) \
+        if data_weights_path is not None else None
+
+    datapoints = []
+    with open(path) as f:
+        reader = csv.DictReader(f)
+        for i, row in enumerate(reader):
+            if len(datapoints) >= max_data_size:
+                break
+            smiles = [row[c] for c in smiles_columns]
+            targets = []
+            for t in task_names:
+                v = row[t]
+                targets.append(float(v) if v not in ("", "nan") else None)
+            datapoints.append(MoleculeDatapoint(
+                smiles=smiles,
+                targets=targets,
+                row=OrderedDict(row) if store_row else None,
+                data_weight=data_weights[i] if data_weights is not None else 1.0,
+                features=features_data[i] if features_data is not None else None,
+                features_generators=list(features_generators)
+                if features_generators else None,
+            ))
+
+    if skip_invalid_smiles:
+        original = len(datapoints)
+        datapoints = [d for d in datapoints if _parseable(d.smiles, config)]
+        if len(datapoints) < original:
+            print(f"Warning: {original - len(datapoints)} SMILES are invalid.")
+
+    return MoleculeDataset(datapoints)
+
+
+def get_data_from_smiles(smiles: List[List[str]],
+                         config: Optional[FeaturizationConfig] = None,
+                         skip_invalid_smiles: bool = True,
+                         features_generators: Optional[Sequence[str]] = None
+                         ) -> MoleculeDataset:
+    """SMILES lists -> dataset (reference data/utils.py:358-389)."""
+    config = config or FeaturizationConfig()
+    datapoints = [MoleculeDatapoint(smiles=s,
+                                    features_generators=list(features_generators)
+                                    if features_generators else None)
+                  for s in smiles]
+    if skip_invalid_smiles:
+        datapoints = [d for d in datapoints if _parseable(d.smiles, config)]
+    return MoleculeDataset(datapoints)
+
+
+def validate_data(path: str, smiles_columns=None) -> set:
+    """Basic data hygiene report (reference data/utils.py:602-659)."""
+    errors = set()
+    header = get_header(path)
+    smiles_columns = preprocess_smiles_columns(path, smiles_columns)
+    with open(path) as f:
+        reader = csv.DictReader(f)
+        rows = list(reader)
+    if len(header) == 0:
+        errors.add("Empty header.")
+    for row in rows:
+        for c in smiles_columns:
+            if parse_smiles(row[c], strict=False) is None:
+                errors.add("Data includes an invalid SMILES.")
+        for c in header:
+            if c not in smiles_columns:
+                v = row[c]
+                if v not in ("", "nan"):
+                    try:
+                        float(v)
+                    except ValueError:
+                        errors.add("Found a target which is not a number.")
+    return errors

@@ -1,0 +1,186 @@
+"""Batch loader: dataset -> fixed-shape device-ready arrays.
+
+Replaces the reference's torch DataLoader + collate pipeline
+(reference data/data.py:594-680). Featurization runs on host (optionally
+on a thread pool, overlapped with device compute via one-batch prefetch);
+every emitted batch shares a single padding envelope so the jitted train
+step compiles once.
+
+Sampling mirrors MoleculeSampler (reference data.py:537-591): seeded
+shuffle and optional class_balance interleaving of positive/negative pairs.
+"""
+
+from __future__ import annotations
+
+import math
+from concurrent.futures import ThreadPoolExecutor
+from random import Random
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ..features import FeaturizationConfig, batch_graphs, round_up
+from .datapoint import MoleculeDataset
+
+
+class DeviceBatch:
+    """Host-side arrays for one training step."""
+
+    def __init__(self, graph_arrays: List[Dict[str, np.ndarray]],
+                 targets: np.ndarray, mask: np.ndarray,
+                 data_weights: np.ndarray,
+                 features: Optional[np.ndarray],
+                 mol_mask: np.ndarray,
+                 size: int,
+                 atom_descriptors: Optional[np.ndarray] = None):
+        self.graph_arrays = graph_arrays  # one dict per molecule position
+        self.targets = targets            # (M, T) float32, 0 where missing
+        self.mask = mask                  # (M, T) float32, 1 where present
+        self.data_weights = data_weights  # (M, 1) float32
+        self.features = features          # (M, F) float32 or None
+        self.mol_mask = mol_mask          # (M,) padding rows are 0
+        self.size = size                  # real datapoints in this batch
+        self.atom_descriptors = atom_descriptors
+
+
+class MoleculeDataLoader:
+    """Iterable over DeviceBatches with a stable padding envelope."""
+
+    def __init__(self,
+                 dataset: MoleculeDataset,
+                 config: FeaturizationConfig,
+                 batch_size: int = 50,
+                 shuffle: bool = False,
+                 seed: int = 0,
+                 class_balance: bool = False,
+                 num_workers: int = 8,
+                 pad_atoms: Optional[int] = None,
+                 pad_bonds: Optional[int] = None,
+                 align: int = 256):
+        self.dataset = dataset
+        self.config = config
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.class_balance = class_balance
+        self._random = Random(seed)
+        self.num_workers = num_workers
+        self._pad_atoms = pad_atoms
+        self._pad_bonds = pad_bonds
+        self._align = align
+        self._length: Optional[int] = None
+        self.number_of_molecules = (len(dataset[0].smiles) if len(dataset) else 1)
+
+    # -- sampling (reference MoleculeSampler, data.py:537-591) --------------
+    def _indices(self) -> List[int]:
+        n = len(self.dataset)
+        if self.class_balance:
+            indices = list(range(n))
+            has_active = [any(t == 1 for t in self.dataset[i].targets if t is not None)
+                          for i in indices]
+            positives = [i for i in indices if has_active[i]]
+            negatives = [i for i in indices if not has_active[i]]
+            if self.shuffle:
+                self._random.shuffle(positives)
+                self._random.shuffle(negatives)
+            indices = [idx for pair in zip(positives, negatives) for idx in pair]
+            return indices
+        indices = list(range(n))
+        if self.shuffle:
+            self._random.shuffle(indices)
+        return indices
+
+    def __len__(self) -> int:
+        if self.class_balance:
+            return math.ceil(len(self._indices()) / self.batch_size)
+        return math.ceil(len(self.dataset) / self.batch_size)
+
+    @property
+    def iter_size(self) -> int:
+        """Datapoints per epoch (reference data.py:670-676)."""
+        return len(self._indices()) if self.class_balance else len(self.dataset)
+
+    def targets(self) -> List[List[Optional[float]]]:
+        if self.class_balance or self.shuffle:
+            raise ValueError("Cannot safely extract targets when class_balance "
+                             "or shuffle are enabled.")
+        return [d.targets for d in self.dataset]
+
+    # -- envelope -----------------------------------------------------------
+    def _compute_envelope(self, order: List[int]) -> None:
+        """Choose pad sizes covering every batch under the current order.
+        Sticky (monotone non-decreasing) and aligned, so reshuffles reuse
+        the cached executable almost always."""
+        counts = []
+        for d in self.dataset:
+            graphs = d.mol_graphs(self.config)
+            counts.append((sum(g.n_atoms for g in graphs),
+                           sum(g.n_bonds for g in graphs)))
+        max_a = max_b = 0
+        for i in range(0, len(order), self.batch_size):
+            chunk = order[i:i + self.batch_size]
+            max_a = max(max_a, 1 + sum(counts[j][0] for j in chunk))
+            max_b = max(max_b, 1 + sum(counts[j][1] for j in chunk))
+        pa = round_up(max(max_a, 1), self._align)
+        pb = round_up(max(max_b, 1), self._align)
+        self._pad_atoms = max(self._pad_atoms or 0, pa)
+        self._pad_bonds = max(self._pad_bonds or 0, pb)
+
+    def _make_batch(self, idxs: List[int]) -> DeviceBatch:
+        points = [self.dataset[i] for i in idxs]
+        n_pos = self.number_of_molecules
+        graph_arrays = []
+        for pos in range(n_pos):
+            graphs = [p.mol_graphs(self.config)[pos] for p in points]
+            gb = batch_graphs(graphs, pad_atoms=self._pad_atoms,
+                              pad_bonds=self._pad_bonds,
+                              pad_mols=self.batch_size)
+            graph_arrays.append(gb.arrays())
+        M = self.batch_size
+        num_tasks = len(points[0].targets) if points[0].targets is not None else 0
+        targets = np.zeros((M, num_tasks), np.float32)
+        mask = np.zeros((M, num_tasks), np.float32)
+        weights = np.zeros((M, 1), np.float32)
+        mol_mask = np.zeros((M,), np.float32)
+        for i, p in enumerate(points):
+            if p.targets is not None:
+                for t, v in enumerate(p.targets):
+                    if v is not None:
+                        targets[i, t] = v
+                        mask[i, t] = 1.0
+            weights[i, 0] = p.data_weight
+            mol_mask[i] = 1.0
+        feats = None
+        if points[0].features is not None:
+            F = len(points[0].features)
+            feats = np.zeros((M, F), np.float32)
+            for i, p in enumerate(points):
+                feats[i] = p.features
+        atom_desc = None
+        if points[0].atom_descriptors is not None:
+            # stack per-atom descriptors aligned with the batched atom axis
+            A = self._pad_atoms
+            D = points[0].atom_descriptors.shape[1]
+            atom_desc = np.zeros((A, D), np.float32)
+            ai = 1
+            for p in points:
+                d = p.atom_descriptors
+                atom_desc[ai:ai + d.shape[0]] = d
+                ai += d.shape[0]
+        return DeviceBatch(graph_arrays, targets, mask, weights, feats,
+                           mol_mask, size=len(points),
+                           atom_descriptors=atom_desc)
+
+    def __iter__(self) -> Iterator[DeviceBatch]:
+        order = self._indices()
+        if self._pad_atoms is None or self._pad_bonds is None or self.shuffle:
+            self._compute_envelope(order)
+        chunks = [order[i:i + self.batch_size]
+                  for i in range(0, len(order), self.batch_size)]
+        if self.num_workers > 1 and len(chunks) > 1:
+            with ThreadPoolExecutor(max_workers=min(self.num_workers, 8)) as ex:
+                futures = [ex.submit(self._make_batch, c) for c in chunks]
+                for f in futures:
+                    yield f.result()
+        else:
+            for c in chunks:
+                yield self._make_batch(c)

@@ -1,0 +1,397 @@
+"""Per-fold training orchestration (reference train/run_training.py:28-499).
+
+Flow parity with the reference: split -> feature/target scaling -> loaders
+-> per-ensemble-member init (or resume) -> epoch loop (train epoch, eval
+val, per-epoch CSV logging, every-epoch resume checkpoint, best-model
+tracking) -> best-model test evaluation -> ensemble-averaged test preds.
+
+TPU-native mechanics: the whole optimizer step is one jitted XLA
+executable; the Noam schedule is folded into optax; checkpoints are
+numpy/JSON (utils/checkpoint.py) rather than torch pickles.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import TrainConfig
+from ..data import (
+    MoleculeDataLoader,
+    MoleculeDataset,
+    StandardScaler,
+    set_cache_graph,
+    split_data,
+)
+from ..models import EncoderConfig, ModelConfig, init_model, param_count
+from ..utils.checkpoint import load_checkpoint, load_opt_state, save_checkpoint
+from ..utils.logging import get_logger
+from .evaluate import evaluate
+from .metrics import evaluate_predictions
+from .predict import predict
+from .scheduler import build_optimizer, build_schedule
+from .step import batch_pytree, make_predict_step, make_train_step
+
+
+def build_model_config(cfg: TrainConfig, num_tasks: int,
+                       features_size: int = 0,
+                       atom_descriptors_size: int = 0,
+                       atom_fdim: Optional[int] = None,
+                       bond_fdim: Optional[int] = None) -> ModelConfig:
+    fcfg = cfg.featurization()
+    enc = EncoderConfig(
+        atom_fdim=atom_fdim or fcfg.atom_fdim,
+        bond_fdim=bond_fdim or fcfg.bond_fdim(cfg.atom_messages),
+        hidden_size=cfg.hidden_size,
+        depth=cfg.depth,
+        dropout=cfg.dropout,
+        activation=cfg.activation,
+        aggregation=cfg.aggregation,
+        aggregation_norm=cfg.aggregation_norm,
+        bias=cfg.bias,
+        undirected=cfg.undirected,
+        atom_messages=cfg.atom_messages,
+        atom_descriptors=cfg.atom_descriptors,
+        atom_descriptors_size=atom_descriptors_size,
+    )
+    return ModelConfig(
+        encoder=enc,
+        dataset_type=cfg.dataset_type,
+        num_tasks=num_tasks,
+        multiclass_num_classes=cfg.multiclass_num_classes,
+        number_of_molecules=cfg.number_of_molecules,
+        mpn_shared=cfg.mpn_shared,
+        ffn_num_layers=cfg.ffn_num_layers,
+        ffn_hidden_size=cfg.ffn_hidden_size,
+        features_size=features_size,
+        features_only=cfg.features_only,
+        use_input_features=features_size > 0,
+        spectra_activation=cfg.spectra_activation,
+        atom_descriptors=cfg.atom_descriptors,
+        atom_descriptors_size=atom_descriptors_size,
+    )
+
+
+def _trainable_mask(params, cfg: TrainConfig):
+    """Parameter-freezing mask for transfer learning (reference
+    model.py:49-55, 118-121: freeze encoders and/or first FFN layers)."""
+    freeze_encoder = cfg.checkpoint_frzn is not None
+
+    def mask_tree(tree, trainable):
+        return jax.tree_util.tree_map(lambda _: trainable, tree)
+
+    mask = {}
+    for key, sub in params.items():
+        if key == "encoders" and freeze_encoder:
+            if cfg.freeze_first_only:
+                mask[key] = [mask_tree(sub[0], False)] + \
+                    [mask_tree(s, True) for s in sub[1:]]
+            else:
+                mask[key] = mask_tree(sub, False)
+        elif key == "ffn" and cfg.checkpoint_frzn is not None and cfg.frzn_ffn_layers > 0:
+            n = cfg.frzn_ffn_layers
+            mask[key] = [mask_tree(l, i >= n) for i, l in enumerate(sub)]
+        else:
+            mask[key] = mask_tree(sub, True)
+    return mask
+
+
+def _load_frzn_into(params, frzn_path: str, cfg: TrainConfig):
+    """Overwrite encoder (+ optionally first FFN layers) weights from an
+    SSL/teacher checkpoint (reference utils.py:172-261 load_frzn_model)."""
+    frzn_params, _, _, _ = load_checkpoint(frzn_path)
+
+    def copy_matching(dst, src):
+        if isinstance(dst, dict):
+            return {k: copy_matching(dst[k], src[k]) if k in src else dst[k]
+                    for k in dst}
+        if isinstance(dst, list):
+            return [copy_matching(d, s) for d, s in zip(dst, src)] + dst[len(src):]
+        if src is not None and np.shape(src) == np.shape(dst):
+            return np.asarray(src)
+        return dst
+
+    out = dict(params)
+    if "encoders" in frzn_params:
+        out["encoders"] = copy_matching(params["encoders"], frzn_params["encoders"])
+    if cfg.frzn_ffn_layers > 0 and "ffn" in frzn_params:
+        n = cfg.frzn_ffn_layers
+        out["ffn"] = [copy_matching(params["ffn"][i], frzn_params["ffn"][i])
+                      if i < n else params["ffn"][i]
+                      for i in range(len(params["ffn"]))]
+    return out
+
+
+def run_training(cfg: TrainConfig,
+                 data: MoleculeDataset,
+                 logger=None) -> Dict[str, List[float]]:
+    """Train one fold, return test scores per metric
+    (reference run_training.py:28-499)."""
+    log = logger or get_logger("train", cfg.save_dir, cfg.quiet)
+    debug, info = log.debug, log.info
+    fcfg = cfg.featurization()
+
+    # ---- split (reference run_training.py:57-105) -------------------------
+    if cfg.separate_val_path or cfg.separate_test_path:
+        from ..data import get_data
+        val_data = get_data(cfg.separate_val_path, cfg.smiles_columns,
+                            cfg.target_columns, cfg.ignore_columns,
+                            cfg.number_of_molecules, fcfg,
+                            features_path=cfg.features_path,
+                            features_generators=cfg.features_generator) \
+            if cfg.separate_val_path else None
+        test_data = get_data(cfg.separate_test_path, cfg.smiles_columns,
+                             cfg.target_columns, cfg.ignore_columns,
+                             cfg.number_of_molecules, fcfg,
+                             features_path=cfg.features_path,
+                             features_generators=cfg.features_generator) \
+            if cfg.separate_test_path else None
+        if val_data is not None and test_data is not None:
+            train_data = data
+        elif val_data is not None:
+            train_data, _, test_data = split_data(
+                data, cfg.split_type, (0.8, 0.0, 0.2), cfg.seed,
+                cfg.num_folds, cfg.folds_file, cfg.val_fold_index,
+                cfg.test_fold_index)
+        else:
+            train_data, val_data, _ = split_data(
+                data, cfg.split_type, (0.8, 0.2, 0.0), cfg.seed,
+                cfg.num_folds, cfg.folds_file, cfg.val_fold_index,
+                cfg.test_fold_index)
+    else:
+        train_data, val_data, test_data = split_data(
+            data, cfg.split_type, cfg.split_sizes, cfg.seed, cfg.num_folds,
+            cfg.folds_file, cfg.val_fold_index, cfg.test_fold_index)
+
+    # ---- train_frac subsampling (fork addition, run_training.py:132-137) --
+    if cfg.train_frac < 1.0:
+        from random import Random
+        n_keep = int(len(train_data) * cfg.train_frac)
+        idx = list(range(len(train_data)))
+        Random(cfg.seed).shuffle(idx)
+        train_data = MoleculeDataset([train_data[i] for i in idx[:n_keep]])
+
+    num_tasks = data.num_tasks or 0
+    info(f"Total size = {len(data):,} | train size = {len(train_data):,} | "
+         f"val size = {len(val_data):,} | test size = {len(test_data):,}")
+
+    # ---- feature scaling (reference run_training.py:111-130) --------------
+    features_scaler = None
+    if train_data.features() is not None and not cfg.no_features_scaling:
+        features_scaler = train_data.normalize_features(replace_nan_token=0)
+        val_data.normalize_features(features_scaler)
+        test_data.normalize_features(features_scaler)
+
+    # ---- target scaling (reference run_training.py:143-158) ---------------
+    scaler = None
+    if cfg.dataset_type == "regression":
+        debug("Fitting scaler")
+        scaler = train_data.normalize_targets()
+    elif cfg.dataset_type == "spectra":
+        debug("Normalizing spectra and excluding spectra regions based on phase")
+        scaler = None
+        _normalize_spectra_targets(train_data, val_data, test_data, cfg)
+
+    # ---- loaders ----------------------------------------------------------
+    set_cache_graph(len(data) <= cfg.cache_cutoff)
+    train_loader = MoleculeDataLoader(
+        train_data, fcfg, batch_size=cfg.batch_size, shuffle=True,
+        seed=cfg.seed, class_balance=cfg.class_balance,
+        num_workers=cfg.num_workers)
+    val_loader = MoleculeDataLoader(val_data, fcfg, batch_size=cfg.batch_size,
+                                    num_workers=cfg.num_workers)
+    test_loader = MoleculeDataLoader(test_data, fcfg, batch_size=cfg.batch_size,
+                                     num_workers=cfg.num_workers)
+
+    model_cfg = build_model_config(
+        cfg, num_tasks,
+        features_size=train_data.features_size(),
+        atom_descriptors_size=train_data.atom_descriptors_size())
+    predict_step = make_predict_step(model_cfg)
+
+    save_dir = cfg.save_dir
+    steps_per_epoch = max(1, len(train_loader))
+
+    # ---- ensemble loop (reference run_training.py:208-436) ----------------
+    best_params_all = []
+    for model_idx in range(cfg.ensemble_size):
+        model_dir = os.path.join(save_dir, f"model_{model_idx}") if save_dir else None
+        if model_dir:
+            os.makedirs(model_dir, exist_ok=True)
+
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.pytorch_seed), model_idx)
+        key, init_key = jax.random.split(key)
+        params = init_model(init_key, model_cfg)
+        info(f"Number of parameters = {param_count(params):,}")
+
+        schedule = build_schedule(
+            cfg.scheduler, init_lr=cfg.init_lr, max_lr=cfg.max_lr,
+            final_lr=cfg.final_lr, warmup_epochs=cfg.warmup_epochs,
+            epochs=cfg.epochs, steps_per_epoch=steps_per_epoch)
+        tx = build_optimizer(cfg.optimizer, schedule, cfg.weight_decay,
+                             cfg.grad_clip)
+        if cfg.checkpoint_frzn is not None:
+            params = _load_frzn_into(params, cfg.checkpoint_frzn, cfg)
+            tx = optax.multi_transform(
+                {"train": tx, "freeze": optax.set_to_zero()},
+                jax.tree_util.tree_map(
+                    lambda t: "train" if t else "freeze",
+                    _trainable_mask(params, cfg)))
+        opt_state = tx.init(params)
+
+        start_epoch = 0
+        # full resume (fork addition, reference run_training.py:241-263)
+        resume_path = None
+        if cfg.resume_from_checkpoint:
+            resume_path = cfg.resume_from_checkpoint
+        elif cfg.resume_experiment and model_dir and \
+                os.path.exists(os.path.join(model_dir, "model.ckpt")):
+            resume_path = os.path.join(model_dir, "model.ckpt")
+        if resume_path and os.path.exists(resume_path):
+            params, _, _, saved_epoch = load_checkpoint(resume_path)
+            restored = load_opt_state(resume_path, opt_state)
+            if restored is not None:
+                opt_state = restored
+            start_epoch = (saved_epoch or 0) + 1
+            info(f"Resumed from {resume_path} at epoch {start_epoch}")
+
+        target_weights = (jnp.asarray(cfg.target_weights, jnp.float32)
+                          if cfg.target_weights is not None else None)
+        train_step = make_train_step(
+            model_cfg, tx, target_weights,
+            cfg.alternative_loss_function,
+            cfg.spectra_target_floor if cfg.dataset_type == "spectra" else None)
+
+        # per-epoch CSV metric log (fork addition, run_training.py:212-231)
+        csv_path = os.path.join(model_dir, "train_val_loss_log.csv") \
+            if model_dir else None
+        if csv_path and start_epoch == 0:
+            with open(csv_path, "w", newline="") as f:
+                csv.writer(f).writerow(
+                    ["epoch", "train_loss", f"val_{cfg.metric}"])
+
+        best_score = float("inf") if cfg.minimize_score else -float("inf")
+        best_epoch = 0
+        best_params = params
+
+        for epoch in range(start_epoch, cfg.epochs):
+            losses = []
+            for batch in train_loader:
+                key, sub = jax.random.split(key)
+                params, opt_state, loss, gnorm = train_step(
+                    params, opt_state, batch_pytree(batch), sub)
+                losses.append(float(loss))
+            val_scores = evaluate(params, predict_step, val_loader, num_tasks,
+                                  cfg.metrics, cfg.dataset_type, scaler)
+            avg_val = float(np.nanmean(val_scores[cfg.metric]))
+            mean_loss = float(np.mean(losses)) if losses else float("nan")
+            debug(f"Epoch {epoch}: train loss = {mean_loss:.6f}, "
+                  f"val {cfg.metric} = {avg_val:.6f}")
+            if csv_path:
+                with open(csv_path, "a", newline="") as f:
+                    csv.writer(f).writerow([epoch, mean_loss, avg_val])
+            # every-epoch resume checkpoint (reference run_training.py:404-409)
+            if model_dir:
+                save_checkpoint(
+                    os.path.join(model_dir, "model.ckpt"), params,
+                    cfg.to_dict(),
+                    scalers={"data_scaler": scaler,
+                             "features_scaler": features_scaler},
+                    opt_state=opt_state, epoch=epoch)
+            improved = (avg_val < best_score) if cfg.minimize_score \
+                else (avg_val > best_score)
+            if improved or epoch == start_epoch:
+                best_score, best_epoch = avg_val, epoch
+                best_params = params
+                if model_dir:
+                    save_checkpoint(
+                        os.path.join(model_dir, "best_model.ckpt"), params,
+                        cfg.to_dict(),
+                        scalers={"data_scaler": scaler,
+                                 "features_scaler": features_scaler},
+                        epoch=epoch)
+
+        info(f"Model {model_idx} best validation {cfg.metric} = "
+             f"{best_score:.6f} on epoch {best_epoch}")
+        best_params_all.append(best_params)
+
+    # ---- test evaluation with ensemble averaging (run_training.py:440-491) -
+    test_targets = test_loader.targets()
+    sum_preds = None
+    for params in best_params_all:
+        preds, _ = predict(params, predict_step, test_loader, scaler=scaler)
+        arr = np.array(preds, dtype=float)
+        sum_preds = arr if sum_preds is None else sum_preds + arr
+        scores = evaluate_predictions(preds, test_targets, num_tasks,
+                                      cfg.metrics, cfg.dataset_type)
+        for metric, vals in scores.items():
+            info(f"Model test {metric} = {np.nanmean(vals):.6f}")
+    avg_preds = (sum_preds / len(best_params_all)).tolist()
+    ensemble_scores = evaluate_predictions(avg_preds, test_targets, num_tasks,
+                                           cfg.metrics, cfg.dataset_type)
+    for metric, vals in ensemble_scores.items():
+        info(f"Ensemble test {metric} = {np.nanmean(vals):.6f}")
+
+    if save_dir and cfg.save_preds and len(test_data) > 0:
+        _write_test_preds(save_dir, cfg, test_data, avg_preds)
+    if save_dir:
+        import json
+        with open(os.path.join(save_dir, "test_scores.json"), "w") as f:
+            json.dump(ensemble_scores, f, indent=4, sort_keys=True)
+
+    return ensemble_scores
+
+
+def _normalize_spectra_targets(train_data, val_data, test_data,
+                               cfg: TrainConfig) -> None:
+    """Spectra normalization with optional phase masks
+    (reference spectra_utils.py:162-208 + run_training.py:147-158)."""
+    phase_mask = None
+    if cfg.spectra_phase_mask_path:
+        phase_mask = _load_phase_mask(cfg.spectra_phase_mask_path)
+    for ds in (train_data, val_data, test_data):
+        if len(ds) == 0:
+            continue
+        phase_feats = ds.features() if phase_mask is not None else None
+        new_targets = []
+        for i, t in enumerate(ds.targets()):
+            arr = np.array([np.nan if x is None else x for x in t], dtype=float)
+            if phase_mask is not None and phase_feats is not None:
+                phase = np.asarray(phase_feats[i], dtype=float)
+                mask_row = phase @ np.asarray(phase_mask, dtype=float)
+                arr = np.where(mask_row > 0, arr, np.nan)
+            arr = np.where(arr < cfg.spectra_target_floor,
+                           cfg.spectra_target_floor, arr)
+            total = np.nansum(arr)
+            arr = arr / total if total > 0 else arr
+            new_targets.append([None if np.isnan(x) else float(x) for x in arr])
+        ds.set_targets(new_targets)
+
+
+def _load_phase_mask(path: str):
+    """(reference spectra_utils.py:244-264)."""
+    import csv as _csv
+    with open(path) as f:
+        reader = _csv.reader(f)
+        next(reader)
+        return [[float(v) for v in row[1:]] for row in reader]
+
+
+def _write_test_preds(save_dir: str, cfg: TrainConfig, test_data,
+                      avg_preds) -> None:
+    """(reference run_training.py:493-497)."""
+    import csv as _csv
+    path = os.path.join(save_dir, "test_preds.csv")
+    with open(path, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["smiles"] + [f"pred_{i}" for i in
+                                 range(len(avg_preds[0]) if avg_preds else 0)])
+        for d, p in zip(test_data, avg_preds):
+            row_p = p if isinstance(p, list) else [p]
+            w.writerow([".".join(d.smiles)] + row_p)
