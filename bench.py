@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Benchmark: wD-MPNN training throughput on the TPU chip.
+
+Measures the full jitted training step (forward + backward + Adam update,
+hidden 300, depth 3 — the reference default model, args.py:312-314) on a
+large batch built from the regression fixture molecules, and reports real
+(unpadded) directed-bond edges processed per second.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "edges/s", "vs_baseline": N}
+
+vs_baseline compares against the reference implementation's measured
+training throughput on this container's CPU (torch 1-thread-pool defaults,
+identical batch composition) — the only hardware the reference supports
+(SURVEY.md §2.9: no GPU/multi-device code path exists in the fork, and the
+repo publishes no hardware benchmarks, BASELINE.md). That number is
+re-measured here with --baseline and cached in BASELINE_EDGES_PER_S.
+"""
+
+import csv
+import json
+import sys
+import time
+
+import numpy as np
+
+# Reference-equivalent torch-CPU training-step throughput measured in this
+# container (see bench.py --baseline): full train step, batch 1024 molecules
+# of tests/data/regression.csv, hidden 300, depth 3.
+BASELINE_EDGES_PER_S = 3386.0  # measured 2026-08-17 via `python bench.py --baseline`
+
+BATCH_MOLS = 1024
+HIDDEN = 300
+DEPTH = 3
+
+
+def _load_batch():
+    from polymer_chemprop_tpu.features import mol2graph, round_up
+    with open("tests/data/regression.csv") as f:
+        r = csv.reader(f)
+        next(r)
+        smiles = [row[0] for row in r]
+    batch_smiles = (smiles * ((BATCH_MOLS // len(smiles)) + 1))[:BATCH_MOLS]
+    # tight power-of-two-ish envelope
+    probe = mol2graph(batch_smiles, pad_atoms=65536, pad_bonds=131072,
+                      pad_mols=BATCH_MOLS)
+    pa = round_up(probe.n_atoms_real, 1024)
+    pb = round_up(probe.n_bonds_real, 1024)
+    gb = mol2graph(batch_smiles, pad_atoms=pa, pad_bonds=pb,
+                   pad_mols=BATCH_MOLS)
+    return gb
+
+
+def bench_tpu() -> dict:
+    import jax
+    from polymer_chemprop_tpu.models import EncoderConfig, ModelConfig, init_model
+    from polymer_chemprop_tpu.train import make_train_step
+    from polymer_chemprop_tpu.train.scheduler import build_optimizer, build_schedule
+
+    gb = _load_batch()
+    arrays = gb.arrays()
+    n_real_edges = gb.n_bonds_real - 1
+
+    enc = EncoderConfig(atom_fdim=133, bond_fdim=147, hidden_size=HIDDEN,
+                        depth=DEPTH)
+    mcfg = ModelConfig(encoder=enc, dataset_type="regression", num_tasks=1,
+                       ffn_hidden_size=HIDDEN)
+    params = init_model(jax.random.PRNGKey(0), mcfg)
+    schedule = build_schedule("noam", init_lr=1e-4, max_lr=1e-3, final_lr=1e-4,
+                              warmup_epochs=2, epochs=30, steps_per_epoch=100)
+    tx = build_optimizer("adam", schedule)
+    opt_state = tx.init(params)
+    step = make_train_step(mcfg, tx)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "graphs": [arrays],
+        "targets": rng.normal(size=(BATCH_MOLS, 1)).astype(np.float32),
+        "mask": np.ones((BATCH_MOLS, 1), np.float32),
+        "weights": np.ones((BATCH_MOLS, 1), np.float32),
+    }
+    key = jax.random.PRNGKey(0)
+
+    # warmup/compile
+    params, opt_state, loss, gnorm = step(params, opt_state, batch, key)
+    jax.block_until_ready(params)
+
+    n_iters = 30
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        params, opt_state, loss, gnorm = step(params, opt_state, batch, key)
+    jax.block_until_ready(params)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    edges_per_s = n_real_edges / dt
+    return {
+        "metric": "wD-MPNN train-step throughput (real directed edges/s, "
+                  f"batch {BATCH_MOLS} mols, hidden {HIDDEN}, depth {DEPTH}, "
+                  f"{jax.devices()[0].device_kind})",
+        "value": round(edges_per_s),
+        "unit": "edges/s",
+        "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 3),
+        "step_ms": round(dt * 1e3, 3),
+        "real_edges": n_real_edges,
+        "padded_edges": int(arrays["f_bonds"].shape[0]),
+    }
+
+
+def bench_baseline_torch() -> dict:
+    """Reference-equivalent torch CPU training step (dense index_add_
+    aggregation exactly as reference mpn.py:110-131)."""
+    import torch
+    import torch.nn as nn
+
+    gb = _load_batch()
+    a = gb.arrays()
+    n_real_edges = gb.n_bonds_real - 1
+    fa = torch.tensor(a["f_atoms"]); fb = torch.tensor(a["f_bonds"])
+    wb = torch.tensor(a["w_bonds"]); wa = torch.tensor(a["w_atoms"])
+    b2a = torch.tensor(a["b2a"], dtype=torch.long)
+    b2dst = torch.tensor(a["b2dst"], dtype=torch.long)
+    b2revb = torch.tensor(a["b2revb"], dtype=torch.long)
+    a2mol = torch.tensor(a["a2mol"], dtype=torch.long)
+    A = fa.shape[0]; M = BATCH_MOLS; H = HIDDEN
+
+    Wi = nn.Linear(fb.shape[1], H, bias=False)
+    Wh = nn.Linear(H, H, bias=False)
+    Wo = nn.Linear(fa.shape[1] + H, H)
+    f1 = nn.Linear(H, H); f2 = nn.Linear(H, 1)
+    model_params = (list(Wi.parameters()) + list(Wh.parameters()) +
+                    list(Wo.parameters()) + list(f1.parameters()) +
+                    list(f2.parameters()))
+    opt = torch.optim.Adam(model_params, lr=1e-3)
+    targets = torch.randn(M, 1)
+
+    def train_step():
+        inp = Wi(fb)
+        msg = torch.relu(inp)
+        for _ in range(DEPTH - 1):
+            amsg = torch.zeros(A, H).index_add_(0, b2dst, msg * wb[:, None])
+            msg = torch.relu(inp + Wh(amsg[b2a] - msg[b2revb]))
+        amsg = torch.zeros(A, H).index_add_(0, b2dst, msg * wb[:, None])
+        ah = torch.relu(Wo(torch.cat([fa, amsg], 1)))
+        mv = torch.zeros(M, H).index_add_(0, a2mol, ah * wa[:, None])
+        den = torch.zeros(M).index_add_(0, a2mol, wa).clamp(min=1e-12)
+        preds = f2(torch.relu(f1(mv / den[:, None])))
+        loss = ((preds - targets) ** 2).mean()
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    train_step()  # warmup
+    n_iters = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        train_step()
+    dt = (time.perf_counter() - t0) / n_iters
+    return {"metric": "reference-equivalent torch CPU train step",
+            "value": round(n_real_edges / dt), "unit": "edges/s",
+            "vs_baseline": 1.0, "step_ms": round(dt * 1e3, 3)}
+
+
+if __name__ == "__main__":
+    if "--baseline" in sys.argv:
+        print(json.dumps(bench_baseline_torch()))
+    else:
+        print(json.dumps(bench_tpu()))

@@ -1,0 +1,19 @@
+"""Multi-chip parallelism: device meshes, data-parallel training.
+
+All green-field TPU design — the reference is strictly single-device
+(SURVEY.md §2.9). Scaling strategy:
+
+* data parallelism (dp.py): per-device GraphBatch shards, psum gradient
+  reduction over ICI, exact global masked loss.
+* edge partitioning (planned, partition.py): shard one giant batched graph's
+  bond axis across devices with halo exchange of boundary bond states
+  between message-passing layers — the graph analogue of sequence
+  parallelism; reverse-edge pairs are co-located by construction because
+  the batcher stores (fwd, rev) adjacently.
+"""
+
+from .dp import make_dp_train_step, shard_batch, stack_device_batches
+from .mesh import make_mesh
+
+__all__ = ["make_dp_train_step", "make_mesh", "shard_batch",
+           "stack_device_batches"]

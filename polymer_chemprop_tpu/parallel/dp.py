@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+shard_map = jax.shard_map
 
 from ..models import ModelConfig, apply_model
 from ..train.loss import get_loss_fn
@@ -62,6 +63,9 @@ def make_dp_train_step(cfg: ModelConfig,
         return x.sum(), mask.sum()
 
     def sharded_grads(params, batch, rng):
+        # local shard views keep a leading length-1 dp axis; drop it
+        batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+        rng = rng[0]
         # exact global masked mean: scale local numerator by global denominator
         _, denom_local = local_loss_terms(params, batch, rng)
         denom = jax.lax.psum(denom_local, axis)
@@ -80,7 +84,7 @@ def make_dp_train_step(cfg: ModelConfig,
         sharded_grads, mesh=mesh,
         in_specs=(P(), P(axis), P(axis)),
         out_specs=(P(), P()),
-        check_rep=False)
+        check_vma=False)
 
     @jax.jit
     def train_step(params, opt_state, batch, rngs):

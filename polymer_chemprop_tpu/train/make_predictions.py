@@ -1,0 +1,155 @@
+"""Checkpoint-ensemble prediction CLI (reference train/make_predictions.py:17-308).
+
+Loads trained checkpoints, re-applies the training featurization config
+(the reference re-applies featurization *globals* from train args,
+make_predictions.py:87-107 — here the config travels inside the checkpoint),
+features re-normalization per model, ensemble averaging, optional ensemble
+variance / individual predictions / graph-embedding export, and CSV output
+preserving input rows.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from ..config import PredictConfig, TrainConfig, find_checkpoints
+from ..data import MoleculeDataLoader, get_data
+from ..utils.checkpoint import load_checkpoint
+from ..utils.logging import timeit
+from .predict import predict
+from .step import make_embed_step, make_predict_step
+from .trainer import build_model_config
+
+
+def load_model(ckpt_path: str):
+    params, config_dict, scalers, _ = load_checkpoint(ckpt_path)
+    tcfg = TrainConfig.from_dict(config_dict)
+    return params, tcfg, scalers
+
+
+def make_predictions(args: PredictConfig,
+                     smiles: Optional[List[List[str]]] = None) -> List[List]:
+    """(reference make_predictions.py:271-300)."""
+    ckpts = find_checkpoints(args.checkpoint_dir, args.checkpoint_path,
+                             args.checkpoint_paths)
+    # prefer best_model checkpoints when a directory was walked
+    best = [c for c in ckpts if os.path.basename(c) == "best_model.ckpt"]
+    if best:
+        ckpts = best
+    if not ckpts:
+        raise ValueError("No checkpoints given or found.")
+
+    params0, tcfg, _ = load_model(ckpts[0])
+    fcfg = tcfg.featurization()
+
+    if smiles is not None:
+        from ..data import get_data_from_smiles
+        test_data = get_data_from_smiles(
+            smiles, fcfg, features_generators=tcfg.features_generator)
+        full_rows = [{"smiles": ".".join(s)} for s in smiles]
+    else:
+        test_data = get_data(args.test_path, args.smiles_columns,
+                             target_columns=[], number_of_molecules=args.number_of_molecules,
+                             config=fcfg,
+                             features_path=args.features_path,
+                             features_generators=args.features_generator or
+                             tcfg.features_generator,
+                             store_row=True)
+        full_rows = [d.row for d in test_data]
+
+    num_tasks = _num_tasks(tcfg)
+    model_cfg = build_model_config(tcfg, num_tasks,
+                                   features_size=test_data.features_size())
+    predict_step = make_predict_step(model_cfg)
+    embed_step = make_embed_step(model_cfg) if args.save_graph_embeddings else None
+
+    loader = MoleculeDataLoader(test_data, fcfg, batch_size=args.batch_size,
+                                num_workers=args.num_workers)
+
+    sum_preds = None
+    sq_preds = None
+    individual = []
+    sum_emb = None
+    for ckpt in ckpts:
+        params, tcfg_i, scalers = load_model(ckpt)
+        if test_data.features() is not None and \
+                scalers.get("features_scaler") is not None and \
+                not tcfg_i.no_features_scaling:
+            test_data.reset_features_and_targets()
+            test_data.normalize_features(scalers["features_scaler"])
+        preds, emb = predict(params, predict_step, loader,
+                             scaler=scalers.get("data_scaler"),
+                             return_embeddings=args.save_graph_embeddings,
+                             embed_step=embed_step)
+        arr = np.array(preds, dtype=float)
+        sum_preds = arr if sum_preds is None else sum_preds + arr
+        if args.ensemble_variance:
+            sq_preds = arr ** 2 if sq_preds is None else sq_preds + arr ** 2
+        if args.individual_ensemble_predictions:
+            individual.append(arr)
+        if emb is not None:
+            sum_emb = emb if sum_emb is None else sum_emb + emb
+
+    n = len(ckpts)
+    avg_preds = sum_preds / n
+    var_preds = (sq_preds / n - avg_preds ** 2) if sq_preds is not None else None
+    if sum_emb is not None and args.graph_embeddings_path:
+        np.save(args.graph_embeddings_path, sum_emb / n)
+
+    if args.preds_path:
+        _write_preds(args, tcfg, full_rows, avg_preds, var_preds, individual,
+                     num_tasks)
+    return avg_preds.tolist()
+
+
+def _num_tasks(tcfg: TrainConfig) -> int:
+    from ..data import get_task_names
+    if tcfg.target_columns:
+        return len(tcfg.target_columns)
+    try:
+        return len(get_task_names(tcfg.data_path, tcfg.smiles_columns,
+                                  tcfg.target_columns, tcfg.ignore_columns,
+                                  tcfg.number_of_molecules))
+    except (OSError, ValueError):
+        return 1
+
+
+def _write_preds(args: PredictConfig, tcfg: TrainConfig, rows, avg_preds,
+                 var_preds, individual, num_tasks) -> None:
+    os.makedirs(os.path.dirname(args.preds_path) or ".", exist_ok=True)
+    task_names = tcfg.target_columns or [f"task_{i}" for i in range(num_tasks)]
+    multiclass = tcfg.dataset_type == "multiclass"
+    with open(args.preds_path, "w", newline="") as f:
+        base_cols = list(rows[0].keys()) if rows and rows[0] else ["smiles"]
+        header = list(base_cols) + list(task_names)
+        if var_preds is not None:
+            header += [f"{t}_epi_unc" for t in task_names]
+        if individual:
+            for i in range(len(individual)):
+                header += [f"{t}_model_{i}" for t in task_names]
+        w = csv.writer(f)
+        w.writerow(header)
+        for i, row in enumerate(rows):
+            vals = list(row.values()) if row else [""]
+            if multiclass:
+                preds_row = [list(np.argmax(avg_preds[i], axis=-1))] \
+                    if avg_preds.ndim == 3 else list(avg_preds[i])
+            else:
+                preds_row = list(avg_preds[i])
+            out = vals + preds_row
+            if var_preds is not None:
+                out += list(var_preds[i])
+            for ind in individual:
+                out += list(ind[i])
+            w.writerow(out)
+
+
+@timeit()
+def chemprop_predict(argv: Optional[List[str]] = None) -> None:
+    """CLI entry (reference make_predictions.py:303-308)."""
+    from ..config import parse_predict_args
+    make_predictions(parse_predict_args(argv))
