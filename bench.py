@@ -51,14 +51,14 @@ def _load_batch():
     return gb
 
 
-def bench_tpu() -> dict:
+def bench_tpu(pallas: bool = False) -> dict:
     import jax
     from polymer_chemprop_tpu.models import EncoderConfig, ModelConfig, init_model
     from polymer_chemprop_tpu.train import make_train_step
     from polymer_chemprop_tpu.train.scheduler import build_optimizer, build_schedule
 
     gb = _load_batch()
-    arrays = gb.arrays()
+    arrays = gb.arrays(pallas=pallas)
     n_real_edges = gb.n_bonds_real - 1
 
     enc = EncoderConfig(atom_fdim=133, bond_fdim=147, hidden_size=HIDDEN,
@@ -93,10 +93,11 @@ def bench_tpu() -> dict:
     dt = (time.perf_counter() - t0) / n_iters
 
     edges_per_s = n_real_edges / dt
+    kernel = "pallas-band" if pallas else "xla-segment"
     return {
         "metric": "wD-MPNN train-step throughput (real directed edges/s, "
                   f"batch {BATCH_MOLS} mols, hidden {HIDDEN}, depth {DEPTH}, "
-                  f"{jax.devices()[0].device_kind})",
+                  f"{kernel}, {jax.devices()[0].device_kind})",
         "value": round(edges_per_s),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 3),
@@ -163,5 +164,10 @@ def bench_baseline_torch() -> dict:
 if __name__ == "__main__":
     if "--baseline" in sys.argv:
         print(json.dumps(bench_baseline_torch()))
+    elif "--compare" in sys.argv:
+        # print both kernel variants (diagnostics; not the driver line)
+        print(json.dumps(bench_tpu(pallas=False)))
+        print(json.dumps(bench_tpu(pallas=True)))
     else:
-        print(json.dumps(bench_tpu()))
+        result = bench_tpu(pallas="--pallas" in sys.argv)
+        print(json.dumps(result))

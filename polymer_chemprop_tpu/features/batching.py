@@ -51,11 +51,20 @@ class GraphBatch:
     def n_mols(self) -> int:
         return self.degree_of_polym.shape[0]
 
-    def arrays(self) -> dict:
-        """The device-transferable arrays (used as a jit input pytree)."""
-        return {k: getattr(self, k) for k in (
+    def arrays(self, pallas: bool = False) -> dict:
+        """The device-transferable arrays (used as a jit input pytree).
+
+        With ``pallas=True``, attaches the sorted-band auxiliary index
+        arrays consumed by ops/pallas_mpnn.py (the encoder switches to the
+        fused MXU band kernel when the ``pallas_aux`` key is present)."""
+        d = {k: getattr(self, k) for k in (
             "f_atoms", "f_bonds", "w_atoms", "w_bonds",
             "b2a", "b2dst", "b2revb", "a2mol", "degree_of_polym", "mol_mask")}
+        if pallas:
+            from ..ops.pallas_mpnn import build_sorted_aux
+            aux = build_sorted_aux(self.b2dst, self.b2revb, self.w_bonds)
+            d["pallas_aux"] = {k: getattr(aux, k) for k in aux._fields}
+        return d
 
 
 def round_up(x: int, multiple: int) -> int:

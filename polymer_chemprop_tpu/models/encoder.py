@@ -113,13 +113,18 @@ def apply_encoder(params: Dict,
             message = dropout(message, cfg.dropout, next(keys), deterministic)
         a_message = weighted_segment_sum(message[b2a], w_bonds, b2dst, num_atoms)
     else:
+        pallas_aux = batch.get("pallas_aux")
         inputs = linear(params["W_i"], f_bonds)
         message = act(inputs)
         for _ in range(cfg.depth - 1):
             if cfg.undirected:
                 message = (message + message[b2revb]) / 2
-            message = bond_message_step(message, w_bonds, b2a, b2dst, b2revb,
-                                        num_atoms)
+            if pallas_aux is not None:
+                from ..ops.pallas_mpnn import bond_message_step_pallas
+                message = bond_message_step_pallas(message, pallas_aux)
+            else:
+                message = bond_message_step(message, w_bonds, b2a, b2dst,
+                                            b2revb, num_atoms)
             message = linear(params["W_h"], message)
             message = act(inputs + message)  # layer-0 residual (mpn.py:123)
             message = dropout(message, cfg.dropout, next(keys), deterministic)

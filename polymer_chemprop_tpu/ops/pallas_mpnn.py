@@ -1,0 +1,244 @@
+"""Pallas TPU kernel for the wD-MPNN directed-bond aggregation.
+
+The hot op per message-passing depth is
+
+    z[b] = sum_{c : dst(c) = dst(b)} w[c] * msg[c]  -  msg[b]
+    m_new[b] = z[rev(b)]                       (then W_h matmul outside)
+
+which equals the reference's gather/sum/subtract (reference mpn.py:110-120)
+after the identity src(b) = dst(rev(b)). Expressed this way the whole
+aggregation becomes *bond-local over a sorted band*: with bonds sorted by
+destination atom, every bond's same-destination peers live within a small
+window of its own position. The kernel walks fixed bond tiles, DMAs the
+extended window from HBM, builds the banded same-destination one-hot
+matrix Q[b, c] = w[c] * [dst(c) == dst(b)] in registers, and contracts it
+on the MXU:
+
+    z_tile = Q @ msg_window - msg_tile
+
+No scatter anywhere — the scatter-shaped reduction runs as a systolic
+matmul, which is the TPU-native formulation (scatter-add serializes on
+TPU; see ops/aggregation.py for the XLA alternatives used as oracles).
+
+The surrounding permutations (natural->sorted, and the fused
+reverse+unsort index) are plain gathers whose VJPs are *gathers by the
+inverse permutation* (registered via custom_vjp below), so the backward
+pass also avoids scatters entirely: the band matrix S = Q is applied
+transposed by reusing the same kernel with unit weights.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TILE_B = 512     # bonds per output tile
+EXT = 1024       # extended window: covers all same-dst peers of a tile
+LANE = 128
+
+
+class SortedBondAux(NamedTuple):
+    """Host-precomputed auxiliary indices for the sorted-band kernel.
+
+    perm:     (B,) natural bond id at each sorted position
+    rank:     (B,) sorted position of each natural bond id (inverse of perm)
+    rev_rank: (B,) sorted-domain gather index implementing z[rev(b)] for
+              sorted output position s -> rank[rev_natural(perm[s])] ... i.e.
+              m_new_natural = z_sorted[rev_rank] directly.
+    rev_rank_inv: inverse permutation of rev_rank (for the VJP)
+    rs:       (nblocks,) window start (element offset) per bond tile
+    dst_sorted: (B,) destination atom ids in sorted order
+    w_sorted: (B,) bond weights in sorted order
+    """
+
+    perm: np.ndarray
+    rank: np.ndarray
+    rev_rank: np.ndarray
+    rev_rank_inv: np.ndarray
+    rs: np.ndarray
+    dst_sorted: np.ndarray
+    w_sorted: np.ndarray
+
+
+def build_sorted_aux(b2dst: np.ndarray, b2revb: np.ndarray,
+                     w_bonds: np.ndarray) -> SortedBondAux:
+    """Precompute sorted-band indices for one GraphBatch (cache per batch)."""
+    B = int(b2dst.shape[0])
+    assert B % TILE_B == 0, f"pad_bonds must be a multiple of {TILE_B}"
+    assert B >= EXT, f"pad_bonds must be at least {EXT}"
+    # Sort padding bonds (dst == 0: slot 0 + batch padding) LAST via a
+    # sentinel key: the padding run can exceed the window headroom, and its
+    # outputs are never consumed, so it must not sit inside real tiles'
+    # windows. Real runs are bounded by molecular in-degree (~6) << EXT-TILE_B.
+    dst = b2dst.astype(np.int64)
+    key = np.where(dst > 0, dst, np.int64(1) << 30)
+    perm = np.argsort(key, kind="stable").astype(np.int32)
+    sorted_key = key[perm]
+    rank = np.empty(B, np.int32)
+    rank[perm] = np.arange(B, dtype=np.int32)
+    # m_new[b] = z[rev(b)]; producing natural order directly from z_sorted:
+    # out natural position b reads z_sorted[rank[rev(b)]]
+    rev_rank = rank[b2revb].astype(np.int32)
+    rev_rank_inv = np.empty(B, np.int32)
+    rev_rank_inv[rev_rank] = np.arange(B, dtype=np.int32)
+    dst_sorted = b2dst[perm].astype(np.int32)
+    w_sorted = w_bonds[perm].astype(np.float32)
+    nblocks = B // TILE_B
+    rs = np.empty(nblocks, np.int32)
+    for j in range(nblocks):
+        lo_key = sorted_key[j * TILE_B]
+        start = int(np.searchsorted(sorted_key, lo_key, side="left"))
+        rs[j] = min(max(start, 0), B - EXT)
+    return SortedBondAux(perm, rank, rev_rank, rev_rank_inv, rs,
+                         dst_sorted, w_sorted)
+
+
+# ---------------------------------------------------------------------------
+# permutation gather with gather-based VJP (avoids autodiff scatter)
+# ---------------------------------------------------------------------------
+
+def permute_rows(x, idx, inv_idx):
+    """x[idx] with a gather-based VJP (grad -> g[inv_idx]) so the backward
+    pass never emits a scatter. idx must be a permutation with inverse
+    inv_idx."""
+
+    @jax.custom_vjp
+    def op(x_):
+        return x_[idx]
+
+    def fwd(x_):
+        return x_[idx], None
+
+    def bwd(_, g):
+        return (g[inv_idx],)
+
+    op.defvjp(fwd, bwd)
+    return op(x)
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _band_kernel(rs_ref, dst_tile_ref, msg_tile_ref,
+                 msg_hbm, w_hbm, dst_hbm,
+                 out_ref,
+                 msg_win, w_win, dst_win, sems):
+    """One bond tile: out = Q @ msg_window - msg_tile."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    j = pl.program_id(0)
+    start = rs_ref[j]
+
+    cp1 = pltpu.make_async_copy(msg_hbm.at[pl.ds(start, EXT), :], msg_win,
+                                sems.at[0])
+    cp2 = pltpu.make_async_copy(w_hbm.at[pl.ds(start, EXT), :], w_win,
+                                sems.at[1])
+    cp3 = pltpu.make_async_copy(dst_hbm.at[pl.ds(start, EXT), :], dst_win,
+                                sems.at[2])
+    cp1.start()
+    cp2.start()
+    cp3.start()
+    cp1.wait()
+    cp2.wait()
+    cp3.wait()
+
+    dst_tile = dst_tile_ref[:, 0]                      # (TILE_B,)
+    dst_w = dst_win[:, 0]                              # (EXT,)
+    w = w_win[:, 0]                                    # (EXT,)
+    # banded same-destination one-hot, weighted
+    q = jnp.where(dst_tile[:, None] == dst_w[None, :], w[None, :], 0.0)
+    acc = jax.lax.dot_general(
+        q, msg_win[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out_ref[:, :] = acc - msg_tile_ref[:, :]
+
+
+def _band_apply(msg_sorted: jnp.ndarray, w_sorted: jnp.ndarray,
+                dst_sorted: jnp.ndarray, rs: jnp.ndarray) -> jnp.ndarray:
+    """z_sorted = S @ msg_sorted - msg_sorted via the band kernel.
+
+    msg_sorted: (B, Hp) f32 with Hp a multiple of 128; w/dst: (B,) arrays.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Hp = msg_sorted.shape
+    nblocks = B // TILE_B
+    w2 = w_sorted.reshape(B, 1)
+    d2 = dst_sorted.astype(jnp.float32).reshape(B, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((TILE_B, 1), lambda j, rs: (j, 0)),    # dst tile
+            pl.BlockSpec((TILE_B, Hp), lambda j, rs: (j, 0)),   # msg tile
+            pl.BlockSpec(memory_space=pl.ANY),               # msg HBM
+            pl.BlockSpec(memory_space=pl.ANY),               # w HBM
+            pl.BlockSpec(memory_space=pl.ANY),               # dst HBM
+        ],
+        out_specs=pl.BlockSpec((TILE_B, Hp), lambda j, rs: (j, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((EXT, Hp), jnp.float32),
+            pltpu.VMEM((EXT, 1), jnp.float32),
+            pltpu.VMEM((EXT, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    fn = pl.pallas_call(
+        _band_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hp), jnp.float32),
+    )
+    return fn(rs, d2, msg_sorted, msg_sorted, w2, d2)
+
+
+def _band_op(msg_sorted, w_sorted, dst_sorted, rs):
+    """Band kernel with custom VJP. z = S msg - msg where
+    S[b, c] = w[c] * [dst(c) == dst(b)].
+
+    dmsg = S^T g - g, and (S^T g)[c] = w[c] * sum_b [dst b == dst c] g[b].
+    The unit-weight band op computes K g - g with the symmetric pattern
+    K[b, c] = [dst(c) == dst(b)], so S^T g = w * (band1(g) + g)."""
+
+    @jax.custom_vjp
+    def op(m):
+        return _band_apply(m, w_sorted, dst_sorted, rs)
+
+    def fwd(m):
+        return _band_apply(m, w_sorted, dst_sorted, rs), None
+
+    def bwd(_, g):
+        ones = jnp.ones_like(w_sorted)
+        kg_minus_g = _band_apply(g, ones, dst_sorted, rs)
+        return (w_sorted[:, None] * (kg_minus_g + g) - g,)
+
+    op.defvjp(fwd, bwd)
+    return op(msg_sorted)
+
+
+def bond_message_step_pallas(message: jnp.ndarray,
+                             aux_arrays: dict) -> jnp.ndarray:
+    """Drop-in replacement for ops.segment.bond_message_step using the
+    Pallas band kernel. ``aux_arrays`` carries the device copies of
+    SortedBondAux fields (see GraphBatch sorted aux plumbing).
+
+    Returns m_new in natural bond order.
+    """
+    B, H = message.shape
+    Hp = ((H + LANE - 1) // LANE) * LANE
+    msg_p = jnp.pad(message, ((0, 0), (0, Hp - H))) if Hp != H else message
+    msg_sorted = permute_rows(msg_p, aux_arrays["perm"], aux_arrays["rank"])
+    z_sorted = _band_op(msg_sorted, aux_arrays["w_sorted"],
+                        aux_arrays["dst_sorted"], aux_arrays["rs"])
+    m_new = permute_rows(z_sorted, aux_arrays["rev_rank"],
+                         aux_arrays["rev_rank_inv"])
+    return m_new[:, :H] if Hp != H else m_new

@@ -131,6 +131,7 @@ def run_sklearn(cfg: SklearnTrainConfig, data: MoleculeDataset,
         y_train = np.array([[np.nan if v is None else v for v in row]
                             for row in train_data.targets()], dtype=float)
 
+    trained_models = []
     if cfg.single_task or num_tasks == 1 or np.isnan(y_train).any():
         # per-task models (reference single-task path, sklearn_train.py:172-213)
         preds = np.zeros((len(test_data), num_tasks))
@@ -139,16 +140,22 @@ def run_sklearn(cfg: SklearnTrainConfig, data: MoleculeDataset,
             ok = ~np.isnan(col)
             model = _build_model(cfg)
             model.fit(X_train[ok], col[ok])
+            trained_models.append(model)
             preds[:, t] = _predict(model, X_test, cfg.dataset_type, 1)[:, 0]
-            if cfg.save_dir:
-                save_checkpoint(
-                    os.path.join(cfg.save_dir, f"sklearn_task_{t}.ckpt"),
-                    {"note": np.zeros(1)}, cfg.to_dict(),
-                    extra_meta={"sklearn_model": cfg.model_type})
     else:
         model = _build_model(cfg)
         model.fit(X_train, y_train if num_tasks > 1 else y_train[:, 0])
+        trained_models.append(model)
         preds = _predict(model, X_test, cfg.dataset_type, num_tasks)
+
+    if cfg.save_dir:
+        # pickle models + config for sklearn_predict (reference saves via
+        # pickle in sklearn_train.py:318-323)
+        import pickle
+        os.makedirs(cfg.save_dir, exist_ok=True)
+        with open(os.path.join(cfg.save_dir, "model.pkl"), "wb") as f:
+            pickle.dump({"models": trained_models, "config": cfg.to_dict(),
+                         "num_tasks": num_tasks}, f)
 
     scores = evaluate_predictions(preds.tolist(), test_data.targets(),
                                   num_tasks, cfg.metrics, cfg.dataset_type)

@@ -84,6 +84,11 @@ def cross_validate(cfg: TrainConfig,
             mean_score, std_score = mean, std
 
     if save_dir:
+        # spectra evaluates one score across the whole spectrum, not per task
+        n_scored = len(all_scores[cfg.metric][0])
+        if n_scored != len(task_names):
+            task_names = ["spectra"] if cfg.dataset_type == "spectra" \
+                else [f"task_{i}" for i in range(n_scored)]
         with open(os.path.join(save_dir, TEST_SCORES_FILE_NAME), "w",
                   newline="") as f:
             writer = csv.writer(f)

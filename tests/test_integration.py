@@ -1,0 +1,282 @@
+"""End-to-end integration tests (reference tests/test_integration.py).
+
+Two tiers:
+
+* default (fast): short-epoch runs of every CLI path on the real fixture
+  CSVs — train/predict round trips, sklearn baselines, hyperopt,
+  fingerprints, polymer training.
+* ``-m golden`` (slow): the reference's golden-score configurations
+  (10 epochs, 3 folds, seed 0, ±5%% tolerance — reference
+  test_integration.py:27-32) for CI parity checks.
+"""
+
+import json
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from polymer_chemprop_tpu.config import PredictConfig, TrainConfig
+from polymer_chemprop_tpu.train import cross_validate
+from polymer_chemprop_tpu.train.make_predictions import make_predictions
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+DELTA = 0.05  # reference tolerance (test_integration.py:32)
+
+
+def train_cfg(tmp, **kw):
+    base = dict(data_path=os.path.join(DATA, "regression.csv"),
+                dataset_type="regression", epochs=2, num_folds=1, seed=0,
+                save_dir=tmp, quiet=True, num_workers=2)
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+class TestTrainSmoke:
+    def test_regression(self, tmp_path):
+        mean, _ = cross_validate(train_cfg(str(tmp_path)))
+        assert np.isfinite(mean) and mean < 5.0
+        assert os.path.exists(tmp_path / "fold_0" / "test_scores.json")
+        assert os.path.exists(tmp_path / "test_scores.csv")
+        assert os.path.exists(tmp_path / "args.json")
+
+    def test_classification(self, tmp_path):
+        cfg = train_cfg(str(tmp_path),
+                        data_path=os.path.join(DATA, "classification.csv"),
+                        dataset_type="classification", epochs=2)
+        mean, _ = cross_validate(cfg)
+        assert 0.0 <= mean <= 1.0
+
+    def test_regression_with_features(self, tmp_path):
+        cfg = train_cfg(str(tmp_path),
+                        features_path=[os.path.join(DATA, "regression.npz")])
+        mean, _ = cross_validate(cfg)
+        assert np.isfinite(mean)
+
+    def test_morgan_features_generator(self, tmp_path):
+        cfg = train_cfg(str(tmp_path), features_generator=["morgan"],
+                        max_data_size=100)
+        mean, _ = cross_validate(cfg)
+        assert np.isfinite(mean)
+
+    def test_scaffold_split(self, tmp_path):
+        cfg = train_cfg(str(tmp_path), split_type="scaffold_balanced")
+        mean, _ = cross_validate(cfg)
+        assert np.isfinite(mean)
+
+    def test_polymer_training(self, tmp_path):
+        """The reference fork's headline feature has NO test (SURVEY.md §4);
+        here a synthetic copolymer dataset must train end-to-end."""
+        csv_path = tmp_path / "polymer.csv"
+        rng = np.random.default_rng(0)
+        rows = ["smiles,target"]
+        monomers = ["[*:1]CC[*:2]", "[*:1]c1ccc([*:2])cc1", "[*:1]CO[*:2]",
+                    "[*:1]C(C)C[*:2]", "[*:1]c1ccc([*:2])cc1C"]
+        for i in range(60):
+            m1, m2 = rng.choice(monomers, 2, replace=False)
+            m2 = m2.replace("[*:1]", "[*:3]").replace("[*:2]", "[*:4]")
+            w = rng.choice([0.25, 0.5, 0.75])
+            s = (f"{m1}.{m2}|{w}|{1 - w}|"
+                 f"<1-3:0.5:0.5<2-4:0.5:0.5~{rng.integers(2, 200)}")
+            rows.append(f'"{s}",{rng.normal():.4f}')
+        csv_path.write_text("\n".join(rows))
+        cfg = train_cfg(str(tmp_path / "run"), data_path=str(csv_path),
+                        polymer=True, epochs=2, batch_size=10)
+        mean, _ = cross_validate(cfg)
+        assert np.isfinite(mean)
+
+    def test_reaction_training(self, tmp_path):
+        cfg = train_cfg(str(tmp_path),
+                        data_path=os.path.join(DATA, "reaction_regression.csv"),
+                        reaction=True, reaction_mode="reac_diff",
+                        max_data_size=100, epochs=2)
+        mean, _ = cross_validate(cfg)
+        assert np.isfinite(mean)
+
+    def test_multiclass(self, tmp_path):
+        # build a small synthetic 3-class dataset from regression smiles
+        import csv as _csv
+        src = os.path.join(DATA, "regression.csv")
+        dst = tmp_path / "multiclass.csv"
+        with open(src) as f, open(dst, "w", newline="") as g:
+            r = _csv.reader(f)
+            w = _csv.writer(g)
+            next(r)
+            w.writerow(["smiles", "cls"])
+            for i, row in enumerate(r):
+                if i >= 120:
+                    break
+                w.writerow([row[0], i % 3])
+        cfg = train_cfg(str(tmp_path / "run"), data_path=str(dst),
+                        dataset_type="multiclass", multiclass_num_classes=3,
+                        epochs=2)
+        mean, _ = cross_validate(cfg)
+        assert np.isfinite(mean)
+
+
+class TestPredictRoundTrip:
+    def test_train_predict(self, tmp_path):
+        cfg = train_cfg(str(tmp_path), epochs=3)
+        cross_validate(cfg)
+        preds_path = str(tmp_path / "preds.csv")
+        pargs = PredictConfig(
+            test_path=os.path.join(DATA, "regression_test_smiles.csv"),
+            preds_path=preds_path,
+            checkpoint_dir=str(tmp_path))
+        preds = make_predictions(pargs)
+        assert len(preds) > 0 and os.path.exists(preds_path)
+        # predictions in a sane range for log-solubility
+        arr = np.asarray(preds, dtype=float)
+        assert np.isfinite(arr).all() and abs(arr.mean()) < 15
+
+    def test_ensemble_predict_with_variance(self, tmp_path):
+        cfg = train_cfg(str(tmp_path), epochs=2, ensemble_size=2)
+        cross_validate(cfg)
+        pargs = PredictConfig(
+            test_path=os.path.join(DATA, "regression_test_smiles.csv"),
+            preds_path=str(tmp_path / "preds.csv"),
+            checkpoint_dir=str(tmp_path), ensemble_variance=True,
+            individual_ensemble_predictions=True)
+        preds = make_predictions(pargs)
+        assert len(preds) > 0
+        header = open(tmp_path / "preds.csv").readline()
+        assert "_epi_unc" in header and "_model_1" in header
+
+    def test_graph_embeddings_export(self, tmp_path):
+        cfg = train_cfg(str(tmp_path), epochs=2)
+        cross_validate(cfg)
+        emb_path = str(tmp_path / "emb.npy")
+        pargs = PredictConfig(
+            test_path=os.path.join(DATA, "regression_test_smiles.csv"),
+            preds_path=str(tmp_path / "preds.csv"),
+            checkpoint_dir=str(tmp_path),
+            save_graph_embeddings=True, graph_embeddings_path=emb_path)
+        make_predictions(pargs)
+        emb = np.load(emb_path)
+        assert emb.shape[1] == 300
+
+
+class TestFingerprint:
+    def test_mpn_and_ffn_fingerprints(self, tmp_path):
+        from polymer_chemprop_tpu.train.molecule_fingerprint import (
+            FingerprintConfig, molecule_fingerprint)
+        cfg = train_cfg(str(tmp_path), epochs=2)
+        cross_validate(cfg)
+        for fp_type, dim in (("MPN", 300), ("last_FFN", 300)):
+            fargs = FingerprintConfig(
+                test_path=os.path.join(DATA, "regression_test_smiles.csv"),
+                preds_path=str(tmp_path / f"fp_{fp_type}.csv"),
+                checkpoint_dir=str(tmp_path), fingerprint_type=fp_type)
+            fps = molecule_fingerprint(fargs)
+            assert fps.shape[1] == dim
+
+
+class TestResume:
+    def test_full_resume(self, tmp_path):
+        cfg = train_cfg(str(tmp_path), epochs=2)
+        cross_validate(cfg)
+        ckpt = tmp_path / "fold_0" / "model_0" / "model.ckpt"
+        assert ckpt.exists()
+        cfg2 = train_cfg(str(tmp_path / "resumed"), epochs=4,
+                         resume_from_checkpoint=str(ckpt))
+        mean, _ = cross_validate(cfg2)
+        assert np.isfinite(mean)
+
+    def test_fold_resume(self, tmp_path):
+        cfg = train_cfg(str(tmp_path), epochs=2, num_folds=2)
+        cross_validate(cfg)
+        # resume_experiment should skip completed folds (scores preserved)
+        cfg2 = train_cfg(str(tmp_path), epochs=2, num_folds=2,
+                         resume_experiment=True)
+        mean, _ = cross_validate(cfg2)
+        assert np.isfinite(mean)
+
+
+class TestSklearn:
+    def test_rf_and_predict(self, tmp_path):
+        from polymer_chemprop_tpu.sklearn_predict import predict_sklearn
+        from polymer_chemprop_tpu.sklearn_train import SklearnTrainConfig, run_sklearn
+        cfg = SklearnTrainConfig(
+            data_path=os.path.join(DATA, "regression.csv"),
+            dataset_type="regression", num_folds=1, seed=0,
+            save_dir=str(tmp_path), quiet=True, num_trees=20,
+            max_data_size=200)
+        mean, _ = cross_validate(cfg, train_func=run_sklearn)
+        assert np.isfinite(mean) and mean < 5
+        pargs = PredictConfig(
+            test_path=os.path.join(DATA, "regression_test_smiles.csv"),
+            preds_path=str(tmp_path / "sk_preds.csv"),
+            checkpoint_dir=str(tmp_path))
+        preds = predict_sklearn(pargs)
+        assert len(preds) > 0
+
+
+class TestHyperopt:
+    def test_tpe_search(self, tmp_path):
+        from polymer_chemprop_tpu.hyperparameter_optimization import SPACE, hyperopt
+        cfg = train_cfg(str(tmp_path), epochs=1, max_data_size=80)
+        result = hyperopt(cfg, num_iters=2)
+        best = result["params"]
+        assert 300 <= best["hidden_size"] <= 2400
+        assert 2 <= best["depth"] <= 6
+        assert 0 <= best["dropout"] <= 0.4
+        assert 1 <= best["ffn_num_layers"] <= 3
+        assert os.path.exists(tmp_path / "best_hyperparams.json")
+
+
+class TestSpectra:
+    def test_spectra_training(self, tmp_path):
+        cfg = train_cfg(str(tmp_path),
+                        data_path=os.path.join(DATA, "spectra.csv"),
+                        dataset_type="spectra", epochs=2,
+                        split_type="random_with_repeated_smiles")
+        mean, _ = cross_validate(cfg)
+        assert np.isfinite(mean) and mean >= 0
+
+    def test_spectra_with_phase_mask(self, tmp_path):
+        cfg = train_cfg(str(tmp_path),
+                        data_path=os.path.join(DATA, "spectra.csv"),
+                        dataset_type="spectra", epochs=2,
+                        split_type="random_with_repeated_smiles",
+                        features_path=[os.path.join(DATA, "spectra_features.csv")],
+                        spectra_phase_mask_path=os.path.join(DATA, "spectra_mask.csv"),
+                        no_features_scaling=True)
+        mean, _ = cross_validate(cfg)
+        assert np.isfinite(mean)
+
+    def test_wasserstein_loss(self, tmp_path):
+        cfg = train_cfg(str(tmp_path),
+                        data_path=os.path.join(DATA, "spectra.csv"),
+                        dataset_type="spectra", epochs=2,
+                        split_type="random_with_repeated_smiles",
+                        metric="wasserstein", extra_metrics=["sid"],
+                        alternative_loss_function="wasserstein")
+        mean, _ = cross_validate(cfg)
+        assert np.isfinite(mean)
+
+
+@pytest.mark.golden
+class TestGoldenScores:
+    """Reference golden-score configurations (slow; run with -m golden)."""
+
+    def test_regression_golden(self, tmp_path):
+        cfg = train_cfg(str(tmp_path), epochs=10, num_folds=3)
+        mean, _ = cross_validate(cfg)
+        assert abs(mean - 1.237620) / 1.237620 < DELTA
+
+    def test_classification_golden(self, tmp_path):
+        cfg = train_cfg(str(tmp_path),
+                        data_path=os.path.join(DATA, "classification.csv"),
+                        dataset_type="classification", epochs=10, num_folds=3)
+        mean, _ = cross_validate(cfg)
+        assert abs(mean - 0.691205) / 0.691205 < DELTA
+
+    def test_rf_golden(self, tmp_path):
+        from polymer_chemprop_tpu.sklearn_train import SklearnTrainConfig, run_sklearn
+        cfg = SklearnTrainConfig(
+            data_path=os.path.join(DATA, "regression.csv"),
+            dataset_type="regression", num_folds=3, seed=0,
+            save_dir=str(tmp_path), quiet=True)
+        mean, _ = cross_validate(cfg, train_func=run_sklearn)
+        assert abs(mean - 1.582733) / 1.582733 < 2 * DELTA

@@ -1,0 +1,121 @@
+"""Correctness tests for the Pallas band kernel against the XLA segment-sum
+oracle (interpret mode on CPU; the real-TPU path is exercised by bench.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from polymer_chemprop_tpu.features import mol2graph
+from polymer_chemprop_tpu.ops.pallas_mpnn import (
+    EXT,
+    TILE_B,
+    bond_message_step_pallas,
+    build_sorted_aux,
+    permute_rows,
+)
+from polymer_chemprop_tpu.ops.segment import bond_message_step
+
+
+@pytest.fixture(scope="module")
+def interpret_mode():
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+@pytest.fixture(scope="module")
+def batch():
+    smiles = ["CCO", "c1ccccc1", "CC(C)=CCCC(C)=CC(=O)", "C",
+              "CCOc1ccc2nc(S(N)(=O)=O)sc2c1",
+              "OCC3OC(OCC2OC(OC(C#N)c1ccccc1)C(O)C(O)C2O)C(O)C(O)C3O"] * 8
+    return mol2graph(smiles, pad_atoms=1024, pad_bonds=2048, pad_mols=len(smiles))
+
+
+def _aux_arrays(gb):
+    aux = build_sorted_aux(gb.b2dst, gb.b2revb, gb.w_bonds)
+    return {k: jnp.asarray(getattr(aux, k))
+            for k in ("perm", "rank", "rev_rank", "rev_rank_inv", "rs",
+                      "dst_sorted", "w_sorted")}
+
+
+class TestPermuteRows:
+    def test_roundtrip_and_grad(self):
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(16, 8)),
+                        dtype=jnp.float32)
+        idx = jnp.asarray(np.random.default_rng(1).permutation(16))
+        inv = jnp.argsort(idx)
+        y = permute_rows(x, idx, inv)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x)[idx])
+        # VJP of a permutation is the inverse permutation
+        f = lambda x_: (permute_rows(x_, idx, inv) * 2.0).sum()
+        g = jax.grad(f)(x)
+        np.testing.assert_allclose(np.asarray(g), 2.0)
+
+
+class TestBandKernel:
+    def test_forward_matches_oracle(self, interpret_mode, batch):
+        gb = batch
+        H = 32
+        rng = np.random.default_rng(0)
+        msg = jnp.asarray(rng.normal(size=(gb.f_bonds.shape[0], H)),
+                          dtype=jnp.float32)
+        aux = _aux_arrays(gb)
+        got = bond_message_step_pallas(msg, aux)
+        want = bond_message_step(msg, jnp.asarray(gb.w_bonds),
+                                 jnp.asarray(gb.b2a), jnp.asarray(gb.b2dst),
+                                 jnp.asarray(gb.b2revb),
+                                 gb.f_atoms.shape[0])
+        # compare only real bonds: padding slots have rev=0 semantics that
+        # differ harmlessly between layouts
+        real = slice(1, gb.n_bonds_real)
+        np.testing.assert_allclose(np.asarray(got)[real], np.asarray(want)[real],
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_gradient_matches_oracle(self, interpret_mode, batch):
+        gb = batch
+        H = 16
+        rng = np.random.default_rng(1)
+        msg = jnp.asarray(rng.normal(size=(gb.f_bonds.shape[0], H)),
+                          dtype=jnp.float32)
+        aux = _aux_arrays(gb)
+        real = np.zeros(gb.f_bonds.shape[0], np.float32)
+        real[1:gb.n_bonds_real] = 1.0
+        mask = jnp.asarray(real)[:, None]
+        cot = jnp.asarray(rng.normal(size=(gb.f_bonds.shape[0], H)),
+                          dtype=jnp.float32) * mask
+
+        def f_pallas(m):
+            return (bond_message_step_pallas(m, aux) * cot).sum()
+
+        w_b = jnp.asarray(gb.w_bonds)
+        b2a = jnp.asarray(gb.b2a)
+        b2dst = jnp.asarray(gb.b2dst)
+        b2revb = jnp.asarray(gb.b2revb)
+
+        def f_oracle(m):
+            return (bond_message_step(m, w_b, b2a, b2dst, b2revb,
+                                      gb.f_atoms.shape[0]) * cot).sum()
+
+        g1 = jax.grad(f_pallas)(msg)
+        g2 = jax.grad(f_oracle)(msg)
+        np.testing.assert_allclose(np.asarray(g1)[1:gb.n_bonds_real],
+                                   np.asarray(g2)[1:gb.n_bonds_real],
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_window_invariant(self, batch):
+        """Every real bond's same-destination peers must fit its tile's
+        window (padding bonds, dst 0, are sorted last and unconsumed)."""
+        gb = batch
+        aux = build_sorted_aux(gb.b2dst, gb.b2revb, gb.w_bonds)
+        B = gb.f_bonds.shape[0]
+        for j in range(B // TILE_B):
+            tile = slice(j * TILE_B, (j + 1) * TILE_B)
+            dsts = {d for d in aux.dst_sorted[tile].tolist() if d > 0}
+            if not dsts:
+                continue
+            peers = np.nonzero(np.isin(aux.dst_sorted, list(dsts)))[0]
+            assert peers.min() >= aux.rs[j]
+            assert peers.max() < aux.rs[j] + EXT, \
+                f"window overflow in tile {j}"
