@@ -50,7 +50,8 @@ def cross_validate(cfg: TrainConfig,
         # undo the previous fold's in-place target/feature normalization
         # (reference cross_validate.py:105)
         data.reset_features_and_targets()
-        fold_cfg = TrainConfig.from_dict(cfg.to_dict())
+        # preserve subclass configs (e.g. SklearnTrainConfig)
+        fold_cfg = type(cfg).from_dict(cfg.to_dict())
         fold_cfg.seed = init_seed + fold_num
         fold_cfg.save_dir = os.path.join(save_dir, f"fold_{fold_num}") \
             if save_dir else None

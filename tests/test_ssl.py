@@ -1,0 +1,62 @@
+"""SSL pretraining tests: two-stage pretraining runs, produces a loadable
+checkpoint, and --checkpoint_frzn transfer into supervised training works
+(the reference's SSL scripts are untested research code, SURVEY.md §2.7)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from polymer_chemprop_tpu.config import TrainConfig
+from polymer_chemprop_tpu.ssl import SSLConfig, ssl_pretrain
+from polymer_chemprop_tpu.train import cross_validate
+from polymer_chemprop_tpu.utils.checkpoint import load_checkpoint
+
+
+@pytest.fixture(scope="module")
+def polymer_csv(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("ssl")
+    rng = np.random.default_rng(0)
+    rows = ["smiles,target"]
+    monomers = ["[*:1]CC[*:2]", "[*:1]c1ccc([*:2])cc1", "[*:1]CO[*:2]",
+                "[*:1]C(C)C[*:2]"]
+    for _ in range(40):
+        m1, m2 = rng.choice(monomers, 2, replace=False)
+        m2 = m2.replace("[*:1]", "[*:3]").replace("[*:2]", "[*:4]")
+        w = rng.choice([0.25, 0.5, 0.75])
+        s = (f"{m1}.{m2}|{w}|{1 - w}|<1-3:0.5:0.5<2-4:0.5:0.5"
+             f"~{rng.integers(2, 100)}")
+        rows.append(f'"{s}",{rng.normal():.4f}')
+    path = tmp / "polymer.csv"
+    path.write_text("\n".join(rows))
+    return str(path)
+
+
+class TestSSL:
+    def test_pretrain_and_transfer(self, polymer_csv, tmp_path):
+        cfg = SSLConfig(data_path=polymer_csv, save_dir=str(tmp_path),
+                        hidden_size=32, depth=2, epochs_stage1=2,
+                        epochs_stage2=2, batch_size=10, quiet=True,
+                        transfer_strategy="b")
+        ckpt = ssl_pretrain(cfg)
+        assert os.path.exists(ckpt)
+        params, meta, _, _ = load_checkpoint(ckpt)
+        assert "encoders" in params and "ffn" in params
+        assert params["encoders"][0]["W_h"]["w"].shape == (32, 32)
+
+        # downstream supervised training with frozen pretrained encoder
+        tcfg = TrainConfig(data_path=polymer_csv, dataset_type="regression",
+                           polymer=True, epochs=2, num_folds=1,
+                           hidden_size=32, depth=2, ffn_hidden_size=32,
+                           checkpoint_frzn=ckpt, batch_size=10,
+                           save_dir=str(tmp_path / "downstream"), quiet=True)
+        mean, _ = cross_validate(tcfg)
+        assert np.isfinite(mean)
+
+        # encoder weights must be frozen: compare trained checkpoint
+        trained, _, _, _ = load_checkpoint(
+            str(tmp_path / "downstream" / "fold_0" / "model_0" /
+                "best_model.ckpt"))
+        np.testing.assert_array_equal(
+            trained["encoders"][0]["W_h"]["w"],
+            params["encoders"][0]["W_h"]["w"])
