@@ -14,6 +14,8 @@ All green-field TPU design — the reference is strictly single-device
 
 from .dp import make_dp_train_step, shard_batch, stack_device_batches
 from .mesh import make_mesh
+from .partition import build_edge_shards, make_edge_parallel_forward
 
-__all__ = ["make_dp_train_step", "make_mesh", "shard_batch",
+__all__ = ["build_edge_shards", "make_dp_train_step",
+           "make_edge_parallel_forward", "make_mesh", "shard_batch",
            "stack_device_batches"]

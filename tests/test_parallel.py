@@ -81,6 +81,36 @@ def test_dp_matches_single_device(setup):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_edge_partition_matches_single_device(setup):
+    """Edge-sharded forward (pair-aligned bond shards + per-layer psum of
+    atom partials) must equal the single-device encoder exactly."""
+    from polymer_chemprop_tpu.models import apply_encoder
+    from polymer_chemprop_tpu.parallel import (
+        build_edge_shards,
+        make_edge_parallel_forward,
+    )
+    model_cfg, params = setup
+    cfg = model_cfg.encoder
+    enc_params = params["encoders"][0]
+    smiles = ["CCO", "c1ccccc1", "CC(C)=CCCC(C)=CC(=O)",
+              "CCOc1ccc2nc(S(N)(=O)=O)sc2c1", "CCN", "c1ccncc1"]
+    gb = mol2graph(smiles, pad_atoms=128, pad_bonds=256, pad_mols=len(smiles))
+    arrays = gb.arrays()
+
+    single = np.asarray(apply_encoder(
+        enc_params, {k: jnp.asarray(v) for k, v in arrays.items()}, cfg))
+
+    n_dev = 4
+    mesh = make_mesh(n_dev, ("ep",))
+    sharded, replicated = build_edge_shards(arrays, n_dev)
+    fwd = make_edge_parallel_forward(cfg, mesh, "ep")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sharded_dev = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P("ep"))), sharded)
+    out = np.asarray(fwd(enc_params, sharded_dev, replicated))
+    np.testing.assert_allclose(out, single, rtol=1e-4, atol=1e-5)
+
+
 def test_graft_entry_single_chip():
     import importlib.util
     spec = importlib.util.spec_from_file_location("graft_entry",
