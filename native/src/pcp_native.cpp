@@ -1,0 +1,920 @@
+// Native featurization core: SMILES -> perceived molecule -> packed graph
+// arrays.
+//
+// Fills the role RDKit's C++ plays in the reference (chemprop/rdkit.py +
+// featurization.py hot loops run inside RDKit/ATen native code;
+// SURVEY.md §2.9): parsing, perception and featurization of standard
+// molecules at data-pipeline rates, with a thread pool for batch
+// throughput. Semantics mirror polymer_chemprop_tpu/chem/{smiles,mol}.py
+// and features/featurization.py exactly; the Python path remains the
+// reference implementation (and handles polymer/reaction modes).
+//
+// Exposed as a small C API consumed via ctypes (native_ext.py). Built with
+// `make -C native`.
+
+#include <algorithm>
+#include <atomic>
+#include <functional>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <map>
+#include <set>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ------------------------------------------------------------------ tables
+
+constexpr int MAX_ATOMIC_NUM = 100;
+constexpr int ATOM_FDIM = 133;
+constexpr int BOND_FDIM = 14;
+
+struct ElementInfo {
+  const char* symbol;
+  double mass;
+};
+
+// indexed by atomic number (0 = wildcard)
+const std::map<std::string, int> kSymbolToNum = {
+    {"H", 1},   {"He", 2},  {"Li", 3},  {"Be", 4},  {"B", 5},   {"C", 6},
+    {"N", 7},   {"O", 8},   {"F", 9},   {"Ne", 10}, {"Na", 11}, {"Mg", 12},
+    {"Al", 13}, {"Si", 14}, {"P", 15},  {"S", 16},  {"Cl", 17}, {"Ar", 18},
+    {"K", 19},  {"Ca", 20}, {"Sc", 21}, {"Ti", 22}, {"V", 23},  {"Cr", 24},
+    {"Mn", 25}, {"Fe", 26}, {"Co", 27}, {"Ni", 28}, {"Cu", 29}, {"Zn", 30},
+    {"Ga", 31}, {"Ge", 32}, {"As", 33}, {"Se", 34}, {"Br", 35}, {"Kr", 36},
+    {"Rb", 37}, {"Sr", 38}, {"Y", 39},  {"Zr", 40}, {"Nb", 41}, {"Mo", 42},
+    {"Tc", 43}, {"Ru", 44}, {"Rh", 45}, {"Pd", 46}, {"Ag", 47}, {"Cd", 48},
+    {"In", 49}, {"Sn", 50}, {"Sb", 51}, {"Te", 52}, {"I", 53},  {"Xe", 54},
+    {"Cs", 55}, {"Ba", 56}, {"La", 57}, {"Pt", 78}, {"Au", 79}, {"Hg", 80},
+    {"Tl", 81}, {"Pb", 82}, {"Bi", 83}, {"*", 0},
+};
+
+const double kMass[104] = {
+    0.0,    1.008,  4.003,  6.941,  9.012,  10.811, 12.011, 14.007, 15.999,
+    18.998, 20.180, 22.990, 24.305, 26.982, 28.086, 30.974, 32.067, 35.453,
+    39.948, 39.098, 40.078, 44.956, 47.867, 50.942, 51.996, 54.938, 55.845,
+    58.933, 58.693, 63.546, 65.39,  69.723, 72.61,  74.922, 78.96,  79.904,
+    83.80,  85.468, 87.62,  88.906, 91.224, 92.906, 95.94,  98.0,   101.07,
+    102.906,106.42, 107.868,112.412,114.818,118.711,121.760,127.60, 126.904,
+    131.29, 132.905,137.328,138.906,140.116,140.908,144.24, 145.0,  150.36,
+    151.964,157.25, 158.925,162.50, 164.930,167.26, 168.934,173.04, 174.967,
+    178.49, 180.948,183.84, 186.207,190.23, 192.217,195.078,196.967,200.59,
+    204.383,207.2,  208.980,209.0,  210.0,  222.0,  223.0,  226.0,  227.0,
+    232.038,231.036,238.029,237.0,  244.0,  243.0,  247.0,  247.0,  251.0,
+    252.0,  257.0,  258.0,  259.0,  262.0};
+
+const int kOuter[55] = {2, 1, 2, 1, 2, 3, 4, 5, 6, 7, 8, 1, 2, 3, 4, 5, 6,
+                        7, 8, 1, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 4, 5,
+                        6, 7, 8, 1, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 4,
+                        5, 6, 7, 8};
+
+int outer_electrons(int z) { return (z >= 0 && z < 55) ? kOuter[z] : 2; }
+
+std::vector<int> default_valence(int z, int charge) {
+  std::vector<int> base;
+  switch (z) {
+    case 1: base = {1}; break;
+    case 5: base = {3}; break;
+    case 6: base = {4}; break;
+    case 7: base = {3, 5}; break;
+    case 8: base = {2}; break;
+    case 9: base = {1}; break;
+    case 15: base = {3, 5}; break;
+    case 16: base = {2, 4, 6}; break;
+    case 17: base = {1}; break;
+    case 35: base = {1}; break;
+    case 53: base = {1}; break;
+    default: return {};
+  }
+  if (charge == 0) return base;
+  int outer = outer_electrons(z);
+  std::vector<int> out;
+  if (charge > 0) {
+    for (int v : base) out.push_back(outer > 4 ? v + charge
+                                               : std::max(0, v - charge));
+  } else {
+    for (int v : base) out.push_back(outer >= 4 ? std::max(0, v + charge)
+                                                : std::max(0, v - charge));
+  }
+  return out;
+}
+
+// --------------------------------------------------------------- molecule
+
+constexpr int ORDER_SINGLE = 1;
+constexpr int ORDER_DOUBLE = 2;
+constexpr int ORDER_TRIPLE = 3;
+constexpr int ORDER_AROMATIC = 12;
+
+struct Atom {
+  int z = 6;
+  int charge = 0;
+  bool aromatic = false;
+  int chiral = 0;      // 0 none, 1 @@ (CW), 2 @ (CCW)
+  int isotope = 0;
+  int explicit_h = -1; // -1: implicit model
+  int num_h = 0;
+  bool in_ring = false;
+  int hyb = 3;         // index into [SP, SP2, SP3, SP3D, SP3D2]; -1 unknown
+};
+
+struct Bond {
+  int a1, a2;
+  int order;
+  bool aromatic = false;
+  int direction = 0;   // '/'=1, '\'=-1 relative a1->a2
+  bool in_ring = false;
+  bool conjugated = false;
+  int stereo = 0;      // RDKit BondStereo ints
+  int kekule = ORDER_SINGLE;
+};
+
+struct Mol {
+  std::vector<Atom> atoms;
+  std::vector<Bond> bonds;
+  std::vector<std::vector<int>> adj;  // atom -> bond ids
+
+  int add_atom(const Atom& a) {
+    atoms.push_back(a);
+    adj.emplace_back();
+    return (int)atoms.size() - 1;
+  }
+  int add_bond(int a1, int a2, int order, bool arom, int dir) {
+    Bond b;
+    b.a1 = a1; b.a2 = a2; b.order = order; b.aromatic = arom;
+    b.direction = dir;
+    bonds.push_back(b);
+    int id = (int)bonds.size() - 1;
+    adj[a1].push_back(id);
+    adj[a2].push_back(id);
+    return id;
+  }
+  int other(int bond, int atom) const {
+    return bonds[bond].a1 == atom ? bonds[bond].a2 : bonds[bond].a1;
+  }
+};
+
+// ------------------------------------------------------------- SMILES parse
+
+struct ParseError {};
+
+bool is_two_letter(const std::string& s, size_t i) {
+  return i + 1 < s.size() &&
+         ((s[i] == 'C' && s[i + 1] == 'l') || (s[i] == 'B' && s[i + 1] == 'r'));
+}
+
+Atom parse_bracket(const std::string& body) {
+  size_t i = 0, n = body.size();
+  Atom a;
+  a.explicit_h = 0;
+  int isotope = 0;
+  while (i < n && isdigit(body[i])) isotope = isotope * 10 + (body[i++] - '0');
+  a.isotope = isotope;
+  if (i >= n) throw ParseError{};
+  if (body[i] == '*') {
+    a.z = 0;
+    i++;
+  } else {
+    std::string sym;
+    if (isupper(body[i])) {
+      sym += body[i++];
+      if (i < n && islower(body[i]) && body[i] != 'h') {
+        std::string two = sym + body[i];
+        if (kSymbolToNum.count(two)) { sym = two; i++; }
+      }
+    } else if (islower(body[i])) {
+      a.aromatic = true;
+      sym += (char)toupper(body[i++]);
+      // two-letter aromatic (se, as)
+      if (i < n && islower(body[i]) && body[i] != 'h' && body[i] != 'r' &&
+          body[i] != 'l') {
+        std::string two = sym + body[i];
+        if (kSymbolToNum.count(two)) { sym = two; i++; }
+      }
+    } else {
+      throw ParseError{};
+    }
+    auto it = kSymbolToNum.find(sym);
+    if (it == kSymbolToNum.end()) throw ParseError{};
+    a.z = it->second;
+  }
+  if (i < n && body[i] == '@') {
+    if (i + 1 < n && body[i + 1] == '@') { a.chiral = 1; i += 2; }
+    else { a.chiral = 2; i++; }
+    while (i < n && isupper(body[i]) && body[i] != 'H') i++;
+  }
+  if (i < n && body[i] == 'H') {
+    i++;
+    int h = 1;
+    if (i < n && isdigit(body[i])) {
+      h = 0;
+      while (i < n && isdigit(body[i])) h = h * 10 + (body[i++] - '0');
+    }
+    a.explicit_h = h;
+  }
+  while (i < n && (body[i] == '+' || body[i] == '-')) {
+    int sign = body[i] == '+' ? 1 : -1;
+    i++;
+    if (i < n && isdigit(body[i])) {
+      int c = 0;
+      while (i < n && isdigit(body[i])) c = c * 10 + (body[i++] - '0');
+      a.charge += sign * c;
+    } else {
+      a.charge += sign;
+    }
+  }
+  if (i < n && body[i] == ':') {
+    i++;
+    while (i < n && isdigit(body[i])) i++;  // atom map ignored (std mode)
+  }
+  if (i != n) throw ParseError{};
+  return a;
+}
+
+Mol parse_smiles_raw(const std::string& s) {
+  Mol m;
+  int prev = -1;
+  char pending = 0;
+  std::vector<std::pair<int, char>> stack;
+  std::map<int, std::pair<int, char>> rings;
+  size_t i = 0, n = s.size();
+
+  auto decode = [&](char sym, int& order, int& dir, bool& arom) {
+    order = -1; dir = 0; arom = false;
+    if (!sym) return;
+    switch (sym) {
+      case '-': order = ORDER_SINGLE; break;
+      case '=': order = ORDER_DOUBLE; break;
+      case '#': order = ORDER_TRIPLE; break;
+      case ':': order = ORDER_AROMATIC; arom = true; break;
+      case '/': order = ORDER_SINGLE; dir = 1; break;
+      case '\\': order = ORDER_SINGLE; dir = -1; break;
+      default: throw ParseError{};
+    }
+  };
+
+  auto attach = [&](int na) {
+    if (prev >= 0) {
+      int order, dir; bool arom;
+      decode(pending, order, dir, arom);
+      if (order < 0) {
+        if (m.atoms[prev].aromatic && m.atoms[na].aromatic) {
+          order = ORDER_AROMATIC; arom = true;
+        } else {
+          order = ORDER_SINGLE;
+        }
+      }
+      m.add_bond(prev, na, order, arom, dir);
+    }
+    prev = na;
+    pending = 0;
+  };
+
+  auto ring = [&](int num) {
+    if (prev < 0) throw ParseError{};
+    auto it = rings.find(num);
+    if (it == rings.end()) {
+      rings[num] = {prev, pending};
+      pending = 0;
+      return;
+    }
+    int a_open = it->second.first;
+    char sym = pending ? pending : it->second.second;
+    rings.erase(it);
+    int order, dir; bool arom;
+    decode(sym, order, dir, arom);
+    if (order < 0) {
+      if (m.atoms[a_open].aromatic && m.atoms[prev].aromatic) {
+        order = ORDER_AROMATIC; arom = true;
+      } else {
+        order = ORDER_SINGLE;
+      }
+    }
+    if (a_open == prev) throw ParseError{};
+    m.add_bond(a_open, prev, order, arom, dir);
+    pending = 0;
+  };
+
+  while (i < n) {
+    char c = s[i];
+    if (c == '-' || c == '=' || c == '#' || c == ':' || c == '/' ||
+        c == '\\' || c == '$') {
+      if (pending) throw ParseError{};
+      pending = c;
+      i++;
+    } else if (c == '(') {
+      stack.push_back({prev, pending});
+      pending = 0;
+      i++;
+    } else if (c == ')') {
+      if (stack.empty()) throw ParseError{};
+      prev = stack.back().first;
+      pending = stack.back().second;
+      stack.pop_back();
+      i++;
+    } else if (c == '.') {
+      prev = -1; pending = 0; i++;
+    } else if (c == '%') {
+      if (i + 2 >= n || !isdigit(s[i + 1]) || !isdigit(s[i + 2]))
+        throw ParseError{};
+      ring((s[i + 1] - '0') * 10 + (s[i + 2] - '0'));
+      i += 3;
+    } else if (isdigit(c)) {
+      ring(c - '0');
+      i++;
+    } else if (c == '[') {
+      size_t j = s.find(']', i);
+      if (j == std::string::npos) throw ParseError{};
+      attach(m.add_atom(parse_bracket(s.substr(i + 1, j - i - 1))));
+      i = j + 1;
+    } else if (c == '*') {
+      Atom a; a.z = 0; a.explicit_h = 0;
+      attach(m.add_atom(a));
+      i++;
+    } else {
+      Atom a;
+      std::string sym;
+      if (is_two_letter(s, i)) { sym = s.substr(i, 2); i += 2; }
+      else {
+        char u = toupper(c);
+        if (std::string("BCNOPSFI").find(u) == std::string::npos)
+          throw ParseError{};
+        sym = std::string(1, u);
+        a.aromatic = islower(c);
+        if (a.aromatic && std::string("bcnops").find(c) == std::string::npos)
+          throw ParseError{};
+        i++;
+      }
+      auto it = kSymbolToNum.find(sym);
+      if (it == kSymbolToNum.end()) throw ParseError{};
+      a.z = it->second;
+      attach(m.add_atom(a));
+    }
+  }
+  if (!rings.empty() || !stack.empty() || m.atoms.empty()) throw ParseError{};
+  return m;
+}
+
+// --------------------------------------------------------------- perception
+
+void fold_explicit_h(Mol& m) {
+  bool changed = true;
+  while (changed) {
+    changed = false;
+    for (int a = 0; a < (int)m.atoms.size(); a++) {
+      if (m.atoms[a].z == 1 && m.atoms[a].isotope == 0 &&
+          m.atoms[a].charge == 0 && m.adj[a].size() == 1) {
+        int b = m.adj[a][0];
+        if (m.bonds[b].order != ORDER_SINGLE) continue;
+        int heavy = m.other(b, a);
+        if (m.atoms[heavy].z <= 1) continue;
+        if (m.atoms[heavy].explicit_h >= 0) m.atoms[heavy].explicit_h++;
+        // rebuild without atom a / bond b
+        Mol nm;
+        std::vector<int> remap(m.atoms.size(), -1);
+        for (int x = 0; x < (int)m.atoms.size(); x++)
+          if (x != a) remap[x] = nm.add_atom(m.atoms[x]);
+        for (auto& bd : m.bonds)
+          if (bd.a1 != a && bd.a2 != a)
+            nm.add_bond(remap[bd.a1], remap[bd.a2], bd.order, bd.aromatic,
+                        bd.direction);
+        m = nm;
+        changed = true;
+        break;
+      }
+    }
+  }
+}
+
+void perceive_rings(Mol& m) {
+  int n = (int)m.atoms.size();
+  std::vector<int> disc(n, -1), low(n, 0);
+  std::vector<bool> bridge(m.bonds.size(), false);
+  int timer = 0;
+  // iterative DFS
+  for (int root = 0; root < n; root++) {
+    if (disc[root] != -1) continue;
+    std::vector<std::tuple<int, int, size_t>> st;  // node, parent edge, iter
+    st.push_back({root, -1, 0});
+    disc[root] = low[root] = timer++;
+    while (!st.empty()) {
+      auto& [u, pe, it] = st.back();
+      if (it < m.adj[u].size()) {
+        int bi = m.adj[u][it++];
+        if (bi == pe) continue;
+        int v = m.other(bi, u);
+        if (disc[v] == -1) {
+          disc[v] = low[v] = timer++;
+          st.push_back({v, bi, 0});
+        } else {
+          low[u] = std::min(low[u], disc[v]);
+        }
+      } else {
+        int uu = u, ppe = pe;
+        st.pop_back();
+        if (!st.empty()) {
+          int p = std::get<0>(st.back());
+          low[p] = std::min(low[p], low[uu]);
+          if (low[uu] > disc[p]) bridge[ppe] = true;
+        }
+      }
+    }
+  }
+  for (size_t b = 0; b < m.bonds.size(); b++) m.bonds[b].in_ring = !bridge[b];
+  for (int a = 0; a < n; a++) {
+    m.atoms[a].in_ring = false;
+    for (int bi : m.adj[a])
+      if (m.bonds[bi].in_ring) { m.atoms[a].in_ring = true; break; }
+  }
+}
+
+int lone_pairs(const Mol& m, int a) {
+  const Atom& at = m.atoms[a];
+  if (at.z == 0) return 0;
+  double bo = at.num_h;
+  for (int bi : m.adj[a]) {
+    int o = m.bonds[bi].order;
+    bo += (o == ORDER_AROMATIC || o == ORDER_SINGLE) ? 1 : o;
+  }
+  int ve = outer_electrons(at.z) - at.charge;
+  int lp = (ve - (int)bo) / 2;
+  return lp > 0 ? lp : 0;
+}
+
+void assign_prelim_h(Mol& m) {
+  for (int a = 0; a < (int)m.atoms.size(); a++) {
+    Atom& at = m.atoms[a];
+    if (at.explicit_h >= 0) { at.num_h = at.explicit_h; continue; }
+    if (at.z == 0) { at.num_h = 0; continue; }
+    auto vals = default_valence(at.z, at.charge);
+    if (vals.empty()) { at.num_h = 0; continue; }
+    int bo = 0;
+    for (int bi : m.adj[a]) {
+      int o = m.bonds[bi].order;
+      bo += (o == ORDER_AROMATIC) ? 1 : o;
+    }
+    if (at.aromatic) {
+      int target = vals.back();
+      for (int v : vals) if (v >= bo) { target = v; break; }
+      if (target - bo >= 1) bo += 1;  // pi-capable aromatic atom
+    }
+    int nh = 0;
+    for (int v : vals) if (bo <= v) { nh = v - bo; break; }
+    at.num_h = nh;
+  }
+}
+
+// SSSR-lite: shortest cycle through each ring bond (for aromaticity of
+// Kekulé-form input)
+std::vector<std::vector<int>> sssr(const Mol& m) {
+  std::vector<std::vector<int>> rings;
+  std::set<std::set<int>> seen;
+  std::set<int> covered;
+  for (size_t bi = 0; bi < m.bonds.size(); bi++) {
+    if (!m.bonds[bi].in_ring || covered.count((int)bi)) continue;
+    // BFS shortest path a1->a2 avoiding bond bi over ring bonds
+    int src = m.bonds[bi].a1, dst = m.bonds[bi].a2;
+    std::map<int, int> prev;
+    prev[src] = -1;
+    std::vector<int> q = {src};
+    bool found = false;
+    for (size_t qi = 0; qi < q.size() && !found; qi++) {
+      int u = q[qi];
+      if (u == dst) { found = true; break; }
+      for (int b2 : m.adj[u]) {
+        if ((int)b2 == (int)bi || !m.bonds[b2].in_ring) continue;
+        int v = m.other(b2, u);
+        if (!prev.count(v)) { prev[v] = u; q.push_back(v); }
+      }
+    }
+    if (!prev.count(dst)) continue;
+    std::vector<int> ring;
+    for (int u = dst; u != -1; u = prev[u]) ring.push_back(u);
+    std::set<int> key(ring.begin(), ring.end());
+    if (!seen.count(key)) {
+      seen.insert(key);
+      rings.push_back(ring);
+      for (size_t k = 0; k < ring.size(); k++) {
+        int u = ring[k], v = ring[(k + 1) % ring.size()];
+        for (int b2 : m.adj[u])
+          if (m.other(b2, u) == v) covered.insert(b2);
+      }
+    }
+  }
+  return rings;
+}
+
+void perceive_aromaticity(Mol& m) {
+  assign_prelim_h(m);
+  for (auto& ring : sssr(m)) {
+    if (ring.size() < 5 || ring.size() > 7) continue;
+    std::set<int> rs(ring.begin(), ring.end());
+    int total = 0;
+    bool ok = true;
+    for (int a : ring) {
+      const Atom& at = m.atoms[a];
+      if (at.z == 0) continue;
+      int dbl_in = 0, dbl_out = 0;
+      for (int bi : m.adj[a]) {
+        int o = m.bonds[bi].order;
+        if (o == ORDER_TRIPLE) { ok = false; break; }
+        if (o == ORDER_DOUBLE || o == ORDER_AROMATIC) {
+          if (rs.count(m.other(bi, a))) dbl_in++;
+          else dbl_out++;
+        }
+      }
+      if (!ok) break;
+      if (dbl_in >= 1) total += 1;
+      else if (dbl_out >= 1) total += 0;
+      else if (lone_pairs(m, a) > 0) total += 2;
+      else if (at.z == 6 && at.charge == 1) total += 0;
+      else if (at.z == 6 && at.charge == -1) total += 2;
+      else { ok = false; break; }
+    }
+    if (!ok || total % 4 != 2) continue;
+    for (int a : ring) m.atoms[a].aromatic = true;
+    for (size_t k = 0; k < ring.size(); k++) {
+      int u = ring[k], v = ring[(k + 1) % ring.size()];
+      for (int bi : m.adj[u])
+        if (m.other(bi, u) == v) {
+          Bond& b = m.bonds[bi];
+          b.aromatic = true;
+          if (b.order == ORDER_SINGLE || b.order == ORDER_DOUBLE)
+            b.order = ORDER_AROMATIC;
+        }
+    }
+  }
+}
+
+bool kekulize(Mol& m) {
+  for (auto& b : m.bonds)
+    b.kekule = (b.order == ORDER_AROMATIC) ? ORDER_SINGLE : b.order;
+  std::vector<int> role(m.atoms.size(), 0);  // 0 none, 1 required, 2 optional
+  bool any = false;
+  for (int a = 0; a < (int)m.atoms.size(); a++) {
+    const Atom& at = m.atoms[a];
+    if (!at.aromatic || at.z == 0) continue;
+    auto vals = default_valence(at.z, at.charge);
+    if (vals.empty()) continue;
+    int used = at.num_h;
+    for (int bi : m.adj[a]) {
+      int o = m.bonds[bi].order;
+      used += (o == ORDER_AROMATIC) ? 1 : o;
+    }
+    int target = vals.back();
+    for (int v : vals) if (v >= used) { target = v; break; }
+    if (target - used < 1) continue;
+    role[a] = (at.z == 6 && at.charge != 0) ? 2 : 1;
+    any = true;
+  }
+  if (!any) return true;
+  // greedy augmenting matching over aromatic bonds between eligible atoms
+  std::vector<int> match(m.atoms.size(), -1);
+  std::vector<std::vector<int>> eadj(m.atoms.size());
+  for (size_t bi = 0; bi < m.bonds.size(); bi++) {
+    const Bond& b = m.bonds[bi];
+    if (b.order == ORDER_AROMATIC && role[b.a1] && role[b.a2]) {
+      eadj[b.a1].push_back((int)bi);
+      eadj[b.a2].push_back((int)bi);
+    }
+  }
+  std::function<bool(int, std::set<int>&)> augment =
+      [&](int u, std::set<int>& vis) -> bool {
+    for (int bi : eadj[u]) {
+      int v = m.other(bi, u);
+      if (vis.count(v)) continue;
+      vis.insert(v);
+      if (match[v] < 0 || augment(match[v], vis)) {
+        match[u] = v;
+        match[v] = u;
+        return true;
+      }
+    }
+    return false;
+  };
+  bool all_ok = true;
+  for (int a = 0; a < (int)m.atoms.size(); a++) {
+    if (role[a] == 1 && match[a] < 0) {
+      std::set<int> vis{a};
+      if (!augment(a, vis)) all_ok = false;
+    }
+  }
+  for (auto& b : m.bonds)
+    if (b.order == ORDER_AROMATIC && match[b.a1] == b.a2)
+      b.kekule = ORDER_DOUBLE;
+  return all_ok;
+}
+
+void assign_final_h(Mol& m) {
+  for (int a = 0; a < (int)m.atoms.size(); a++) {
+    Atom& at = m.atoms[a];
+    if (at.explicit_h >= 0) { at.num_h = at.explicit_h; continue; }
+    if (at.z == 0) { at.num_h = 0; continue; }
+    auto vals = default_valence(at.z, at.charge);
+    if (vals.empty()) { at.num_h = 0; continue; }
+    int bo = 0;
+    for (int bi : m.adj[a]) {
+      const Bond& b = m.bonds[bi];
+      bo += (b.order == ORDER_AROMATIC) ? b.kekule : b.order;
+    }
+    int nh = 0;
+    for (int v : vals) if (bo <= v) { nh = v - bo; break; }
+    at.num_h = nh;
+  }
+}
+
+void assign_hybridization(Mol& m) {
+  for (int a = 0; a < (int)m.atoms.size(); a++) {
+    Atom& at = m.atoms[a];
+    if (at.z == 0) { at.hyb = -1; continue; }
+    if (at.z == 1) { at.hyb = -1; continue; }
+    int ntrip = 0, ndbl = 0;
+    for (int bi : m.adj[a]) {
+      const Bond& b = m.bonds[bi];
+      if (b.order == ORDER_TRIPLE) ntrip++;
+      if (b.order == ORDER_DOUBLE ||
+          (b.order == ORDER_AROMATIC && b.kekule == ORDER_DOUBLE)) ndbl++;
+    }
+    if (at.aromatic) { at.hyb = 1; continue; }           // SP2
+    if (ntrip >= 1 || ndbl >= 2) { at.hyb = 0; continue; } // SP
+    int sigma = (int)m.adj[a].size() + at.num_h;
+    int steric = sigma + lone_pairs(m, a);
+    if (ndbl == 1) at.hyb = 1;
+    else if (steric <= 2) at.hyb = 0;
+    else if (steric == 3) at.hyb = 1;
+    else if (steric == 4) at.hyb = 2;
+    else if (steric == 5) at.hyb = 3;
+    else at.hyb = 4;
+  }
+}
+
+bool conj_candidate(const Mol& m, int a) {
+  const Atom& at = m.atoms[a];
+  if (at.z == 0) return false;
+  for (int bi : m.adj[a]) {
+    int o = m.bonds[bi].order;
+    if (o == ORDER_DOUBLE || o == ORDER_TRIPLE || o == ORDER_AROMATIC)
+      return true;
+  }
+  if ((at.z == 7 || at.z == 8 || at.z == 16 || at.z == 15) &&
+      lone_pairs(m, a) > 0) {
+    for (int bi : m.adj[a]) {
+      int nb = m.other(bi, a);
+      for (int b2 : m.adj[nb]) {
+        int o = m.bonds[b2].order;
+        if (o == ORDER_DOUBLE || o == ORDER_TRIPLE || o == ORDER_AROMATIC)
+          return true;
+      }
+    }
+  }
+  return false;
+}
+
+void assign_conjugation(Mol& m) {
+  for (auto& b : m.bonds) {
+    if (b.order == ORDER_AROMATIC || b.aromatic) { b.conjugated = true; continue; }
+    b.conjugated = conj_candidate(m, b.a1) && conj_candidate(m, b.a2);
+  }
+}
+
+void assign_stereo(Mol& m) {
+  for (auto& b : m.bonds) {
+    b.stereo = 0;
+    if (b.order != ORDER_DOUBLE || b.in_ring) continue;
+    int n1 = -1, d1 = 0, n2 = -1, d2 = 0;
+    for (int bi : m.adj[b.a1]) {
+      const Bond& bb = m.bonds[bi];
+      if (&bb != &b && bb.direction != 0 && bb.order == ORDER_SINGLE) {
+        n1 = bi; d1 = bb.direction; break;
+      }
+    }
+    for (int bi : m.adj[b.a2]) {
+      const Bond& bb = m.bonds[bi];
+      if (&bb != &b && bb.direction != 0 && bb.order == ORDER_SINGLE) {
+        n2 = bi; d2 = bb.direction; break;
+      }
+    }
+    if (n1 < 0 || n2 < 0) continue;
+    int s1 = (m.bonds[n1].a1 == b.a1) ? d1 : -d1;
+    int s2 = (m.bonds[n2].a1 == b.a2) ? d2 : -d2;
+    b.stereo = (s1 == s2) ? 2 : 3;  // STEREOZ : STEREOE
+  }
+}
+
+bool perceive(Mol& m) {
+  fold_explicit_h(m);
+  perceive_rings(m);
+  perceive_aromaticity(m);
+  bool ok = kekulize(m);
+  assign_final_h(m);
+  assign_hybridization(m);
+  assign_conjugation(m);
+  assign_stereo(m);
+  return ok;
+}
+
+// ------------------------------------------------------------ featurization
+
+void onek(int value, int n_choices, float* out) {
+  // choices are 0..n_choices-1; slot n_choices = unknown
+  for (int i = 0; i <= n_choices; i++) out[i] = 0.f;
+  if (value >= 0 && value < n_choices) out[value] = 1.f;
+  else out[n_choices] = 1.f;
+}
+
+void atom_features(const Mol& m, int a, float* out) {
+  const Atom& at = m.atoms[a];
+  float* p = out;
+  onek(at.z - 1, 100, p); p += 101;
+  int tdeg = (int)m.adj[a].size() + at.num_h;
+  onek(tdeg <= 5 ? tdeg : -1, 6, p); p += 7;
+  // formal charge choices [-1,-2,1,2,0]
+  int ci;
+  switch (at.charge) {
+    case -1: ci = 0; break; case -2: ci = 1; break; case 1: ci = 2; break;
+    case 2: ci = 3; break; case 0: ci = 4; break; default: ci = -1;
+  }
+  onek(ci, 5, p); p += 6;
+  onek(at.chiral, 4, p); p += 5;
+  onek(at.num_h <= 4 ? at.num_h : -1, 5, p); p += 6;
+  onek(at.hyb, 5, p); p += 6;
+  *p++ = at.aromatic ? 1.f : 0.f;
+  double mass = at.isotope ? (double)at.isotope
+                           : (at.z < 104 ? kMass[at.z] : at.z * 2.0);
+  *p++ = (float)(mass * 0.01);
+}
+
+void bond_features(const Mol& m, int bi, float* out) {
+  const Bond& b = m.bonds[bi];
+  float* p = out;
+  *p++ = 0.f;
+  *p++ = (b.order == ORDER_SINGLE && !b.aromatic) ? 1.f : 0.f;
+  *p++ = (b.order == ORDER_DOUBLE && !b.aromatic) ? 1.f : 0.f;
+  *p++ = (b.order == ORDER_TRIPLE) ? 1.f : 0.f;
+  *p++ = (b.order == ORDER_AROMATIC || b.aromatic) ? 1.f : 0.f;
+  *p++ = b.conjugated ? 1.f : 0.f;
+  *p++ = b.in_ring ? 1.f : 0.f;
+  onek(b.stereo, 6, p);
+}
+
+// Packed per-molecule graph in the framework's MolGraph layout.
+struct PackedGraph {
+  int n_atoms = 0, n_bonds = 0;
+  std::vector<float> f_atoms;   // n_atoms * 133
+  std::vector<float> f_bonds;   // n_bonds * 147
+  std::vector<int> b2a, b2dst, b2revb;
+  bool valid = false;
+};
+
+PackedGraph featurize_one(const std::string& smiles) {
+  PackedGraph g;
+  Mol m;
+  try {
+    m = parse_smiles_raw(smiles);
+    if (!perceive(m)) return g;
+  } catch (...) {
+    return g;
+  }
+  g.n_atoms = (int)m.atoms.size();
+  g.f_atoms.resize((size_t)g.n_atoms * ATOM_FDIM);
+  for (int a = 0; a < g.n_atoms; a++)
+    atom_features(m, a, &g.f_atoms[(size_t)a * ATOM_FDIM]);
+  // bonds ordered by sorted (min, max) like the Python featurizer
+  std::vector<int> order(m.bonds.size());
+  for (size_t i = 0; i < m.bonds.size(); i++) order[i] = (int)i;
+  std::sort(order.begin(), order.end(), [&](int x, int y) {
+    int x1 = std::min(m.bonds[x].a1, m.bonds[x].a2);
+    int x2 = std::max(m.bonds[x].a1, m.bonds[x].a2);
+    int y1 = std::min(m.bonds[y].a1, m.bonds[y].a2);
+    int y2 = std::max(m.bonds[y].a1, m.bonds[y].a2);
+    return x1 != y1 ? x1 < y1 : x2 < y2;
+  });
+  g.n_bonds = 2 * (int)m.bonds.size();
+  g.f_bonds.resize((size_t)g.n_bonds * (ATOM_FDIM + BOND_FDIM));
+  g.b2a.resize(g.n_bonds);
+  g.b2dst.resize(g.n_bonds);
+  g.b2revb.resize(g.n_bonds);
+  float fb[BOND_FDIM];
+  int bid = 0;
+  for (int bi : order) {
+    int a1 = std::min(m.bonds[bi].a1, m.bonds[bi].a2);
+    int a2 = std::max(m.bonds[bi].a1, m.bonds[bi].a2);
+    bond_features(m, bi, fb);
+    for (int dir = 0; dir < 2; dir++) {
+      int src = dir == 0 ? a1 : a2;
+      int dst = dir == 0 ? a2 : a1;
+      float* row = &g.f_bonds[(size_t)bid * (ATOM_FDIM + BOND_FDIM)];
+      std::memcpy(row, &g.f_atoms[(size_t)src * ATOM_FDIM],
+                  ATOM_FDIM * sizeof(float));
+      std::memcpy(row + ATOM_FDIM, fb, BOND_FDIM * sizeof(float));
+      g.b2a[bid] = src;
+      g.b2dst[bid] = dst;
+      g.b2revb[bid] = dir == 0 ? bid + 1 : bid - 1;
+      bid++;
+    }
+  }
+  g.valid = true;
+  return g;
+}
+
+}  // namespace
+
+// -------------------------------------------------------------------- C API
+
+extern "C" {
+
+// Featurize a batch of SMILES into caller-allocated padded arrays in the
+// GraphBatch layout (index 0 of atoms/bonds reserved; see
+// features/batching.py). Returns 0 on success, -1 if the padded envelope
+// is too small; per-molecule validity in `valid_out`.
+//
+// smiles: array of n NUL-terminated strings
+// arrays: f_atoms (pad_atoms*133), f_bonds (pad_bonds*147),
+//         w_atoms (pad_atoms), w_bonds (pad_bonds),
+//         b2a/b2dst/b2revb (pad_bonds, int32), a2mol (pad_atoms, int32)
+// counts_out: [n_atoms_real, n_bonds_real]
+int pcp_featurize_batch(const char** smiles, int n,
+                        int pad_atoms, int pad_bonds,
+                        float* f_atoms, float* f_bonds,
+                        float* w_atoms, float* w_bonds,
+                        int* b2a, int* b2dst, int* b2revb, int* a2mol,
+                        unsigned char* valid_out, int* counts_out,
+                        int n_threads) {
+  std::vector<PackedGraph> graphs(n);
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> pool;
+  std::atomic<int> next_idx{0};
+  auto worker = [&]() {
+    while (true) {
+      int i = next_idx.fetch_add(1);
+      if (i >= n) break;
+      graphs[i] = featurize_one(smiles[i]);
+    }
+  };
+  for (int t = 0; t < n_threads - 1; t++) pool.emplace_back(worker);
+  worker();
+  for (auto& t : pool) t.join();
+
+  std::memset(f_atoms, 0, sizeof(float) * (size_t)pad_atoms * ATOM_FDIM);
+  std::memset(f_bonds, 0,
+              sizeof(float) * (size_t)pad_bonds * (ATOM_FDIM + BOND_FDIM));
+  std::memset(w_atoms, 0, sizeof(float) * pad_atoms);
+  std::memset(w_bonds, 0, sizeof(float) * pad_bonds);
+  std::memset(b2a, 0, sizeof(int) * pad_bonds);
+  std::memset(b2dst, 0, sizeof(int) * pad_bonds);
+  std::memset(b2revb, 0, sizeof(int) * pad_bonds);
+  std::memset(a2mol, 0, sizeof(int) * pad_atoms);
+
+  int ai = 1, bi = 1;
+  for (int i = 0; i < n; i++) {
+    const PackedGraph& g = graphs[i];
+    valid_out[i] = g.valid ? 1 : 0;
+    if (!g.valid) continue;
+    if (ai + g.n_atoms > pad_atoms || bi + g.n_bonds > pad_bonds) return -1;
+    std::memcpy(&f_atoms[(size_t)ai * ATOM_FDIM], g.f_atoms.data(),
+                g.f_atoms.size() * sizeof(float));
+    std::memcpy(&f_bonds[(size_t)bi * (ATOM_FDIM + BOND_FDIM)],
+                g.f_bonds.data(), g.f_bonds.size() * sizeof(float));
+    for (int a = 0; a < g.n_atoms; a++) {
+      w_atoms[ai + a] = 1.f;
+      a2mol[ai + a] = i;
+    }
+    for (int b = 0; b < g.n_bonds; b++) {
+      w_bonds[bi + b] = 1.f;
+      b2a[bi + b] = g.b2a[b] + ai;
+      b2dst[bi + b] = g.b2dst[b] + ai;
+      b2revb[bi + b] = g.b2revb[b] + bi;
+    }
+    ai += g.n_atoms;
+    bi += g.n_bonds;
+  }
+  counts_out[0] = ai;
+  counts_out[1] = bi;
+  return 0;
+}
+
+// Count atoms/bonds per molecule without packing (for envelope sizing).
+int pcp_count(const char** smiles, int n, int* atoms_out, int* bonds_out,
+              int n_threads) {
+  std::vector<std::thread> pool;
+  std::atomic<int> next_idx{0};
+  auto worker = [&]() {
+    while (true) {
+      int i = next_idx.fetch_add(1);
+      if (i >= n) break;
+      PackedGraph g = featurize_one(smiles[i]);
+      atoms_out[i] = g.valid ? g.n_atoms : -1;
+      bonds_out[i] = g.valid ? g.n_bonds : -1;
+    }
+  };
+  if (n_threads < 1) n_threads = 1;
+  for (int t = 0; t < n_threads - 1; t++) pool.emplace_back(worker);
+  worker();
+  for (auto& t : pool) t.join();
+  return 0;
+}
+
+}  // extern "C"

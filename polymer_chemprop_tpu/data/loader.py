@@ -56,7 +56,8 @@ class MoleculeDataLoader:
                  num_workers: int = 8,
                  pad_atoms: Optional[int] = None,
                  pad_bonds: Optional[int] = None,
-                 align: int = 256):
+                 align: int = 256,
+                 use_native: Optional[bool] = None):
         self.dataset = dataset
         self.config = config
         self.batch_size = batch_size
@@ -69,6 +70,20 @@ class MoleculeDataLoader:
         self._align = align
         self._length: Optional[int] = None
         self.number_of_molecules = (len(dataset[0].smiles) if len(dataset) else 1)
+        # native C++ featurization: standard single-molecule datapoints only
+        # (polymer/reaction/extra-features stay on the Python path)
+        if use_native is None:
+            use_native = False
+        if use_native:
+            from ..native_ext import available
+            simple = (not config.polymer and not config.reaction
+                      and not config.explicit_h and not config.adding_h
+                      and self.number_of_molecules == 1
+                      and (len(dataset) == 0 or
+                           (dataset[0].atom_features is None and
+                            dataset[0].bond_features is None)))
+            use_native = available() and simple
+        self.use_native = use_native
 
     # -- sampling (reference MoleculeSampler, data.py:537-591) --------------
     def _indices(self) -> List[int]:
@@ -110,11 +125,18 @@ class MoleculeDataLoader:
         """Choose pad sizes covering every batch under the current order.
         Sticky (monotone non-decreasing) and aligned, so reshuffles reuse
         the cached executable almost always."""
-        counts = []
-        for d in self.dataset:
-            graphs = d.mol_graphs(self.config)
-            counts.append((sum(g.n_atoms for g in graphs),
-                           sum(g.n_bonds for g in graphs)))
+        if self.use_native:
+            from ..native_ext import count_native
+            a, b = count_native([d.smiles[0] for d in self.dataset],
+                                n_threads=self.num_workers)
+            counts = list(zip(np.maximum(a, 0).tolist(),
+                              np.maximum(b, 0).tolist()))
+        else:
+            counts = []
+            for d in self.dataset:
+                graphs = d.mol_graphs(self.config)
+                counts.append((sum(g.n_atoms for g in graphs),
+                               sum(g.n_bonds for g in graphs)))
         max_a = max_b = 0
         for i in range(0, len(order), self.batch_size):
             chunk = order[i:i + self.batch_size]
@@ -129,12 +151,20 @@ class MoleculeDataLoader:
         points = [self.dataset[i] for i in idxs]
         n_pos = self.number_of_molecules
         graph_arrays = []
-        for pos in range(n_pos):
-            graphs = [p.mol_graphs(self.config)[pos] for p in points]
-            gb = batch_graphs(graphs, pad_atoms=self._pad_atoms,
-                              pad_bonds=self._pad_bonds,
-                              pad_mols=self.batch_size)
+        if self.use_native:
+            from ..native_ext import featurize_batch_native
+            gb, _ = featurize_batch_native(
+                [p.smiles[0] for p in points],
+                pad_atoms=self._pad_atoms, pad_bonds=self._pad_bonds,
+                pad_mols=self.batch_size, n_threads=self.num_workers)
             graph_arrays.append(gb.arrays())
+        else:
+            for pos in range(n_pos):
+                graphs = [p.mol_graphs(self.config)[pos] for p in points]
+                gb = batch_graphs(graphs, pad_atoms=self._pad_atoms,
+                                  pad_bonds=self._pad_bonds,
+                                  pad_mols=self.batch_size)
+                graph_arrays.append(gb.arrays())
         M = self.batch_size
         num_tasks = len(points[0].targets) if points[0].targets is not None else 0
         targets = np.zeros((M, num_tasks), np.float32)

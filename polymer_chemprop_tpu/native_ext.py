@@ -1,0 +1,120 @@
+"""ctypes binding for the native featurization library.
+
+Loads ``native/libpcp_native.so`` (built with ``make -C native``) and
+exposes :func:`featurize_batch_native`, a drop-in producer of GraphBatch
+arrays for standard (non-polymer, non-reaction) molecules. Falls back
+gracefully when the library is absent: ``available()`` gates usage and the
+loader keeps the Python path as default.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "native", "libpcp_native.so")
+
+
+def _load():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.pcp_featurize_batch.restype = ctypes.c_int
+    lib.pcp_featurize_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+    ]
+    lib.pcp_count.restype = ctypes.c_int
+    lib.pcp_count.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+    ]
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _c_strings(smiles: List[str]):
+    arr = (ctypes.c_char_p * len(smiles))()
+    keep = [s.encode() for s in smiles]
+    arr[:] = keep
+    return arr, keep
+
+
+def count_native(smiles: List[str], n_threads: int = 4
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-molecule (n_atoms, n_bonds) counts; -1 marks invalid SMILES."""
+    lib = _load()
+    arr, keep = _c_strings(smiles)
+    atoms = np.zeros(len(smiles), np.int32)
+    bonds = np.zeros(len(smiles), np.int32)
+    lib.pcp_count(arr, len(smiles),
+                  atoms.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                  bonds.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                  n_threads)
+    return atoms, bonds
+
+
+def featurize_batch_native(smiles: List[str], pad_atoms: int, pad_bonds: int,
+                           pad_mols: Optional[int] = None,
+                           n_threads: int = 4):
+    """SMILES list -> GraphBatch (standard molecules only)."""
+    from .features.batching import GraphBatch
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built (make -C native)")
+    n = len(smiles)
+    M = pad_mols or n
+    f_atoms = np.zeros((pad_atoms, 133), np.float32)
+    f_bonds = np.zeros((pad_bonds, 147), np.float32)
+    w_atoms = np.zeros(pad_atoms, np.float32)
+    w_bonds = np.zeros(pad_bonds, np.float32)
+    b2a = np.zeros(pad_bonds, np.int32)
+    b2dst = np.zeros(pad_bonds, np.int32)
+    b2revb = np.zeros(pad_bonds, np.int32)
+    a2mol = np.zeros(pad_atoms, np.int32)
+    valid = np.zeros(n, np.uint8)
+    counts = np.zeros(2, np.int32)
+    arr, keep = _c_strings(smiles)
+    rc = lib.pcp_featurize_batch(
+        arr, n, pad_atoms, pad_bonds,
+        f_atoms.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        f_bonds.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        w_atoms.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        w_bonds.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        b2a.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        b2dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        b2revb.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        a2mol.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        n_threads)
+    if rc != 0:
+        raise ValueError("batch exceeds padding envelope (native)")
+    degree_of_polym = np.ones(M, np.float32)
+    mol_mask = np.zeros(M, np.float32)
+    mol_mask[:n] = valid[:n].astype(np.float32)
+    return GraphBatch(
+        f_atoms=f_atoms, f_bonds=f_bonds, w_atoms=w_atoms, w_bonds=w_bonds,
+        b2a=b2a, b2dst=b2dst, b2revb=b2revb, a2mol=a2mol,
+        degree_of_polym=degree_of_polym, mol_mask=mol_mask,
+        n_atoms_real=int(counts[0]), n_bonds_real=int(counts[1])), valid
