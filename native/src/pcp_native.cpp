@@ -631,19 +631,12 @@ void assign_hybridization(Mol& m) {
     Atom& at = m.atoms[a];
     if (at.z == 0) { at.hyb = -1; continue; }
     if (at.z == 1) { at.hyb = -1; continue; }
-    int ntrip = 0, ndbl = 0;
-    for (int bi : m.adj[a]) {
-      const Bond& b = m.bonds[bi];
-      if (b.order == ORDER_TRIPLE) ntrip++;
-      if (b.order == ORDER_DOUBLE ||
-          (b.order == ORDER_AROMATIC && b.kekule == ORDER_DOUBLE)) ndbl++;
-    }
-    if (at.aromatic) { at.hyb = 1; continue; }           // SP2
-    if (ntrip >= 1 || ndbl >= 2) { at.hyb = 0; continue; } // SP
+    if (at.aromatic) { at.hyb = 1; continue; }  // SP2
+    // pure steric-number rule (no multiple-bond shortcuts: hypervalent
+    // S/N — sulfonamide S is SP3, nitro N is SP2)
     int sigma = (int)m.adj[a].size() + at.num_h;
     int steric = sigma + lone_pairs(m, a);
-    if (ndbl == 1) at.hyb = 1;
-    else if (steric <= 2) at.hyb = 0;
+    if (steric <= 2) at.hyb = 0;
     else if (steric == 3) at.hyb = 1;
     else if (steric == 4) at.hyb = 2;
     else if (steric == 5) at.hyb = 3;

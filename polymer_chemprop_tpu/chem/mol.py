@@ -513,22 +513,16 @@ class Molecule:
             if atom.atomic_num == 1:
                 atom.hybridization = "S"
                 continue
-            n_trip = sum(1 for b in self.atom_bonds(a) if b.order == TRIPLE)
-            n_dbl = sum(1 for b in self.atom_bonds(a)
-                        if (b.order == DOUBLE) or
-                           (b.order == AROMATIC and b.kekule_order == DOUBLE))
             if atom.is_aromatic:
                 atom.hybridization = "SP2"
                 continue
-            if n_trip >= 1 or n_dbl >= 2:
-                atom.hybridization = "SP"
-                continue
+            # pure steric-number rule: sigma neighbours + lone pairs.
+            # (No multiple-bond shortcuts: they misclassify hypervalent
+            # S/N — sulfonamide S(=O)(=O) is SP3, nitro N(=O)=O is SP2.)
             sigma = self.degree(a) + atom.num_hs
             lp = self._lone_pairs(a)
             steric = sigma + lp
-            if n_dbl == 1:
-                atom.hybridization = "SP2"
-            elif steric <= 2:
+            if steric <= 2:
                 atom.hybridization = "SP"
             elif steric == 3:
                 atom.hybridization = "SP2"

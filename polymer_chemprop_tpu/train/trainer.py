@@ -181,6 +181,12 @@ def run_training(cfg: TrainConfig,
     info(f"Total size = {len(data):,} | train size = {len(train_data):,} | "
          f"val size = {len(val_data):,} | test size = {len(test_data):,}")
 
+    if cfg.save_smiles_splits and cfg.save_dir:
+        from ..utils.splits_io import save_smiles_splits
+        save_smiles_splits(cfg.save_dir, train_data, val_data, test_data,
+                           data_path=cfg.data_path,
+                           smiles_columns=cfg.smiles_columns)
+
     # ---- feature scaling (reference run_training.py:111-130) --------------
     features_scaler = None
     if train_data.features() is not None and not cfg.no_features_scaling:

@@ -1,0 +1,254 @@
+"""Web GUI on the stdlib HTTP stack (reference chemprop/web: Flask routes
+views.py home/train/predict/data/checkpoint CRUD; flask is not available in
+this environment so the same surface is served with http.server +
+sqlite3).
+
+Routes:
+  GET  /                     overview (datasets, checkpoints)
+  POST /upload_data          multipart CSV upload
+  POST /train                start background training on a dataset
+  GET  /progress/<ckpt_id>   JSON training status
+  POST /predict              predict SMILES with a trained checkpoint
+  POST /delete_data/<id>, /delete_ckpt/<id>
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import threading
+import traceback
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from .db import WebDB
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>polymer-chemprop-tpu</title>
+<style>
+ body {{ font-family: sans-serif; margin: 2em; max-width: 60em; }}
+ table {{ border-collapse: collapse; }} td, th {{ border: 1px solid #ccc; padding: 4px 8px; }}
+ form {{ margin: 1em 0; padding: 1em; background: #f6f6f6; }}
+</style></head>
+<body>
+<h1>polymer-chemprop-tpu</h1>
+{body}
+</body></html>"""
+
+
+class AppState:
+    def __init__(self, root: str):
+        self.db = WebDB(root)
+        self.root = root
+        self.progress = {}  # ckpt_id -> dict
+
+    # ------------------------------------------------------------- training
+    def start_training(self, dataset_id: int, ckpt_name: str,
+                       dataset_type: str, epochs: int, ensemble_size: int):
+        ds = next((d for d in self.db.datasets() if d["id"] == dataset_id),
+                  None)
+        if ds is None:
+            raise ValueError("dataset not found")
+        save_dir = os.path.join(self.root, "ckpts", ckpt_name)
+        from ..data import get_data
+        n = len(get_data(ds["path"]))
+        ckpt_id = self.db.add_ckpt(ckpt_name, dataset_type, epochs,
+                                   ensemble_size, n, save_dir)
+        self.progress[ckpt_id] = {"state": "running", "epochs": epochs}
+
+        def run():
+            try:
+                from ..config import TrainConfig
+                from ..train import cross_validate
+                cfg = TrainConfig(data_path=ds["path"],
+                                  dataset_type=dataset_type,
+                                  epochs=epochs, ensemble_size=ensemble_size,
+                                  num_folds=1, save_dir=save_dir, quiet=True)
+                mean, std = cross_validate(cfg)
+                self.db.finish_ckpt(ckpt_id, {"mean_score": mean,
+                                              "std_score": std,
+                                              "metric": cfg.metric})
+                self.progress[ckpt_id] = {"state": "done", "mean_score": mean}
+            except Exception as e:  # surfaced through /progress
+                traceback.print_exc()
+                self.progress[ckpt_id] = {"state": "error", "error": str(e)}
+
+        threading.Thread(target=run, daemon=True).start()
+        return ckpt_id
+
+    def predict(self, ckpt_id: int, smiles_text: str):
+        ck = self.db.ckpt(ckpt_id)
+        if ck is None or not ck["completed"]:
+            raise ValueError("checkpoint not found or incomplete")
+        from ..config import PredictConfig
+        from ..train.make_predictions import make_predictions
+        smiles = [[s.strip()] for s in smiles_text.splitlines() if s.strip()]
+        preds = make_predictions(
+            PredictConfig(checkpoint_dir=ck["save_dir"]), smiles=smiles)
+        return [s[0] for s in smiles], preds
+
+
+def make_handler(state: AppState):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, body: str, code: int = 200,
+                  ctype: str = "text/html"):
+            data = body.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _form(self):
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            ctype = self.headers.get("Content-Type", "")
+            if ctype.startswith("multipart/form-data"):
+                boundary = ctype.split("boundary=")[1].encode()
+                fields = {}
+                for part in body.split(b"--" + boundary):
+                    if b"Content-Disposition" not in part:
+                        continue
+                    head, _, content = part.partition(b"\r\n\r\n")
+                    content = content.rstrip(b"\r\n-")
+                    disp = head.decode(errors="replace")
+                    name = disp.split('name="')[1].split('"')[0]
+                    fields[name] = content
+                return fields
+            return {k: v[0].encode() for k, v in
+                    urllib.parse.parse_qs(body.decode()).items()}
+
+        def do_GET(self):
+            path = urllib.parse.urlparse(self.path).path
+            if path == "/":
+                self._send(_PAGE.format(body=self._home()))
+            elif path.startswith("/progress/"):
+                ckpt_id = int(path.rsplit("/", 1)[1])
+                self._send(json.dumps(state.progress.get(
+                    ckpt_id, {"state": "unknown"})), ctype="application/json")
+            else:
+                self._send("not found", 404)
+
+        def do_POST(self):
+            path = urllib.parse.urlparse(self.path).path
+            try:
+                if path == "/upload_data":
+                    f = self._form()
+                    name = f.get("name", b"dataset").decode()
+                    csv_bytes = f.get("file", b"")
+                    dpath = os.path.join(state.root, "data",
+                                         f"{name}.csv")
+                    os.makedirs(os.path.dirname(dpath), exist_ok=True)
+                    with open(dpath, "wb") as fh:
+                        fh.write(csv_bytes)
+                    state.db.add_dataset(name, f.get("class", b"regression")
+                                         .decode(), dpath)
+                    self._redirect()
+                elif path == "/train":
+                    f = self._form()
+                    ckpt_id = state.start_training(
+                        int(f["dataset_id"]), f["ckpt_name"].decode(),
+                        f.get("dataset_type", b"regression").decode(),
+                        int(f.get("epochs", b"10")),
+                        int(f.get("ensemble_size", b"1")))
+                    self._send(json.dumps({"ckpt_id": ckpt_id}),
+                               ctype="application/json")
+                elif path == "/predict":
+                    f = self._form()
+                    smiles, preds = state.predict(int(f["ckpt_id"]),
+                                                  f["smiles"].decode())
+                    rows = "".join(f"<tr><td>{s}</td><td>{p}</td></tr>"
+                                   for s, p in zip(smiles, preds))
+                    self._send(_PAGE.format(
+                        body=f"<h2>Predictions</h2><table>"
+                             f"<tr><th>smiles</th><th>prediction</th></tr>"
+                             f"{rows}</table><a href='/'>back</a>"))
+                elif path.startswith("/delete_data/"):
+                    state.db.delete_dataset(int(path.rsplit("/", 1)[1]))
+                    self._redirect()
+                elif path.startswith("/delete_ckpt/"):
+                    state.db.delete_ckpt(int(path.rsplit("/", 1)[1]))
+                    self._redirect()
+                else:
+                    self._send("not found", 404)
+            except Exception as e:
+                traceback.print_exc()
+                self._send(_PAGE.format(body=f"<p>error: {e}</p>"), 500)
+
+        def _redirect(self):
+            self.send_response(303)
+            self.send_header("Location", "/")
+            self.end_headers()
+
+        def _home(self) -> str:
+            ds_rows = "".join(
+                f"<tr><td>{d['id']}</td><td>{d['dataset_name']}</td>"
+                f"<td>{d['class']}</td><td>"
+                f"<form method=post action=/delete_data/{d['id']} "
+                f"style='margin:0;padding:0;background:none'>"
+                f"<button>delete</button></form></td></tr>"
+                for d in state.db.datasets())
+            ck_rows = "".join(
+                f"<tr><td>{c['id']}</td><td>{c['ckpt_name']}</td>"
+                f"<td>{c['class']}</td><td>{'yes' if c['completed'] else 'no'}"
+                f"</td><td>{c['stats'] or ''}</td></tr>"
+                for c in state.db.ckpts())
+            return f"""
+<h2>Datasets</h2>
+<table><tr><th>id</th><th>name</th><th>type</th><th></th></tr>{ds_rows}</table>
+<form method=post action=/upload_data enctype=multipart/form-data>
+ <b>Upload dataset</b><br>
+ name <input name=name> type <select name=class>
+ <option>regression</option><option>classification</option></select>
+ <input type=file name=file> <button>upload</button>
+</form>
+<h2>Checkpoints</h2>
+<table><tr><th>id</th><th>name</th><th>type</th><th>done</th><th>stats</th></tr>{ck_rows}</table>
+<form method=post action=/train>
+ <b>Train</b><br>
+ dataset id <input name=dataset_id size=4>
+ checkpoint name <input name=ckpt_name>
+ type <select name=dataset_type><option>regression</option>
+ <option>classification</option></select>
+ epochs <input name=epochs value=10 size=4>
+ <button>train</button>
+</form>
+<form method=post action=/predict>
+ <b>Predict</b><br>
+ checkpoint id <input name=ckpt_id size=4><br>
+ <textarea name=smiles rows=4 cols=60 placeholder="one SMILES per line"></textarea><br>
+ <button>predict</button>
+</form>"""
+
+    return Handler
+
+
+def build_app(root: str) -> tuple:
+    """Create (server_factory, state) — reference build_app (web/wsgi.py:9)."""
+    state = AppState(root)
+    return make_handler(state), state
+
+
+def run_web(host: str = "127.0.0.1", port: int = 5000,
+            root: Optional[str] = None) -> None:
+    """Serve the GUI (reference web/run.py:23-44)."""
+    root = root or os.path.join(os.getcwd(), "web_data")
+    handler, _ = build_app(root)
+    server = ThreadingHTTPServer((host, port), handler)
+    print(f"polymer-chemprop-tpu web running on http://{host}:{port}")
+    server.serve_forever()
+
+
+def chemprop_web() -> None:
+    import argparse
+    p = argparse.ArgumentParser(prog="chemprop_web")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=5000)
+    p.add_argument("--root", default=None)
+    a = p.parse_args()
+    run_web(a.host, a.port, a.root)

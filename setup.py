@@ -22,6 +22,9 @@ setup(
             "chemprop_hyperopt=polymer_chemprop_tpu.cli:chemprop_hyperopt",
             "sklearn_train=polymer_chemprop_tpu.sklearn_train:sklearn_train",
             "sklearn_predict=polymer_chemprop_tpu.sklearn_predict:sklearn_predict",
+            "chemprop_interpret=polymer_chemprop_tpu.interpret:chemprop_interpret",
+            "chemprop_web=polymer_chemprop_tpu.web.app:chemprop_web",
+            "chemprop_ssl_pretrain=polymer_chemprop_tpu.ssl:ssl_pretrain_cli",
         ]
     },
     install_requires=[

@@ -1,0 +1,91 @@
+"""Web GUI integration test: upload -> train -> predict through a live
+HTTP server (reference test_integration.py:470-527 drives the Flask app
+the same way through test_client)."""
+
+import http.client
+import json
+import os
+import threading
+import time
+from http.server import ThreadingHTTPServer
+
+import pytest
+
+from polymer_chemprop_tpu.web.app import build_app
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+@pytest.fixture()
+def server(tmp_path):
+    handler, state = build_app(str(tmp_path))
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address[1], state
+    srv.shutdown()
+
+
+def _post(port, path, fields):
+    boundary = "XxX"
+    parts = []
+    for k, v in fields.items():
+        parts.append(f"--{boundary}\r\nContent-Disposition: form-data; "
+                     f'name="{k}"\r\n\r\n'.encode() +
+                     (v if isinstance(v, bytes) else str(v).encode()) +
+                     b"\r\n")
+    body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request("POST", path, body=body, headers={
+        "Content-Type": f"multipart/form-data; boundary={boundary}"})
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, data
+
+
+def _get(port, path):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("GET", path)
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, data
+
+
+class TestWebApp:
+    def test_upload_train_predict(self, server):
+        port, state = server
+        status, body = _get(port, "/")
+        assert status == 200 and b"polymer-chemprop-tpu" in body
+
+        with open(os.path.join(DATA, "regression.csv"), "rb") as f:
+            csv_bytes = f.read()
+        status, _ = _post(port, "/upload_data",
+                          {"name": "esol", "class": "regression",
+                           "file": csv_bytes})
+        assert status == 303
+        ds = state.db.datasets()
+        assert len(ds) == 1
+
+        status, body = _post(port, "/train",
+                             {"dataset_id": ds[0]["id"],
+                              "ckpt_name": "m1",
+                              "dataset_type": "regression",
+                              "epochs": 2})
+        assert status == 200
+        ckpt_id = json.loads(body)["ckpt_id"]
+
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            status, body = _get(port, f"/progress/{ckpt_id}")
+            prog = json.loads(body)
+            if prog["state"] in ("done", "error"):
+                break
+            time.sleep(2)
+        assert prog["state"] == "done", prog
+
+        status, body = _post(port, "/predict",
+                             {"ckpt_id": ckpt_id,
+                              "smiles": "CCO\nc1ccccc1"})
+        assert status == 200 and b"Predictions" in body
