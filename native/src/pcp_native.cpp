@@ -644,32 +644,41 @@ void assign_hybridization(Mol& m) {
   }
 }
 
-bool conj_candidate(const Mol& m, int a) {
+bool pi_center(const Mol& m, int a) {
   const Atom& at = m.atoms[a];
   if (at.z == 0) return false;
   for (int bi : m.adj[a]) {
     int o = m.bonds[bi].order;
-    if (o == ORDER_DOUBLE || o == ORDER_TRIPLE || o == ORDER_AROMATIC)
+    if (o == ORDER_DOUBLE || o == ORDER_TRIPLE || o == ORDER_AROMATIC ||
+        m.bonds[bi].aromatic)
       return true;
   }
-  if ((at.z == 7 || at.z == 8 || at.z == 16 || at.z == 15) &&
-      lone_pairs(m, a) > 0) {
-    for (int bi : m.adj[a]) {
-      int nb = m.other(bi, a);
-      for (int b2 : m.adj[nb]) {
-        int o = m.bonds[b2].order;
-        if (o == ORDER_DOUBLE || o == ORDER_TRIPLE || o == ORDER_AROMATIC)
-          return true;
-      }
-    }
-  }
-  return false;
+  return (at.z == 7 || at.z == 8 || at.z == 16 || at.z == 15) &&
+         lone_pairs(m, a) > 0;
 }
 
 void assign_conjugation(Mol& m) {
-  for (auto& b : m.bonds) {
-    if (b.order == ORDER_AROMATIC || b.aromatic) { b.conjugated = true; continue; }
-    b.conjugated = conj_candidate(m, b.a1) && conj_candidate(m, b.a2);
+  // RDKit-style pair marking: around every atom, a multiple/aromatic bond
+  // b1 and a sibling bond b2 whose far end is a pi center are both
+  // conjugated. Isolated multiple bonds stay unconjugated.
+  for (auto& b : m.bonds)
+    b.conjugated = (b.order == ORDER_AROMATIC || b.aromatic);
+  for (int a = 0; a < (int)m.atoms.size(); a++) {
+    const auto& bonds = m.adj[a];
+    if (bonds.size() < 2) continue;
+    for (int b1 : bonds) {
+      int o1 = m.bonds[b1].order;
+      if (!(o1 == ORDER_DOUBLE || o1 == ORDER_TRIPLE ||
+            o1 == ORDER_AROMATIC || m.bonds[b1].aromatic))
+        continue;
+      for (int b2 : bonds) {
+        if (b2 == b1) continue;
+        if (pi_center(m, m.other(b2, a))) {
+          m.bonds[b1].conjugated = true;
+          m.bonds[b2].conjugated = true;
+        }
+      }
+    }
   }
 }
 

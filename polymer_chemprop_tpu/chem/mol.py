@@ -534,27 +534,38 @@ class Molecule:
                 atom.hybridization = "SP3D2"
 
     # --- conjugation --------------------------------------------------------
-    def _conj_candidate(self, a: int) -> bool:
+    def _pi_center(self, a: int) -> bool:
+        """Atom that can take part in a conjugated system: carries a
+        multiple/aromatic bond, or is a lone-pair-bearing heteroatom."""
         atom = self.atoms[a]
         if atom.is_wildcard():
             return False
         for b in self.atom_bonds(a):
-            if b.order in (DOUBLE, TRIPLE, AROMATIC):
+            if b.order in (DOUBLE, TRIPLE, AROMATIC) or b.is_aromatic:
                 return True
-        # heteroatom lone pair adjacent to a pi system
-        if atom.atomic_num in (7, 8, 16, 15) and self._lone_pairs(a) > 0:
-            for nb in self.neighbors(a):
-                for b2 in self.atom_bonds(nb):
-                    if b2.order in (DOUBLE, TRIPLE, AROMATIC):
-                        return True
-        return False
+        return atom.atomic_num in (7, 8, 16, 15) and self._lone_pairs(a) > 0
 
     def _assign_conjugation(self) -> None:
+        """RDKit-style pair marking: around every atom, a multiple/aromatic
+        bond b1 and a sibling bond b2 whose far end is a pi center are both
+        conjugated. Isolated multiple bonds (ethylene, acetone C=O) stay
+        unconjugated; alternating systems, amides/esters, aryl links are
+        marked (mirrors RDKit MolOps::setConjugation semantics)."""
         for b in self.bonds:
-            if b.order == AROMATIC or b.is_aromatic:
-                b.conjugated = True
-            else:
-                b.conjugated = self._conj_candidate(b.a1) and self._conj_candidate(b.a2)
+            b.conjugated = b.order == AROMATIC or b.is_aromatic
+        for a in range(self.n_atoms):
+            bonds = self.atom_bonds(a)
+            if len(bonds) < 2:
+                continue
+            for b1 in bonds:
+                if not (b1.order in (DOUBLE, TRIPLE, AROMATIC) or b1.is_aromatic):
+                    continue
+                for b2 in bonds:
+                    if b2.idx == b1.idx:
+                        continue
+                    if self._pi_center(b2.other(a)):
+                        b1.conjugated = True
+                        b2.conjugated = True
 
     # --- double-bond stereo (from SMILES direction markers) -----------------
     def _assign_bond_stereo(self) -> None:

@@ -134,19 +134,27 @@ def bond_features(bond: Optional[Bond]) -> List[float]:
 def _synthetic_bond_features(mol: Molecule, a1: int, a2: int, order: int) -> List[float]:
     """Features of a stochastic inter-monomer bond as if it were added between
     two monomer copies (reference featurization.py:597-614 uses
-    CombineMols+AddBond+Sanitize; we compute the same outcome directly:
-    the new bond joins two copies so it is never in a ring, carries no
-    stereo, and is conjugated iff both attachment atoms sit in pi systems)."""
-    def pi_candidate(a: int) -> bool:
-        if order in (DOUBLE, TRIPLE):
-            return True
-        return mol._conj_candidate(a)
+    CombineMols+AddBond+Sanitize; we compute the same outcome directly: the
+    new bond joins two copies so it is never in a ring and carries no
+    stereo; conjugation follows the pair-marking rule — the new bond is
+    conjugated when one end carries a multiple/aromatic bond and the other
+    end is a pi center)."""
+    def has_multiple(a: int) -> bool:
+        return any(b.order in (DOUBLE, TRIPLE, AROMATIC) or b.is_aromatic
+                   for b in mol.atom_bonds(a))
 
     b = Bond(a1=a1, a2=a2, order=order)
     b.in_ring = False
     b.stereo = 0
     b.is_aromatic = False
-    b.conjugated = pi_candidate(a1) and pi_candidate(a2)
+    if order in (DOUBLE, TRIPLE):
+        # the new multiple bond is conjugated if either end has a sibling
+        # pi-center neighbour
+        b.conjugated = any(mol._pi_center(nb) for nb in
+                           (mol.neighbors(a1) + mol.neighbors(a2)))
+    else:
+        b.conjugated = (has_multiple(a1) and mol._pi_center(a2)) or \
+                       (has_multiple(a2) and mol._pi_center(a1))
     return bond_features(b)
 
 

@@ -41,9 +41,21 @@ class TestFeatureVectors:
         g = MolGraph("C=C")
         fb = g.f_bonds[0][133:]
         assert fb[0] == 0 and fb[2] == 1   # not-None, double bond
-        assert fb[5] == 1                  # conjugated (both sp2)
+        assert fb[5] == 0                  # isolated double bond: NOT conjugated
         assert fb[6] == 0                  # not in ring
         assert fb[7] == 1                  # stereo none slot
+        # butadiene: all three bonds conjugated
+        g2 = MolGraph("C=CC=C")
+        for b in range(0, 6, 2):
+            assert g2.f_bonds[b][133 + 5] == 1
+        # acetone carbonyl: isolated -> not conjugated
+        g3 = MolGraph("CC(C)=O")
+        dbl_rows = [i for i in range(g3.n_bonds) if g3.f_bonds[i][133 + 2] == 1]
+        assert all(g3.f_bonds[i][133 + 5] == 0 for i in dbl_rows)
+        # amide: C=O and C-N both conjugated
+        g4 = MolGraph("CC(=O)NC")
+        conj = [i for i in range(g4.n_bonds) if g4.f_bonds[i][133 + 5] == 1]
+        assert len(conj) == 4  # two undirected bonds x two directions
 
     def test_directed_pairing(self):
         g = MolGraph("CCO")
