@@ -168,6 +168,13 @@ if __name__ == "__main__":
         # print both kernel variants (diagnostics; not the driver line)
         print(json.dumps(bench_tpu(pallas=False)))
         print(json.dumps(bench_tpu(pallas=True)))
+    elif "--xla" in sys.argv:
+        print(json.dumps(bench_tpu(pallas=False)))
     else:
-        result = bench_tpu(pallas="--pallas" in sys.argv)
+        # default: Pallas band kernel; fall back to the XLA path if the
+        # kernel fails to compile on this chip generation
+        try:
+            result = bench_tpu(pallas=True)
+        except Exception:
+            result = bench_tpu(pallas=False)
         print(json.dumps(result))

@@ -92,6 +92,12 @@ def build_sorted_aux(b2dst: np.ndarray, b2revb: np.ndarray,
     for j in range(nblocks):
         lo_key = sorted_key[j * TILE_B]
         start = int(np.searchsorted(sorted_key, lo_key, side="left"))
+        # Mosaic requires dynamic HBM slice starts aligned to the tiling;
+        # we align to a full 128-lane row so the (B/128, 128)-packed weight
+        # and dst windows slice cleanly. Rounding down only widens the
+        # window left; EXT leaves 512-TILE_B slack so the right edge still
+        # covers every same-dst peer (in-degree << slack).
+        start &= ~127
         rs[j] = min(max(start, 0), B - EXT)
     return SortedBondAux(perm, rank, rev_rank, rev_rank_inv, rs,
                          dst_sorted, w_sorted)
@@ -134,14 +140,18 @@ def _band_kernel(rs_ref, dst_tile_ref, msg_tile_ref,
     from jax.experimental.pallas import tpu as pltpu
 
     j = pl.program_id(0)
-    start = rs_ref[j]
+    # build_sorted_aux aligns starts to 128 rows; the hints let Mosaic
+    # prove the dynamic HBM slices respect the (8, 128) tiling
+    start = pl.multiple_of(rs_ref[j], 128)
+    row = pl.multiple_of(start // 128, 1)
 
     cp1 = pltpu.make_async_copy(msg_hbm.at[pl.ds(start, EXT), :], msg_win,
                                 sems.at[0])
-    cp2 = pltpu.make_async_copy(w_hbm.at[pl.ds(start, EXT), :], w_win,
+    # w/dst are packed (B/128, 128); the window is EXT/128 packed rows
+    cp2 = pltpu.make_async_copy(w_hbm.at[pl.ds(row, EXT // 128), :], w_win,
                                 sems.at[1])
-    cp3 = pltpu.make_async_copy(dst_hbm.at[pl.ds(start, EXT), :], dst_win,
-                                sems.at[2])
+    cp3 = pltpu.make_async_copy(dst_hbm.at[pl.ds(row, EXT // 128), :],
+                                dst_win, sems.at[2])
     cp1.start()
     cp2.start()
     cp3.start()
@@ -149,15 +159,19 @@ def _band_kernel(rs_ref, dst_tile_ref, msg_tile_ref,
     cp2.wait()
     cp3.wait()
 
-    dst_tile = dst_tile_ref[:, 0]                      # (TILE_B,)
-    dst_w = dst_win[:, 0]                              # (EXT,)
-    w = w_win[:, 0]                                    # (EXT,)
+    dst_tile = dst_tile_ref[:, 0:1]                    # (TILE_B, 1)
+    dst_w = dst_win[...].reshape(1, EXT)               # (1, EXT)
+    w = w_win[...].reshape(1, EXT)                     # (1, EXT)
     # banded same-destination one-hot, weighted
-    q = jnp.where(dst_tile[:, None] == dst_w[None, :], w[None, :], 0.0)
+    q = jnp.where(dst_tile == dst_w, w, 0.0)
+    # HIGHEST precision: the MXU's default single-pass bf16 f32 emulation
+    # loses ~1e-3 relative accuracy; the band matmul is the whole
+    # aggregation so it must match the XLA segment-sum path closely.
     acc = jax.lax.dot_general(
         q, msg_win[:, :],
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     out_ref[:, :] = acc - msg_tile_ref[:, :]
 
 
@@ -172,14 +186,18 @@ def _band_apply(msg_sorted: jnp.ndarray, w_sorted: jnp.ndarray,
 
     B, Hp = msg_sorted.shape
     nblocks = B // TILE_B
-    w2 = w_sorted.reshape(B, 1)
-    d2 = dst_sorted.astype(jnp.float32).reshape(B, 1)
+    # pack per-bond scalars into full 128-lane rows for clean DMA slicing
+    w2 = w_sorted.reshape(B // 128, 128)
+    d2 = dst_sorted.astype(jnp.float32).reshape(B // 128, 128)
+    # tile-side dst ids lane-broadcast so the block shape is (TILE_B, 128)
+    d_bcast = jnp.broadcast_to(dst_sorted.astype(jnp.float32)[:, None],
+                               (B, LANE))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((TILE_B, 1), lambda j, rs: (j, 0)),    # dst tile
+            pl.BlockSpec((TILE_B, LANE), lambda j, rs: (j, 0)),  # dst tile
             pl.BlockSpec((TILE_B, Hp), lambda j, rs: (j, 0)),   # msg tile
             pl.BlockSpec(memory_space=pl.ANY),               # msg HBM
             pl.BlockSpec(memory_space=pl.ANY),               # w HBM
@@ -188,8 +206,8 @@ def _band_apply(msg_sorted: jnp.ndarray, w_sorted: jnp.ndarray,
         out_specs=pl.BlockSpec((TILE_B, Hp), lambda j, rs: (j, 0)),
         scratch_shapes=[
             pltpu.VMEM((EXT, Hp), jnp.float32),
-            pltpu.VMEM((EXT, 1), jnp.float32),
-            pltpu.VMEM((EXT, 1), jnp.float32),
+            pltpu.VMEM((EXT // 128, 128), jnp.float32),
+            pltpu.VMEM((EXT // 128, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
@@ -198,7 +216,7 @@ def _band_apply(msg_sorted: jnp.ndarray, w_sorted: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hp), jnp.float32),
     )
-    return fn(rs, d2, msg_sorted, msg_sorted, w2, d2)
+    return fn(rs, d_bcast, msg_sorted, msg_sorted, w2, d2)
 
 
 def _band_op(msg_sorted, w_sorted, dst_sorted, rs):
