@@ -92,7 +92,10 @@ def get_data(path: str,
              data_weights_path: Optional[str] = None,
              max_data_size: Optional[int] = None,
              skip_invalid_smiles: bool = True,
-             store_row: bool = False) -> MoleculeDataset:
+             store_row: bool = False,
+             atom_descriptors: Optional[str] = None,
+             atom_descriptors_path: Optional[str] = None,
+             bond_features_path: Optional[str] = None) -> MoleculeDataset:
     """CSV -> MoleculeDataset (reference data/utils.py:177-355)."""
     config = config or FeaturizationConfig()
     smiles_columns = preprocess_smiles_columns(path, smiles_columns,
@@ -110,6 +113,21 @@ def get_data(path: str,
     data_weights = get_data_weights(data_weights_path) \
         if data_weights_path is not None else None
 
+    # per-atom/bond descriptor files (reference data/utils.py:309-327)
+    atom_feats_list = bond_feats_list = None
+    if atom_descriptors_path is not None or bond_features_path is not None:
+        from ..features.utils import load_valid_atom_or_bond_features
+        all_smiles = []
+        with open(path) as f:
+            for row in csv.DictReader(f):
+                all_smiles.append(row[smiles_columns[0]])
+        if atom_descriptors_path is not None:
+            atom_feats_list = load_valid_atom_or_bond_features(
+                atom_descriptors_path, all_smiles)
+        if bond_features_path is not None:
+            bond_feats_list = load_valid_atom_or_bond_features(
+                bond_features_path, all_smiles)
+
     datapoints = []
     with open(path) as f:
         reader = csv.DictReader(f)
@@ -121,6 +139,7 @@ def get_data(path: str,
             for t in task_names:
                 v = row[t]
                 targets.append(float(v) if v not in ("", "nan") else None)
+            af = atom_feats_list[i] if atom_feats_list is not None else None
             datapoints.append(MoleculeDatapoint(
                 smiles=smiles,
                 targets=targets,
@@ -129,6 +148,10 @@ def get_data(path: str,
                 features=features_data[i] if features_data is not None else None,
                 features_generators=list(features_generators)
                 if features_generators else None,
+                atom_features=af if atom_descriptors == "feature" else None,
+                atom_descriptors=af if atom_descriptors == "descriptor" else None,
+                bond_features=bond_feats_list[i]
+                if bond_feats_list is not None else None,
             ))
 
     if skip_invalid_smiles:

@@ -107,14 +107,15 @@ class MoleculeDatapoint:
         """Featurize each molecule position, with process-wide caching."""
         out = []
         for i, s in enumerate(self.smiles):
+            af = self.atom_features if i == 0 else None
+            bf = self.bond_features if i == 0 else None
+            cacheable = af is None and bf is None
             key = (s, config)
-            g = _GRAPH_CACHE.get(key) if _CACHE_ENABLED else None
+            g = _GRAPH_CACHE.get(key) if (_CACHE_ENABLED and cacheable) else None
             if g is None:
-                af = self.atom_features if i == 0 else None
-                bf = self.bond_features if i == 0 else None
                 g = MolGraph(s, config, atom_features_extra=af,
                              bond_features_extra=bf)
-                if _CACHE_ENABLED and af is None and bf is None \
+                if _CACHE_ENABLED and cacheable \
                         and len(_GRAPH_CACHE) < CACHE_CUTOFF:
                     with _CACHE_LOCK:
                         _GRAPH_CACHE[key] = g

@@ -42,7 +42,10 @@ def cross_validate(cfg: TrainConfig,
                     features_path=cfg.features_path,
                     features_generators=cfg.features_generator,
                     data_weights_path=cfg.data_weights_path,
-                    max_data_size=cfg.max_data_size)
+                    max_data_size=cfg.max_data_size,
+                    atom_descriptors=cfg.atom_descriptors,
+                    atom_descriptors_path=cfg.atom_descriptors_path,
+                    bond_features_path=cfg.bond_features_path)
 
     all_scores: Dict[str, List[List[float]]] = {}
     for fold_num in range(cfg.num_folds):

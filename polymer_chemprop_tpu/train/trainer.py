@@ -136,6 +136,18 @@ def run_training(cfg: TrainConfig,
     log = logger or get_logger("train", cfg.save_dir, cfg.quiet)
     debug, info = log.debug, log.info
     fcfg = cfg.featurization()
+    # widen featurization with dataset-provided extra atom/bond features
+    # (reference cross_validate.py:83-91 descriptor-size plumbing)
+    if len(data):
+        sample = data[0]
+        if sample.atom_features is not None and \
+                not cfg.overwrite_default_atom_features:
+            fcfg = fcfg.replace(
+                extra_atom_fdim=np.asarray(sample.atom_features).shape[1])
+        if sample.bond_features is not None and \
+                not cfg.overwrite_default_bond_features:
+            fcfg = fcfg.replace(
+                extra_bond_fdim=np.asarray(sample.bond_features).shape[1])
 
     # ---- split (reference run_training.py:57-105) -------------------------
     if cfg.separate_val_path or cfg.separate_test_path:
@@ -193,6 +205,20 @@ def run_training(cfg: TrainConfig,
         features_scaler = train_data.normalize_features(replace_nan_token=0)
         val_data.normalize_features(features_scaler)
         test_data.normalize_features(features_scaler)
+    # per-atom/bond extra feature scaling (reference run_training.py:118-130)
+    if len(train_data) and (train_data[0].atom_descriptors is not None or
+                            train_data[0].atom_features is not None) \
+            and not cfg.no_features_scaling:
+        ad_scaler = train_data.normalize_features(
+            replace_nan_token=0, scale_atom_descriptors=True)
+        val_data.normalize_features(ad_scaler, scale_atom_descriptors=True)
+        test_data.normalize_features(ad_scaler, scale_atom_descriptors=True)
+    if len(train_data) and train_data[0].bond_features is not None \
+            and not cfg.no_features_scaling:
+        bf_scaler = train_data.normalize_features(
+            replace_nan_token=0, scale_bond_features=True)
+        val_data.normalize_features(bf_scaler, scale_bond_features=True)
+        test_data.normalize_features(bf_scaler, scale_bond_features=True)
 
     # ---- target scaling (reference run_training.py:143-158) ---------------
     scaler = None
@@ -218,7 +244,9 @@ def run_training(cfg: TrainConfig,
     model_cfg = build_model_config(
         cfg, num_tasks,
         features_size=train_data.features_size(),
-        atom_descriptors_size=train_data.atom_descriptors_size())
+        atom_descriptors_size=train_data.atom_descriptors_size(),
+        atom_fdim=fcfg.atom_fdim,
+        bond_fdim=fcfg.bond_fdim(cfg.atom_messages))
     predict_step = make_predict_step(model_cfg)
 
     save_dir = cfg.save_dir

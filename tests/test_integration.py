@@ -225,6 +225,60 @@ class TestHyperopt:
         assert os.path.exists(tmp_path / "best_hyperparams.json")
 
 
+class TestAtomBondDescriptors:
+    def _make_csv_and_descriptors(self, tmp_path, n=40, atom_dim=4, bond_dim=3):
+        import csv as _csv
+        from polymer_chemprop_tpu.chem import parse_smiles
+        src = os.path.join(DATA, "regression.csv")
+        dst = tmp_path / "data.csv"
+        rows = []
+        with open(src) as f:
+            r = _csv.reader(f)
+            header = next(r)
+            for row in r:
+                if len(rows) >= n:
+                    break
+                rows.append(row)
+        with open(dst, "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(header)
+            w.writerows(rows)
+        rng = np.random.default_rng(0)
+        atom_arrays, bond_arrays = {}, {}
+        for i, row in enumerate(rows):
+            m = parse_smiles(row[0])
+            atom_arrays[f"arr_{i}"] = rng.normal(
+                size=(m.n_atoms, atom_dim)).astype(np.float32)
+            bond_arrays[f"arr_{i}"] = rng.normal(
+                size=(m.n_bonds, bond_dim)).astype(np.float32)
+        np.savez(tmp_path / "atoms.npz", **atom_arrays)
+        np.savez(tmp_path / "bonds.npz", **bond_arrays)
+        return str(dst), str(tmp_path / "atoms.npz"), str(tmp_path / "bonds.npz")
+
+    def test_atom_features_mode(self, tmp_path):
+        dst, atoms_npz, _ = self._make_csv_and_descriptors(tmp_path)
+        cfg = train_cfg(str(tmp_path / "run"), data_path=dst, epochs=1,
+                        atom_descriptors="feature",
+                        atom_descriptors_path=atoms_npz, batch_size=10)
+        mean, _ = cross_validate(cfg)
+        assert np.isfinite(mean)
+
+    def test_atom_descriptor_mode(self, tmp_path):
+        dst, atoms_npz, _ = self._make_csv_and_descriptors(tmp_path)
+        cfg = train_cfg(str(tmp_path / "run"), data_path=dst, epochs=1,
+                        atom_descriptors="descriptor",
+                        atom_descriptors_path=atoms_npz, batch_size=10)
+        mean, _ = cross_validate(cfg)
+        assert np.isfinite(mean)
+
+    def test_bond_features_mode(self, tmp_path):
+        dst, _, bonds_npz = self._make_csv_and_descriptors(tmp_path)
+        cfg = train_cfg(str(tmp_path / "run"), data_path=dst, epochs=1,
+                        bond_features_path=bonds_npz, batch_size=10)
+        mean, _ = cross_validate(cfg)
+        assert np.isfinite(mean)
+
+
 class TestSpectra:
     def test_spectra_training(self, tmp_path):
         cfg = train_cfg(str(tmp_path),
