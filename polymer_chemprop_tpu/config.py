@@ -123,6 +123,9 @@ class TrainConfig:
     # the reference is single-device only, SURVEY.md §2.9)
     num_devices: Optional[int] = None        # data-parallel shards (None = all)
     param_dtype: str = "float32"
+    use_pallas: bool = False                 # fused band kernel for message passing
+    use_native_featurizer: bool = False      # C++ host featurization
+    profile_dir: Optional[str] = None        # jax.profiler trace output
 
     def __post_init__(self):
         if self.metric is None:

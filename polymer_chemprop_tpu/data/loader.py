@@ -57,7 +57,8 @@ class MoleculeDataLoader:
                  pad_atoms: Optional[int] = None,
                  pad_bonds: Optional[int] = None,
                  align: int = 256,
-                 use_native: Optional[bool] = None):
+                 use_native: Optional[bool] = None,
+                 use_pallas: bool = False):
         self.dataset = dataset
         self.config = config
         self.batch_size = batch_size
@@ -84,6 +85,12 @@ class MoleculeDataLoader:
                             dataset[0].bond_features is None)))
             use_native = available() and simple
         self.use_native = use_native
+        # Pallas band kernel needs TILE_B-multiple, >= EXT bond envelopes
+        self.use_pallas = use_pallas
+        if use_pallas:
+            from ..ops.pallas_mpnn import EXT, TILE_B
+            self._align = max(self._align, TILE_B)
+            self._pad_bonds = max(self._pad_bonds or 0, EXT)
 
     # -- sampling (reference MoleculeSampler, data.py:537-591) --------------
     def _indices(self) -> List[int]:
@@ -157,14 +164,14 @@ class MoleculeDataLoader:
                 [p.smiles[0] for p in points],
                 pad_atoms=self._pad_atoms, pad_bonds=self._pad_bonds,
                 pad_mols=self.batch_size, n_threads=self.num_workers)
-            graph_arrays.append(gb.arrays())
+            graph_arrays.append(gb.arrays(pallas=self.use_pallas))
         else:
             for pos in range(n_pos):
                 graphs = [p.mol_graphs(self.config)[pos] for p in points]
                 gb = batch_graphs(graphs, pad_atoms=self._pad_atoms,
                                   pad_bonds=self._pad_bonds,
                                   pad_mols=self.batch_size)
-                graph_arrays.append(gb.arrays())
+                graph_arrays.append(gb.arrays(pallas=self.use_pallas))
         M = self.batch_size
         num_tasks = len(points[0].targets) if points[0].targets is not None else 0
         targets = np.zeros((M, num_tasks), np.float32)

@@ -13,6 +13,7 @@ numpy/JSON (utils/checkpoint.py) rather than torch pickles.
 from __future__ import annotations
 
 import csv
+import time
 import os
 from typing import Callable, Dict, List, Optional, Tuple
 
@@ -232,14 +233,14 @@ def run_training(cfg: TrainConfig,
 
     # ---- loaders ----------------------------------------------------------
     set_cache_graph(len(data) <= cfg.cache_cutoff)
+    loader_kw = dict(batch_size=cfg.batch_size, num_workers=cfg.num_workers,
+                     use_native=cfg.use_native_featurizer or None,
+                     use_pallas=cfg.use_pallas)
     train_loader = MoleculeDataLoader(
-        train_data, fcfg, batch_size=cfg.batch_size, shuffle=True,
-        seed=cfg.seed, class_balance=cfg.class_balance,
-        num_workers=cfg.num_workers)
-    val_loader = MoleculeDataLoader(val_data, fcfg, batch_size=cfg.batch_size,
-                                    num_workers=cfg.num_workers)
-    test_loader = MoleculeDataLoader(test_data, fcfg, batch_size=cfg.batch_size,
-                                     num_workers=cfg.num_workers)
+        train_data, fcfg, shuffle=True, seed=cfg.seed,
+        class_balance=cfg.class_balance, **loader_kw)
+    val_loader = MoleculeDataLoader(val_data, fcfg, **loader_kw)
+    test_loader = MoleculeDataLoader(test_data, fcfg, **loader_kw)
 
     model_cfg = build_model_config(
         cfg, num_tasks,
@@ -314,19 +315,32 @@ def run_training(cfg: TrainConfig,
         best_epoch = 0
         best_params = params
 
+        profiling = False
         for epoch in range(start_epoch, cfg.epochs):
+            # jax.profiler trace of the first epoch (tracing/observability;
+            # the reference has no profiler integration, SURVEY.md §5)
+            if cfg.profile_dir and epoch == start_epoch and model_idx == 0:
+                jax.profiler.start_trace(cfg.profile_dir)
+                profiling = True
             losses = []
+            t_epoch = time.perf_counter()
             for batch in train_loader:
                 key, sub = jax.random.split(key)
                 params, opt_state, loss, gnorm = train_step(
                     params, opt_state, batch_pytree(batch), sub)
                 losses.append(float(loss))
+            epoch_s = time.perf_counter() - t_epoch
+            if profiling:
+                jax.block_until_ready(params)
+                jax.profiler.stop_trace()
+                profiling = False
             val_scores = evaluate(params, predict_step, val_loader, num_tasks,
                                   cfg.metrics, cfg.dataset_type, scaler)
             avg_val = float(np.nanmean(val_scores[cfg.metric]))
             mean_loss = float(np.mean(losses)) if losses else float("nan")
             debug(f"Epoch {epoch}: train loss = {mean_loss:.6f}, "
-                  f"val {cfg.metric} = {avg_val:.6f}")
+                  f"val {cfg.metric} = {avg_val:.6f}, "
+                  f"{len(losses) / max(epoch_s, 1e-9):.1f} steps/s")
             if csv_path:
                 with open(csv_path, "a", newline="") as f:
                     csv.writer(f).writerow([epoch, mean_loss, avg_val])
