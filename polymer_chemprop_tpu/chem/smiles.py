@@ -284,7 +284,7 @@ def _fold_explicit_hs(mol: Molecule) -> None:
         target = None
         for a in mol.atoms:
             if a.atomic_num == 1 and a.isotope == 0 and a.formal_charge == 0 \
-                    and "atom_map" not in a.props and mol.degree(a.idx) == 1:
+                    and mol.degree(a.idx) == 1:
                 b = mol.atom_bonds(a.idx)[0]
                 if b.order == SINGLE:
                     nb = mol.atoms[b.other(a.idx)]
