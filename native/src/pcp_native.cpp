@@ -631,6 +631,10 @@ void assign_hybridization(Mol& m) {
     Atom& at = m.atoms[a];
     if (at.z == 0) { at.hyb = -1; continue; }
     if (at.z == 1) { at.hyb = -1; continue; }
+    if (default_valence(at.z, at.charge).empty()) {
+      at.hyb = -1;  // metals etc.: RDKit S/UNSPECIFIED -> unknown slot
+      continue;
+    }
     if (at.aromatic) { at.hyb = 1; continue; }  // SP2
     // pure steric-number rule (no multiple-bond shortcuts: hypervalent
     // S/N — sulfonamide S is SP3, nitro N is SP2)

@@ -513,6 +513,11 @@ class Molecule:
             if atom.atomic_num == 1:
                 atom.hybridization = "S"
                 continue
+            if not default_valence(atom.atomic_num, atom.formal_charge):
+                # no valence model (metals etc.): RDKit reports S/UNSPECIFIED
+                # -> unknown one-hot slot
+                atom.hybridization = "UNSPECIFIED"
+                continue
             if atom.is_aromatic:
                 atom.hybridization = "SP2"
                 continue

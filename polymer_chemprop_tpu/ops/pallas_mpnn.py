@@ -37,7 +37,10 @@ import jax.numpy as jnp
 import numpy as np
 
 TILE_B = 512     # bonds per output tile
-EXT = 1024       # extended window: covers all same-dst peers of a tile
+# Extended window: must cover TILE_B + left alignment slack (<=127) + one
+# max in-degree run on each side (molecular in-degree <= ~6). 768 = 6 lanes
+# of headroom; the window-invariant test guards the bound.
+EXT = 768
 LANE = 128
 
 

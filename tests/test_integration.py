@@ -225,6 +225,51 @@ class TestHyperopt:
         assert os.path.exists(tmp_path / "best_hyperparams.json")
 
 
+class TestMultiMolecule:
+    def test_two_molecule_datapoints(self, tmp_path):
+        """number_of_molecules=2: one encoder per position, concatenated
+        (reference MPN, mpn.py:204-208,281)."""
+        import csv as _csv
+        src = os.path.join(DATA, "regression.csv")
+        dst = tmp_path / "pairs.csv"
+        with open(src) as f:
+            r = _csv.reader(f)
+            next(r)
+            rows = [row for _, row in zip(range(80), r)]
+        with open(dst, "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["smiles_a", "smiles_b", "y"])
+            for i in range(0, len(rows) - 1, 2):
+                w.writerow([rows[i][0], rows[i + 1][0],
+                            (float(rows[i][1]) + float(rows[i + 1][1])) / 2])
+        cfg = train_cfg(str(tmp_path / "run"), data_path=str(dst),
+                        number_of_molecules=2,
+                        smiles_columns=["smiles_a", "smiles_b"],
+                        target_columns=["y"], epochs=2, batch_size=10)
+        mean, _ = cross_validate(cfg)
+        assert np.isfinite(mean)
+
+    def test_mpn_shared(self, tmp_path):
+        import csv as _csv
+        src = os.path.join(DATA, "regression.csv")
+        dst = tmp_path / "pairs.csv"
+        with open(src) as f:
+            r = _csv.reader(f)
+            next(r)
+            rows = [row for _, row in zip(range(40), r)]
+        with open(dst, "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["a", "b", "y"])
+            for i in range(0, len(rows) - 1, 2):
+                w.writerow([rows[i][0], rows[i + 1][0], rows[i][1]])
+        cfg = train_cfg(str(tmp_path / "run"), data_path=str(dst),
+                        number_of_molecules=2, smiles_columns=["a", "b"],
+                        target_columns=["y"], mpn_shared=True, epochs=1,
+                        batch_size=10)
+        mean, _ = cross_validate(cfg)
+        assert np.isfinite(mean)
+
+
 class TestAtomBondDescriptors:
     def _make_csv_and_descriptors(self, tmp_path, n=40, atom_dim=4, bond_dim=3):
         import csv as _csv
