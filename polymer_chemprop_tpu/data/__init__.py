@@ -1,6 +1,8 @@
 """Data layer: datapoints, datasets, CSV ingest, splitters, loaders."""
 
 from .csv_io import (
+    get_class_sizes,
+    validate_dataset_type,
     get_data,
     get_data_from_smiles,
     get_header,
@@ -23,6 +25,6 @@ __all__ = [
     "CACHE_CUTOFF", "DeviceBatch", "MoleculeDataLoader", "MoleculeDatapoint",
     "MoleculeDataset", "StandardScaler", "empty_cache", "get_data",
     "get_data_from_smiles", "get_header", "get_task_names",
-    "preprocess_smiles_columns", "scaffold_split", "scaffold_to_indices",
+    "get_class_sizes", "preprocess_smiles_columns", "scaffold_split", "scaffold_to_indices", "validate_dataset_type",
     "set_cache_graph", "split_data", "validate_data",
 ]

@@ -179,6 +179,43 @@ def get_data_from_smiles(smiles: List[List[str]],
     return MoleculeDataset(datapoints)
 
 
+def get_class_sizes(data: MoleculeDataset,
+                    proportion: bool = True) -> List[List[float]]:
+    """Per-task class balance of a classification dataset
+    (reference data/utils.py:552-580)."""
+    targets = data.targets()
+    num_tasks = data.num_tasks or 0
+    valid_targets: List[List[float]] = [[] for _ in range(num_tasks)]
+    for row in targets:
+        for t in range(num_tasks):
+            if row[t] is not None:
+                valid_targets[t].append(row[t])
+    class_sizes = []
+    for t_targets in valid_targets:
+        if set(t_targets) - {0, 1}:
+            raise ValueError("Classification dataset must only contain 0s and 1s.")
+        ones = sum(1 for v in t_targets if v == 1)
+        n = len(t_targets)
+        if proportion:
+            class_sizes.append([1 - ones / n, ones / n] if n else [0.0, 0.0])
+        else:
+            class_sizes.append([n - ones, ones])
+    return class_sizes
+
+
+def validate_dataset_type(data: MoleculeDataset, dataset_type: str) -> None:
+    """Check targets match the dataset type (reference data/utils.py:584-599)."""
+    target_set = {t for row in data.targets() for t in row if t is not None}
+    classification = target_set <= {0, 1}
+    if dataset_type == "classification" and not classification:
+        raise ValueError("Classification data targets must only be 0 or 1 "
+                         "(or None).")
+    if dataset_type == "regression" and classification and len(target_set) > 0:
+        import warnings
+        warnings.warn("Regression data targets are all 0/1; did you mean "
+                      "--dataset_type classification?")
+
+
 def validate_data(path: str, smiles_columns=None) -> set:
     """Basic data hygiene report (reference data/utils.py:602-659)."""
     errors = set()
