@@ -51,7 +51,7 @@ def _load_batch():
     return gb
 
 
-def bench_tpu(pallas: bool = False) -> dict:
+def bench_tpu(pallas: bool = False, bf16: bool = False) -> dict:
     import jax
     from polymer_chemprop_tpu.models import EncoderConfig, ModelConfig, init_model
     from polymer_chemprop_tpu.train import make_train_step
@@ -62,7 +62,8 @@ def bench_tpu(pallas: bool = False) -> dict:
     n_real_edges = gb.n_bonds_real - 1
 
     enc = EncoderConfig(atom_fdim=133, bond_fdim=147, hidden_size=HIDDEN,
-                        depth=DEPTH)
+                        depth=DEPTH,
+                        compute_dtype="bfloat16" if bf16 else "float32")
     mcfg = ModelConfig(encoder=enc, dataset_type="regression", num_tasks=1,
                        ffn_hidden_size=HIDDEN)
     params = init_model(jax.random.PRNGKey(0), mcfg)
@@ -93,7 +94,8 @@ def bench_tpu(pallas: bool = False) -> dict:
     dt = (time.perf_counter() - t0) / n_iters
 
     edges_per_s = n_real_edges / dt
-    kernel = "pallas-band" if pallas else "xla-segment"
+    kernel = ("pallas-band" if pallas else "xla-segment") + \
+        ("+bf16" if bf16 else "")
     return {
         "metric": "wD-MPNN train-step throughput (real directed edges/s, "
                   f"batch {BATCH_MOLS} mols, hidden {HIDDEN}, depth {DEPTH}, "
@@ -170,6 +172,8 @@ if __name__ == "__main__":
         print(json.dumps(bench_tpu(pallas=True)))
     elif "--xla" in sys.argv:
         print(json.dumps(bench_tpu(pallas=False)))
+    elif "--bf16" in sys.argv:
+        print(json.dumps(bench_tpu(pallas=True, bf16=True)))
     else:
         # default: Pallas band kernel; fall back to the XLA path if the
         # kernel fails to compile on this chip generation

@@ -517,6 +517,8 @@ void perceive_aromaticity(Mol& m) {
     for (int a : ring) {
       const Atom& at = m.atoms[a];
       if (at.z == 0) continue;
+      // sp2 sigma framework required (excludes in-ring sulfone S etc.)
+      if ((int)m.adj[a].size() + at.num_h > 3) { ok = false; break; }
       int dbl_in = 0, dbl_out = 0;
       for (int bi : m.adj[a]) {
         int o = m.bonds[bi].order;

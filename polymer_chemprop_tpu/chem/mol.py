@@ -291,6 +291,11 @@ class Molecule:
         atom = self.atoms[a]
         if atom.is_wildcard():
             return 0
+        # an aromatic ring member needs a free p orbital: sigma framework
+        # must fit sp2 (<= 3 connections). Excludes sulfone S(=O)(=O) in
+        # rings (sigma 4) that a naive electron count would admit.
+        if self.degree(a) + atom.num_hs > 3:
+            return None
         dbl_in = dbl_out = 0
         for b in self.atom_bonds(a):
             if b.order == TRIPLE:

@@ -53,6 +53,7 @@ class EncoderConfig:
     atom_messages: bool = False
     atom_descriptors: Optional[str] = None
     atom_descriptors_size: int = 0
+    compute_dtype: str = "float32"  # 'bfloat16' runs matmuls on the MXU fast path
 
 
 def init_encoder(key: jax.Array, cfg: EncoderConfig) -> Dict:
@@ -80,6 +81,7 @@ def apply_encoder(params: Dict,
                   atom_descriptors: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Encode a GraphBatch (arrays dict) -> (num_mols, hidden) embeddings."""
     act = get_activation(cfg.activation)
+    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     f_atoms = batch["f_atoms"]
     f_bonds = batch["f_bonds"]
     w_atoms = batch["w_atoms"]
@@ -99,7 +101,7 @@ def apply_encoder(params: Dict,
         # columns of the concat(src-atom, bond) vectors (reference
         # featurization.py:838-843 get_components slicing)
         f_bonds = f_bonds[:, -cfg.bond_fdim:]
-        inputs = linear(params["W_i"], f_atoms)
+        inputs = linear(params["W_i"], f_atoms, cdt)
         message = act(inputs)
         for _ in range(cfg.depth - 1):
             if cfg.undirected:
@@ -108,13 +110,13 @@ def apply_encoder(params: Dict,
             # sum over incoming bonds (reference mpn.py:104-108)
             nei = jnp.concatenate([message[b2a], f_bonds], axis=1)
             message = segment_sum(nei, b2dst, num_atoms)
-            message = linear(params["W_h"], message)
+            message = linear(params["W_h"], message, cdt)
             message = act(inputs + message)
             message = dropout(message, cfg.dropout, next(keys), deterministic)
         a_message = weighted_segment_sum(message[b2a], w_bonds, b2dst, num_atoms)
     else:
         pallas_aux = batch.get("pallas_aux")
-        inputs = linear(params["W_i"], f_bonds)
+        inputs = linear(params["W_i"], f_bonds, cdt)
         message = act(inputs)
         for _ in range(cfg.depth - 1):
             if cfg.undirected:
@@ -125,18 +127,18 @@ def apply_encoder(params: Dict,
             else:
                 message = bond_message_step(message, w_bonds, b2a, b2dst,
                                             b2revb, num_atoms)
-            message = linear(params["W_h"], message)
+            message = linear(params["W_h"], message, cdt)
             message = act(inputs + message)  # layer-0 residual (mpn.py:123)
             message = dropout(message, cfg.dropout, next(keys), deterministic)
         a_message = atom_readout(message, w_bonds, b2dst, num_atoms)
 
     a_input = jnp.concatenate([f_atoms, a_message], axis=1)
-    atom_hiddens = act(linear(params["W_o"], a_input))
+    atom_hiddens = act(linear(params["W_o"], a_input, cdt))
     atom_hiddens = dropout(atom_hiddens, cfg.dropout, next(keys), deterministic)
 
     if atom_descriptors is not None:
         atom_hiddens = jnp.concatenate([atom_hiddens, atom_descriptors], axis=1)
-        atom_hiddens = linear(params["W_d"], atom_hiddens)
+        atom_hiddens = linear(params["W_d"], atom_hiddens, cdt)
         atom_hiddens = dropout(atom_hiddens, cfg.dropout, next(keys), deterministic)
 
     return molecule_readout(atom_hiddens, w_atoms, a2mol, num_mols,

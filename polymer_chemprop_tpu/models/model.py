@@ -119,6 +119,8 @@ def apply_ffn(params: Dict, x: jnp.ndarray, cfg: ModelConfig,
     (reference model.py:79-100). ``truncate_last`` stops before the final
     linear layer (last_FFN fingerprints, reference model.py:146-148)."""
     act = get_activation(cfg.encoder.activation)
+    import jax.numpy as jnp
+    cdt = jnp.bfloat16 if cfg.encoder.compute_dtype == "bfloat16" else None
     layers = params["ffn"]
     n = len(layers)
     keys = jax.random.split(dropout_key, n) if dropout_key is not None \
@@ -130,7 +132,7 @@ def apply_ffn(params: Dict, x: jnp.ndarray, cfg: ModelConfig,
         h = dropout(h, cfg.encoder.dropout, keys[i], deterministic)
         if truncate_last and i == n - 1:
             return h
-        h = linear(lp, h)
+        h = linear(lp, h, cdt)
     return h
 
 

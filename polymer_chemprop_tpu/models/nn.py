@@ -49,8 +49,17 @@ def init_linear(key: jax.Array, in_dim: int, out_dim: int,
     return p
 
 
-def linear(params: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
-    y = x @ params["w"]
+def linear(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
+           compute_dtype=None) -> jnp.ndarray:
+    """Dense layer. With a low-precision compute_dtype (e.g. bf16), inputs
+    and weights are cast for the MXU while accumulating in f32 — parameters
+    and the returned activations stay f32 (standard mixed precision)."""
+    if compute_dtype is not None and compute_dtype != jnp.float32:
+        y = jax.lax.dot(x.astype(compute_dtype),
+                        params["w"].astype(compute_dtype),
+                        preferred_element_type=jnp.float32)
+    else:
+        y = x @ params["w"]
     if "b" in params:
         y = y + params["b"]
     return y

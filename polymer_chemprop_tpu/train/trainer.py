@@ -60,6 +60,8 @@ def build_model_config(cfg: TrainConfig, num_tasks: int,
         atom_messages=cfg.atom_messages,
         atom_descriptors=cfg.atom_descriptors,
         atom_descriptors_size=atom_descriptors_size,
+        compute_dtype="bfloat16" if cfg.param_dtype in ("bfloat16", "bf16")
+        else "float32",
     )
     return ModelConfig(
         encoder=enc,
