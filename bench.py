@@ -86,7 +86,14 @@ def bench_tpu(pallas: bool = False, bf16: bool = False) -> dict:
     params, opt_state, loss, gnorm = step(params, opt_state, batch, key)
     jax.block_until_ready(params)
 
-    n_iters = 30
+    # adaptive iteration count: the chip is reached through a shared tunnel
+    # whose latency varies; probe first, then size the timed run to ~5s max
+    t0 = time.perf_counter()
+    for _ in range(3):
+        params, opt_state, loss, gnorm = step(params, opt_state, batch, key)
+    jax.block_until_ready(params)
+    probe_dt = (time.perf_counter() - t0) / 3
+    n_iters = max(3, min(30, int(5.0 / max(probe_dt, 1e-4))))
     t0 = time.perf_counter()
     for _ in range(n_iters):
         params, opt_state, loss, gnorm = step(params, opt_state, batch, key)
