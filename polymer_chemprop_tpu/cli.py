@@ -34,6 +34,23 @@ def main(argv: Optional[List[str]] = None) -> None:
     elif cmd == "hyperopt":
         from .hyperparameter_optimization import chemprop_hyperopt
         chemprop_hyperopt(rest)
+    elif cmd == "interpret":
+        from .interpret import chemprop_interpret
+        chemprop_interpret(rest)
+    elif cmd == "ssl_pretrain":
+        from .ssl import ssl_pretrain_cli
+        ssl_pretrain_cli(rest)
+    elif cmd == "web":
+        import sys as _sys
+        _sys.argv = ["chemprop_web"] + rest
+        from .web.app import chemprop_web
+        chemprop_web()
+    elif cmd == "sklearn_train":
+        from .sklearn_train import sklearn_train
+        sklearn_train(rest)
+    elif cmd == "sklearn_predict":
+        from .sklearn_predict import sklearn_predict
+        sklearn_predict(rest)
     else:
         print(f"unknown command {cmd!r}\n{__doc__}")
         sys.exit(1)

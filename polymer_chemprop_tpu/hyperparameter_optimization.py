@@ -123,7 +123,8 @@ def get_hyperopt_seed(seed: int, trials_dir: str) -> int:
 
 def hyperopt(cfg: TrainConfig, num_iters: int = 20,
              hyperopt_checkpoint_dir: Optional[str] = None,
-             manual_trial_dirs: Optional[List[str]] = None) -> Dict:
+             manual_trial_dirs: Optional[List[str]] = None,
+             config_save_path: Optional[str] = None) -> Dict:
     """TPE search; objective = cross_validate mean score
     (reference hyperparameter_optimization.py:31-156)."""
     logger = get_logger("hyperopt", cfg.save_dir, cfg.quiet)
@@ -170,6 +171,15 @@ def hyperopt(cfg: TrainConfig, num_iters: int = 20,
     out_path = os.path.join(cfg.save_dir or ".", "best_hyperparams.json")
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
+    if config_save_path:
+        # chemprop-style best-config JSON consumable via --config_path
+        # (reference hyperparameter_optimization.py:152-156)
+        os.makedirs(os.path.dirname(config_save_path) or ".", exist_ok=True)
+        cfg_out = {k: (int(v) if k in INT_KEYS else float(v))
+                   for k, v in best["params"].items()}
+        cfg_out["ffn_hidden_size"] = cfg_out["hidden_size"]
+        with open(config_save_path, "w") as f:
+            json.dump(cfg_out, f, indent=4, sort_keys=True)
     logger.info(f"Best hyperparameters: {best['params']} "
                 f"(score {best.get('mean_score')})")
     return result
@@ -182,16 +192,19 @@ def chemprop_hyperopt(argv: Optional[List[str]] = None) -> None:
     from .config import _add_field_args
     parser = argparse.ArgumentParser(prog="polymer_chemprop_tpu hyperopt")
     _add_field_args(parser, TrainConfig)
-    parser.add_argument("--num_iters", type=int, default=20)
+    parser.add_argument("--num_iters", "--num_iter", dest="num_iters",
+                        type=int, default=20)
     parser.add_argument("--hyperopt_checkpoint_dir", type=str, default=None)
     parser.add_argument("--manual_trial_dirs", nargs="*", default=None)
+    parser.add_argument("--config_save_path", type=str, default=None)
     ns = parser.parse_args(argv)
     d = vars(ns)
     num_iters = d.pop("num_iters")
     ckpt_dir = d.pop("hyperopt_checkpoint_dir")
     manual = d.pop("manual_trial_dirs")
+    config_save_path = d.pop("config_save_path")
     if d.get("split_sizes") is not None:
         d["split_sizes"] = tuple(d["split_sizes"])
     cfg = TrainConfig.from_dict(d)
     hyperopt(cfg, num_iters=num_iters, hyperopt_checkpoint_dir=ckpt_dir,
-             manual_trial_dirs=manual)
+             manual_trial_dirs=manual, config_save_path=config_save_path)

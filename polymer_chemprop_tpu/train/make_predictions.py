@@ -31,6 +31,25 @@ def load_model(ckpt_path: str):
     return params, tcfg, scalers
 
 
+def update_prediction_args(args: PredictConfig, tcfg: TrainConfig) -> None:
+    """Reconcile predict-time args with the training configuration
+    (reference utils.py:731-807): features must be provided the same way
+    they were at train time; featurization settings travel inside the
+    checkpoint so no global re-set is needed."""
+    if tcfg.features_path and not args.features_path \
+            and not args.features_generator:
+        raise ValueError(
+            "Features were used during training so they must be specified "
+            "again during prediction using --features_path.")
+    if tcfg.features_generator and not args.features_generator:
+        args.features_generator = tcfg.features_generator
+    if args.features_generator and not (tcfg.features_generator
+                                        or tcfg.features_path):
+        raise ValueError(
+            "Features were not used during training, so they cannot be "
+            "specified during prediction.")
+
+
 def make_predictions(args: PredictConfig,
                      smiles: Optional[List[List[str]]] = None) -> List[List]:
     """(reference make_predictions.py:271-300)."""
@@ -45,6 +64,7 @@ def make_predictions(args: PredictConfig,
 
     params0, tcfg, _ = load_model(ckpts[0])
     fcfg = tcfg.featurization()
+    update_prediction_args(args, tcfg)
 
     if smiles is not None:
         from ..data import get_data_from_smiles
