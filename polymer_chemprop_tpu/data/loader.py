@@ -131,19 +131,23 @@ class MoleculeDataLoader:
     def _compute_envelope(self, order: List[int]) -> None:
         """Choose pad sizes covering every batch under the current order.
         Sticky (monotone non-decreasing) and aligned, so reshuffles reuse
-        the cached executable almost always."""
-        if self.use_native:
-            from ..native_ext import count_native
-            a, b = count_native([d.smiles[0] for d in self.dataset],
-                                n_threads=self.num_workers)
-            counts = list(zip(np.maximum(a, 0).tolist(),
-                              np.maximum(b, 0).tolist()))
-        else:
-            counts = []
-            for d in self.dataset:
-                graphs = d.mol_graphs(self.config)
-                counts.append((sum(g.n_atoms for g in graphs),
-                               sum(g.n_bonds for g in graphs)))
+        the cached executable almost always. Per-datapoint counts are
+        computed once and cached across epochs."""
+        counts = getattr(self, "_counts", None)
+        if counts is None:
+            if self.use_native:
+                from ..native_ext import count_native
+                a, b = count_native([d.smiles[0] for d in self.dataset],
+                                    n_threads=self.num_workers)
+                counts = list(zip(np.maximum(a, 0).tolist(),
+                                  np.maximum(b, 0).tolist()))
+            else:
+                counts = []
+                for d in self.dataset:
+                    graphs = d.mol_graphs(self.config)
+                    counts.append((sum(g.n_atoms for g in graphs),
+                                   sum(g.n_bonds for g in graphs)))
+            self._counts = counts
         max_a = max_b = 0
         for i in range(0, len(order), self.batch_size):
             chunk = order[i:i + self.batch_size]

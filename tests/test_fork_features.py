@@ -1,0 +1,135 @@
+"""Tests for the fork-specific training-infrastructure features the
+reference added on top of Chemprop 1.4.0 (SURVEY.md item 2): train_frac
+subsampling, alternative optimizers/schedulers, config_path overrides,
+target/data weights, class balance, save_smiles_splits, predetermined
+folds."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from polymer_chemprop_tpu.config import TrainConfig, parse_train_args
+from polymer_chemprop_tpu.data import get_data
+from polymer_chemprop_tpu.train import cross_validate
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def base(tmp, **kw):
+    d = dict(data_path=os.path.join(DATA, "regression.csv"),
+             dataset_type="regression", epochs=1, num_folds=1, seed=0,
+             save_dir=tmp, quiet=True, max_data_size=120, num_workers=2)
+    d.update(kw)
+    return TrainConfig(**d)
+
+
+class TestForkFeatures:
+    def test_train_frac(self, tmp_path, caplog):
+        cfg = base(str(tmp_path), train_frac=0.5, epochs=1)
+        mean, _ = cross_validate(cfg)
+        assert np.isfinite(mean)
+        log = (tmp_path / "verbose.log").read_text()
+        assert "train size = 48" in log  # 0.5 * 96
+
+    @pytest.mark.parametrize("opt,sched", [("adamw", "noam"),
+                                           ("sgd", "cosine"),
+                                           ("adam", "constant"),
+                                           ("adam", "exponential")])
+    def test_optimizers_and_schedulers(self, tmp_path, opt, sched):
+        cfg = base(str(tmp_path), optimizer=opt, scheduler=sched,
+                   weight_decay=1e-4 if opt == "adamw" else 0.0)
+        mean, _ = cross_validate(cfg)
+        assert np.isfinite(mean)
+
+    def test_grad_clip(self, tmp_path):
+        cfg = base(str(tmp_path), grad_clip=1.0)
+        mean, _ = cross_validate(cfg)
+        assert np.isfinite(mean)
+
+    def test_config_path_overrides_cli(self, tmp_path):
+        """reference args.py:537-542: the JSON config OVERRIDES CLI flags."""
+        cfg_json = tmp_path / "cfg.json"
+        cfg_json.write_text(json.dumps({"hidden_size": 64, "depth": 2}))
+        cfg = parse_train_args([
+            "--data_path", os.path.join(DATA, "regression.csv"),
+            "--hidden_size", "300",
+            "--config_path", str(cfg_json)])
+        assert cfg.hidden_size == 64 and cfg.depth == 2
+
+    def test_target_weights(self, tmp_path):
+        cfg = base(str(tmp_path), target_weights=[2.0])
+        mean, _ = cross_validate(cfg)
+        assert np.isfinite(mean)
+
+    def test_data_weights(self, tmp_path):
+        import csv as _csv
+        wpath = tmp_path / "weights.csv"
+        with open(wpath, "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["weight"])
+            for i in range(120):
+                w.writerow([1.0 + (i % 3)])
+        cfg = base(str(tmp_path / "run"), data_weights_path=str(wpath))
+        mean, _ = cross_validate(cfg)
+        assert np.isfinite(mean)
+
+    def test_class_balance(self, tmp_path):
+        cfg = TrainConfig(data_path=os.path.join(DATA, "classification.csv"),
+                          dataset_type="classification", epochs=1, num_folds=1,
+                          seed=0, save_dir=str(tmp_path), quiet=True,
+                          class_balance=True, max_data_size=150, num_workers=2)
+        mean, _ = cross_validate(cfg)
+        assert np.isfinite(mean) or np.isnan(mean)  # tiny subsets may degenerate
+
+    def test_save_smiles_splits(self, tmp_path):
+        cfg = base(str(tmp_path), save_smiles_splits=True)
+        cross_validate(cfg)
+        fold = tmp_path / "fold_0"
+        for name in ("train_smiles.csv", "val_smiles.csv", "test_smiles.csv",
+                     "train_full.csv", "split_indices.pckl"):
+            assert (fold / name).exists(), name
+        with open(fold / "split_indices.pckl", "rb") as f:
+            splits = pickle.load(f)
+        assert len(splits) == 3 and sum(len(s) for s in splits) == 120
+
+    def test_predetermined_split(self, tmp_path):
+        folds_file = tmp_path / "folds.pckl"
+        idx = list(range(120))
+        with open(folds_file, "wb") as f:
+            pickle.dump([idx[:40], idx[40:80], idx[80:]], f)
+        cfg = base(str(tmp_path / "run"), split_type="predetermined",
+                   folds_file=str(folds_file), test_fold_index=2,
+                   val_fold_index=1)
+        mean, _ = cross_validate(cfg)
+        assert np.isfinite(mean)
+
+    def test_index_predetermined_split(self, tmp_path):
+        from polymer_chemprop_tpu.data import split_data
+        data = get_data(os.path.join(DATA, "regression.csv"),
+                        max_data_size=60)
+        sets = [[list(range(0, 40)), list(range(40, 50)),
+                 list(range(50, 60))]]
+        tr, va, te = split_data(data, "index_predetermined", (0.8, 0.1, 0.1),
+                                seed=0, crossval_index_sets=sets)
+        assert len(tr) == 40 and len(va) == 10 and len(te) == 10
+
+    def test_undirected_and_atom_messages(self, tmp_path):
+        for flags in ({"undirected": True}, {"atom_messages": True}):
+            cfg = base(str(tmp_path / str(sorted(flags))), **flags)
+            mean, _ = cross_validate(cfg)
+            assert np.isfinite(mean)
+
+    def test_aggregation_variants(self, tmp_path):
+        for agg in ("sum", "norm"):
+            cfg = base(str(tmp_path / agg), aggregation=agg)
+            mean, _ = cross_validate(cfg)
+            assert np.isfinite(mean)
+
+    def test_bias_and_activations(self, tmp_path):
+        for actv in ("LeakyReLU", "tanh", "ELU"):
+            cfg = base(str(tmp_path / actv), activation=actv, bias=True)
+            mean, _ = cross_validate(cfg)
+            assert np.isfinite(mean)
