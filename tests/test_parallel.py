@@ -129,3 +129,31 @@ def test_graft_entry_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_gspmd_matches_single_device(setup):
+    """XLA-partitioned train step (sharded graph axes, auto collectives)
+    must produce the same updated parameters as the single-device step."""
+    from polymer_chemprop_tpu.parallel import make_gspmd_train_step
+
+    cfg, params = setup
+    tx = build_optimizer("sgd", lambda step: 0.1)
+    smiles = ["CCO", "c1ccccc1", "CC", "CCC", "CCN", "c1ccncc1",
+              "CO", "CCCl"]
+    targets = [1.0, -1.0, 0.5, 0.3, -0.2, 2.0, 0.1, 0.7]
+    batch = _mini_batch(smiles, targets)
+
+    sstep = make_train_step(cfg, tx)
+    sp, _, sloss, _ = sstep(params, tx.init(params), batch,
+                            jax.random.PRNGKey(0))
+
+    mesh = make_mesh(4, ("gp",))
+    gstep = make_gspmd_train_step(cfg, tx, mesh, "gp")
+    gp_, _, gloss = gstep(params, tx.init(params), batch,
+                          jax.random.PRNGKey(0))
+
+    assert abs(float(gloss) - float(sloss)) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(gp_),
+                    jax.tree_util.tree_leaves(sp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
