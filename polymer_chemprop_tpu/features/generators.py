@@ -47,6 +47,8 @@ def get_available_features_generators() -> List[str]:
 MORGAN_RADIUS = 2
 MORGAN_NUM_BITS = 2048
 
+_U32 = 0xFFFFFFFF
+
 
 def _as_mol(mol: Mol) -> Molecule:
     if isinstance(mol, str):
@@ -62,24 +64,85 @@ def _hash(*vals) -> int:
     return int.from_bytes(h[:8], "little")
 
 
-def morgan_environments(mol: Molecule, radius: int) -> List[int]:
-    """Circular environment identifiers for every atom at radii 0..radius."""
-    ids = []
-    inv = {}
+# -- RDKit-compatible ECFP hashing ------------------------------------------
+# Replicates RDKit's Morgan fingerprint bit assignment so fingerprints (and
+# the sklearn baselines built on them) match the reference numerically:
+# boost-style uint32 hash_combine over the connectivity invariants
+# (MorganFingerprints.cpp getConnectivityInvariants + calcFingerprint),
+# layer-seeded neighbour hashing with sorted (bondType, invariant) pairs,
+# and environment deduplication by unique bond sets.
+
+def _hash_combine(seed: int, v: int) -> int:
+    seed ^= (v + 0x9E3779B9 + ((seed << 6) & _U32) + (seed >> 2)) & _U32
+    return seed & _U32
+
+
+def _hash_range(values) -> int:
+    seed = 0
+    for v in values:
+        seed = _hash_combine(seed, v & _U32)
+    return seed
+
+
+def _connectivity_invariants(mol: Molecule) -> List[int]:
+    from ..chem.periodic import ATOMIC_MASS
+    invars = []
     for a in mol.atoms:
-        inv[a.idx] = _hash(a.atomic_num, mol.degree(a.idx), a.num_hs,
-                           a.formal_charge, a.in_ring, a.is_aromatic)
-    ids.extend(inv.values())
-    for _ in range(radius):
-        new = {}
-        for a in mol.atoms:
+        delta_mass = int(a.mass - ATOMIC_MASS.get(a.atomic_num, a.mass))
+        components = [a.atomic_num, mol.total_degree(a.idx), a.num_hs,
+                      a.formal_charge, delta_mass]
+        if a.in_ring:
+            components.append(1)
+        invars.append(_hash_range(components))
+    return invars
+
+
+def morgan_environments(mol: Molecule, radius: int) -> List[int]:
+    """RDKit-compatible circular environment identifiers (layer 0..radius)
+    with unique-bond-set deduplication."""
+    n = mol.n_atoms
+    if n == 0:
+        return []
+    invariants = _connectivity_invariants(mol)
+    ids = list(invariants)
+    # neighborhood[a] = set of bond ids covered by a's environment so far
+    neighborhoods = [set() for _ in range(n)]
+    seen_envs = set()
+    for layer in range(1, radius + 1):
+        round_ids = []
+        round_nbrhoods = []
+        round_invariants = list(invariants)
+        for a in range(n):
+            bonds = mol.atom_bonds(a)
+            if not bonds:
+                continue
             nbrs = []
-            for b in mol.atom_bonds(a.idx):
-                order = "ar" if (b.order == AROMATIC or b.is_aromatic) else b.order
-                nbrs.append((_hash(order), inv[b.other(a.idx)]))
-            new[a.idx] = _hash(inv[a.idx], tuple(sorted(nbrs)))
-        inv = new
-        ids.extend(inv.values())
+            env = set(neighborhoods[a])
+            for b in bonds:
+                order = 12 if (b.order == AROMATIC or b.is_aromatic) \
+                    else int(b.order)
+                nbrs.append((order, invariants[b.other(a)]))
+                env.add(b.idx)
+                env |= neighborhoods[b.other(a)]
+            nbrs.sort()
+            invar = layer & _U32
+            invar = _hash_combine(invar, invariants[a])
+            for order, nbr_inv in nbrs:
+                invar = _hash_combine(invar, order)
+                invar = _hash_combine(invar, nbr_inv)
+            round_invariants[a] = invar
+            round_nbrhoods.append((tuple(sorted(env)), invar, a))
+        # dedup: one id per unique bond set, smallest invariant wins
+        round_nbrhoods.sort()
+        new_neighborhoods = list(neighborhoods)
+        for env, invar, a in round_nbrhoods:
+            new_neighborhoods[a] = set(env)
+            if env not in seen_envs:
+                seen_envs.add(env)
+                round_ids.append(invar)
+        invariants = round_invariants
+        neighborhoods = new_neighborhoods
+        ids.extend(round_ids)
     return ids
 
 

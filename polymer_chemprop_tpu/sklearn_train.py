@@ -19,7 +19,7 @@ from sklearn.svm import SVC, SVR
 from .chem.scaffold import scaffold_key  # noqa: F401  (parity import)
 from .config import TrainConfig
 from .data import MoleculeDataset, split_data
-from .features.generators import morgan_counts_features_generator
+from .features.generators import morgan_binary_features_generator
 from .train.cross_validate import cross_validate
 from .train.metrics import evaluate_predictions
 from .utils.checkpoint import save_checkpoint
@@ -42,7 +42,7 @@ class SklearnTrainConfig(TrainConfig):
 def compute_morgan_features(data: MoleculeDataset, radius: int,
                             num_bits: int) -> np.ndarray:
     return np.stack([
-        morgan_counts_features_generator(d.smiles[0], radius=radius,
+        morgan_binary_features_generator(d.smiles[0], radius=radius,
                                          num_bits=num_bits)
         for d in data])
 
