@@ -114,19 +114,40 @@ def apply_encoder(params: Dict,
             message = act(inputs + message)
             message = dropout(message, cfg.dropout, next(keys), deterministic)
         a_message = weighted_segment_sum(message[b2a], w_bonds, b2dst, num_atoms)
+    elif "pallas_aux" in batch:
+        # sorted-resident Pallas path: messages stay in dst-sorted order for
+        # the whole depth loop (row-wise ops commute with the permutation),
+        # leaving one involution gather per layer + the MXU band kernel.
+        from ..ops.pallas_mpnn import (
+            atom_readout_sorted,
+            band_message_step_sorted,
+            pad_lane,
+            permute_rows,
+            to_sorted,
+        )
+        aux = batch["pallas_aux"]
+        inputs = to_sorted(linear(params["W_i"], f_bonds, cdt), aux)
+        message = act(inputs)
+        for _ in range(cfg.depth - 1):
+            if cfg.undirected:
+                message = (message + permute_rows(message, aux["srev"],
+                                                  aux["srev"])) / 2
+            message = band_message_step_sorted(message, aux)
+            message = linear(params["W_h"],
+                             message[:, :cfg.hidden_size], cdt)
+            message = act(inputs[:, :cfg.hidden_size] + message)
+            message = dropout(message, cfg.dropout, next(keys), deterministic)
+            message = pad_lane(message)
+        a_message = atom_readout_sorted(message, aux, num_atoms,
+                                        cfg.hidden_size)
     else:
-        pallas_aux = batch.get("pallas_aux")
         inputs = linear(params["W_i"], f_bonds, cdt)
         message = act(inputs)
         for _ in range(cfg.depth - 1):
             if cfg.undirected:
                 message = (message + message[b2revb]) / 2
-            if pallas_aux is not None:
-                from ..ops.pallas_mpnn import bond_message_step_pallas
-                message = bond_message_step_pallas(message, pallas_aux)
-            else:
-                message = bond_message_step(message, w_bonds, b2a, b2dst,
-                                            b2revb, num_atoms)
+            message = bond_message_step(message, w_bonds, b2a, b2dst,
+                                        b2revb, num_atoms)
             message = linear(params["W_h"], message, cdt)
             message = act(inputs + message)  # layer-0 residual (mpn.py:123)
             message = dropout(message, cfg.dropout, next(keys), deterministic)

@@ -49,10 +49,12 @@ class SortedBondAux(NamedTuple):
 
     perm:     (B,) natural bond id at each sorted position
     rank:     (B,) sorted position of each natural bond id (inverse of perm)
-    rev_rank: (B,) sorted-domain gather index implementing z[rev(b)] for
-              sorted output position s -> rank[rev_natural(perm[s])] ... i.e.
-              m_new_natural = z_sorted[rev_rank] directly.
+    rev_rank: (B,) natural-domain gather index: m_new_natural = z_sorted[rev_rank]
     rev_rank_inv: inverse permutation of rev_rank (for the VJP)
+    srev:     (B,) sorted-domain reverse-bond permutation
+              (srev[s] = rank[rev_natural(perm[s])]); an INVOLUTION, so it
+              is its own inverse — the sorted-resident encoder path uses it
+              as the single per-layer gather.
     rs:       (nblocks,) window start (element offset) per bond tile
     dst_sorted: (B,) destination atom ids in sorted order
     w_sorted: (B,) bond weights in sorted order
@@ -62,6 +64,7 @@ class SortedBondAux(NamedTuple):
     rank: np.ndarray
     rev_rank: np.ndarray
     rev_rank_inv: np.ndarray
+    srev: np.ndarray
     rs: np.ndarray
     dst_sorted: np.ndarray
     w_sorted: np.ndarray
@@ -88,6 +91,7 @@ def build_sorted_aux(b2dst: np.ndarray, b2revb: np.ndarray,
     rev_rank = rank[b2revb].astype(np.int32)
     rev_rank_inv = np.empty(B, np.int32)
     rev_rank_inv[rev_rank] = np.arange(B, dtype=np.int32)
+    srev = rank[b2revb[perm]].astype(np.int32)
     dst_sorted = b2dst[perm].astype(np.int32)
     w_sorted = w_bonds[perm].astype(np.float32)
     nblocks = B // TILE_B
@@ -102,7 +106,7 @@ def build_sorted_aux(b2dst: np.ndarray, b2revb: np.ndarray,
         # covers every same-dst peer (in-degree << slack).
         start &= ~127
         rs[j] = min(max(start, 0), B - EXT)
-    return SortedBondAux(perm, rank, rev_rank, rev_rank_inv, rs,
+    return SortedBondAux(perm, rank, rev_rank, rev_rank_inv, srev, rs,
                          dst_sorted, w_sorted)
 
 
@@ -244,6 +248,38 @@ def _band_op(msg_sorted, w_sorted, dst_sorted, rs):
 
     op.defvjp(fwd, bwd)
     return op(msg_sorted)
+
+
+# -- sorted-resident encoder path -------------------------------------------
+# Messages stay in dst-sorted order across the whole depth loop: the W_h
+# matmul, residual and activation are row-wise so they commute with the
+# permutation, leaving ONE gather per layer (srev, an involution) instead
+# of sort + reverse + unsort.
+
+def pad_lane(x: jnp.ndarray) -> jnp.ndarray:
+    H = x.shape[1]
+    Hp = ((H + LANE - 1) // LANE) * LANE
+    return jnp.pad(x, ((0, 0), (0, Hp - H))) if Hp != H else x
+
+
+def to_sorted(x: jnp.ndarray, aux: dict) -> jnp.ndarray:
+    """Natural -> sorted bond order (rows padded to a lane multiple)."""
+    return permute_rows(pad_lane(x), aux["perm"], aux["rank"])
+
+
+def band_message_step_sorted(msg_sorted: jnp.ndarray, aux: dict) -> jnp.ndarray:
+    """m_new (sorted order) = (S msg - msg)[srev]."""
+    z = _band_op(msg_sorted, aux["w_sorted"], aux["dst_sorted"], aux["rs"])
+    return permute_rows(z, aux["srev"], aux["srev"])
+
+
+def atom_readout_sorted(msg_sorted: jnp.ndarray, aux: dict,
+                        num_atoms: int, out_dim: int) -> jnp.ndarray:
+    """Final weighted incoming-bond aggregation from sorted messages."""
+    agg = jax.ops.segment_sum(
+        msg_sorted * aux["w_sorted"][:, None], aux["dst_sorted"],
+        num_segments=num_atoms, indices_are_sorted=False)
+    return agg[:, :out_dim]
 
 
 def bond_message_step_pallas(message: jnp.ndarray,

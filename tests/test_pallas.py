@@ -35,9 +35,7 @@ def batch():
 
 def _aux_arrays(gb):
     aux = build_sorted_aux(gb.b2dst, gb.b2revb, gb.w_bonds)
-    return {k: jnp.asarray(getattr(aux, k))
-            for k in ("perm", "rank", "rev_rank", "rev_rank_inv", "rs",
-                      "dst_sorted", "w_sorted")}
+    return {k: jnp.asarray(getattr(aux, k)) for k in aux._fields}
 
 
 class TestPermuteRows:
@@ -119,3 +117,45 @@ class TestBandKernel:
             assert peers.min() >= aux.rs[j]
             assert peers.max() < aux.rs[j] + EXT, \
                 f"window overflow in tile {j}"
+
+
+class TestSortedResidentEncoder:
+    def test_encoder_matches_xla_path(self, interpret_mode, batch):
+        """Full encoder through the sorted-resident Pallas branch must match
+        the XLA segment-sum branch (forward + gradients)."""
+        from polymer_chemprop_tpu.models import EncoderConfig, apply_encoder, init_encoder
+        gb = batch
+        cfg = EncoderConfig(atom_fdim=133, bond_fdim=147, hidden_size=24,
+                            depth=3)
+        params = init_encoder(jax.random.PRNGKey(0), cfg)
+        a_x = {k: jnp.asarray(v) for k, v in gb.arrays().items()}
+        a_p = jax.tree_util.tree_map(jnp.asarray, gb.arrays(pallas=True))
+        out_x = np.asarray(apply_encoder(params, a_x, cfg))
+        out_p = np.asarray(apply_encoder(params, a_p, cfg))
+        np.testing.assert_allclose(out_p, out_x, rtol=1e-4, atol=1e-5)
+
+        def loss_x(p):
+            return (apply_encoder(p, a_x, cfg) ** 2).sum()
+
+        def loss_p(p):
+            return (apply_encoder(p, a_p, cfg) ** 2).sum()
+
+        g_x = jax.grad(loss_x)(params)
+        g_p = jax.grad(loss_p)(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g_x),
+                        jax.tree_util.tree_leaves(g_p)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-3, atol=1e-4)
+
+    def test_undirected_mode(self, interpret_mode, batch):
+        from polymer_chemprop_tpu.models import EncoderConfig, apply_encoder, init_encoder
+        gb = batch
+        cfg = EncoderConfig(atom_fdim=133, bond_fdim=147, hidden_size=16,
+                            depth=3, undirected=True)
+        params = init_encoder(jax.random.PRNGKey(1), cfg)
+        a_x = {k: jnp.asarray(v) for k, v in gb.arrays().items()}
+        a_p = jax.tree_util.tree_map(jnp.asarray, gb.arrays(pallas=True))
+        np.testing.assert_allclose(
+            np.asarray(apply_encoder(params, a_p, cfg)),
+            np.asarray(apply_encoder(params, a_x, cfg)),
+            rtol=1e-4, atol=1e-5)
