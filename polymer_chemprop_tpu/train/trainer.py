@@ -311,7 +311,8 @@ def run_training(cfg: TrainConfig,
         if csv_path and start_epoch == 0:
             with open(csv_path, "w", newline="") as f:
                 csv.writer(f).writerow(
-                    ["epoch", "train_loss", f"val_{cfg.metric}"])
+                    ["epoch", "train_loss", f"val_{cfg.metric}",
+                     "param_norm", "gradient_norm"])
 
         best_score = float("inf") if cfg.minimize_score else -float("inf")
         best_epoch = 0
@@ -325,12 +326,14 @@ def run_training(cfg: TrainConfig,
                 jax.profiler.start_trace(cfg.profile_dir)
                 profiling = True
             losses = []
+            gnorms = []
             t_epoch = time.perf_counter()
             for batch in train_loader:
                 key, sub = jax.random.split(key)
                 params, opt_state, loss, gnorm = train_step(
                     params, opt_state, batch_pytree(batch), sub)
                 losses.append(float(loss))
+                gnorms.append(float(gnorm))
             epoch_s = time.perf_counter() - t_epoch
             if profiling:
                 jax.block_until_ready(params)
@@ -340,12 +343,17 @@ def run_training(cfg: TrainConfig,
                                   cfg.metrics, cfg.dataset_type, scaler)
             avg_val = float(np.nanmean(val_scores[cfg.metric]))
             mean_loss = float(np.mean(losses)) if losses else float("nan")
+            from ..models import compute_pnorm
+            pnorm = compute_pnorm(params)
+            mean_gnorm = float(np.mean(gnorms)) if gnorms else float("nan")
             debug(f"Epoch {epoch}: train loss = {mean_loss:.6f}, "
                   f"val {cfg.metric} = {avg_val:.6f}, "
+                  f"PNorm = {pnorm:.4f}, GNorm = {mean_gnorm:.4f}, "
                   f"{len(losses) / max(epoch_s, 1e-9):.1f} steps/s")
             if csv_path:
                 with open(csv_path, "a", newline="") as f:
-                    csv.writer(f).writerow([epoch, mean_loss, avg_val])
+                    csv.writer(f).writerow([epoch, mean_loss, avg_val,
+                                            pnorm, mean_gnorm])
             # every-epoch resume checkpoint (reference run_training.py:404-409)
             if model_dir:
                 save_checkpoint(
