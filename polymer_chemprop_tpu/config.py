@@ -111,6 +111,7 @@ class TrainConfig:
     data_weights_path: Optional[str] = None
     log_frequency: int = 10
     cache_cutoff: int = 10000
+    empty_cache: bool = False  # clear the graph cache before each run
     num_workers: int = 8
 
     # spectra

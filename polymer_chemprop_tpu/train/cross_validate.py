@@ -36,6 +36,10 @@ def cross_validate(cfg: TrainConfig,
         os.makedirs(save_dir, exist_ok=True)
         cfg.save(os.path.join(save_dir, "args.json"))
 
+    if cfg.empty_cache:
+        from ..data import empty_cache
+        empty_cache()
+
     info("Loading data")
     data = get_data(cfg.data_path, cfg.smiles_columns, cfg.target_columns,
                     cfg.ignore_columns, cfg.number_of_molecules, fcfg,

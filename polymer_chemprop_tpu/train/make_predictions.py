@@ -145,6 +145,10 @@ def _write_preds(args: PredictConfig, tcfg: TrainConfig, rows, avg_preds,
     multiclass = tcfg.dataset_type == "multiclass"
     with open(args.preds_path, "w", newline="") as f:
         base_cols = list(rows[0].keys()) if rows and rows[0] else ["smiles"]
+        if args.drop_extra_columns:
+            # keep only the SMILES column(s) (reference PredictArgs flag)
+            keep = tcfg.smiles_columns or base_cols[:tcfg.number_of_molecules]
+            base_cols = [c for c in base_cols if c in keep] or base_cols[:1]
         header = list(base_cols) + list(task_names)
         if var_preds is not None:
             header += [f"{t}_epi_unc" for t in task_names]
@@ -154,7 +158,10 @@ def _write_preds(args: PredictConfig, tcfg: TrainConfig, rows, avg_preds,
         w = csv.writer(f)
         w.writerow(header)
         for i, row in enumerate(rows):
-            vals = list(row.values()) if row else [""]
+            if row and args.drop_extra_columns:
+                vals = [row[c] for c in base_cols if c in row]
+            else:
+                vals = list(row.values()) if row else [""]
             if multiclass:
                 preds_row = [list(np.argmax(avg_preds[i], axis=-1))] \
                     if avg_preds.ndim == 3 else list(avg_preds[i])
