@@ -126,16 +126,24 @@ def apply_encoder(params: Dict,
             to_sorted,
         )
         aux = batch["pallas_aux"]
+        H = cfg.hidden_size
+        # fuse the W_h matmul into the band kernel when it is a plain
+        # (bias-free, f32) matrix — the z intermediate never touches HBM
+        fuse_wh = not cfg.bias and cdt is None
         inputs = to_sorted(linear(params["W_i"], f_bonds, cdt), aux)
         message = act(inputs)
         for _ in range(cfg.depth - 1):
             if cfg.undirected:
                 message = (message + permute_rows(message, aux["srev"],
                                                   aux["srev"])) / 2
-            message = band_message_step_sorted(message, aux)
-            message = linear(params["W_h"],
-                             message[:, :cfg.hidden_size], cdt)
-            message = act(inputs[:, :cfg.hidden_size] + message)
+            if fuse_wh:
+                from ..ops.pallas_mpnn import band_matmul_step_sorted
+                message = band_matmul_step_sorted(
+                    message, params["W_h"]["w"], aux)[:, :H]
+            else:
+                message = band_message_step_sorted(message, aux)
+                message = linear(params["W_h"], message[:, :H], cdt)
+            message = act(inputs[:, :H] + message)
             message = dropout(message, cfg.dropout, next(keys), deterministic)
             message = pad_lane(message)
         a_message = atom_readout_sorted(message, aux, num_atoms,

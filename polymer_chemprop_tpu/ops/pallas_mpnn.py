@@ -86,12 +86,19 @@ def build_sorted_aux(b2dst: np.ndarray, b2revb: np.ndarray,
     sorted_key = key[perm]
     rank = np.empty(B, np.int32)
     rank[perm] = np.arange(B, dtype=np.int32)
+    # Padding bonds all carry b2revb == 0, which would make the reverse map
+    # many-to-one and break the bijective (scatter-free) VJP of the
+    # permutation gathers. Padding bonds become their own reverse instead —
+    # a true permutation, with identical semantics for real bonds (padding
+    # outputs are never consumed).
+    idx = np.arange(B, dtype=b2revb.dtype)
+    rev_eff = np.where((b2revb == 0) & (idx != 0), idx, b2revb)
     # m_new[b] = z[rev(b)]; producing natural order directly from z_sorted:
     # out natural position b reads z_sorted[rank[rev(b)]]
-    rev_rank = rank[b2revb].astype(np.int32)
+    rev_rank = rank[rev_eff].astype(np.int32)
     rev_rank_inv = np.empty(B, np.int32)
     rev_rank_inv[rev_rank] = np.arange(B, dtype=np.int32)
-    srev = rank[b2revb[perm]].astype(np.int32)
+    srev = rank[rev_eff[perm]].astype(np.int32)
     dst_sorted = b2dst[perm].astype(np.int32)
     w_sorted = w_bonds[perm].astype(np.float32)
     nblocks = B // TILE_B
@@ -136,6 +143,53 @@ def permute_rows(x, idx, inv_idx):
 # ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------
+
+def _band_matmul_kernel(rs_ref, dst_tile_ref, msg_tile_ref, wh_ref,
+                        msg_hbm, w_hbm, dst_hbm,
+                        out_ref,
+                        msg_win, w_win, dst_win, sems):
+    """One bond tile with the message-update matmul fused:
+    out = (Q @ msg_window - msg_tile) @ W_h.
+
+    Row-wise matmuls commute with the reverse-bond permutation applied
+    outside, so fusing W_h here saves writing+re-reading the intermediate
+    z to HBM (one full B x H round trip per layer)."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    j = pl.program_id(0)
+    start = pl.multiple_of(rs_ref[j], 128)
+    row = pl.multiple_of(start // 128, 1)
+
+    cp1 = pltpu.make_async_copy(msg_hbm.at[pl.ds(start, EXT), :], msg_win,
+                                sems.at[0])
+    cp2 = pltpu.make_async_copy(w_hbm.at[pl.ds(row, EXT // 128), :], w_win,
+                                sems.at[1])
+    cp3 = pltpu.make_async_copy(dst_hbm.at[pl.ds(row, EXT // 128), :],
+                                dst_win, sems.at[2])
+    cp1.start()
+    cp2.start()
+    cp3.start()
+    cp1.wait()
+    cp2.wait()
+    cp3.wait()
+
+    dst_tile = dst_tile_ref[:, 0:1]
+    dst_w = dst_win[...].reshape(1, EXT)
+    w = w_win[...].reshape(1, EXT)
+    q = jnp.where(dst_tile == dst_w, w, 0.0)
+    z = jax.lax.dot_general(
+        q, msg_win[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST) - msg_tile_ref[:, :]
+    out_ref[:, :] = jax.lax.dot_general(
+        z, wh_ref[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
 
 def _band_kernel(rs_ref, dst_tile_ref, msg_tile_ref,
                  msg_hbm, w_hbm, dst_hbm,
@@ -271,6 +325,90 @@ def band_message_step_sorted(msg_sorted: jnp.ndarray, aux: dict) -> jnp.ndarray:
     """m_new (sorted order) = (S msg - msg)[srev]."""
     z = _band_op(msg_sorted, aux["w_sorted"], aux["dst_sorted"], aux["rs"])
     return permute_rows(z, aux["srev"], aux["srev"])
+
+
+def _band_matmul_apply(msg_sorted, w_sorted, dst_sorted, rs, wh_padded):
+    """(S msg - msg) @ W via the fused kernel; wh_padded is (Hp, Hp)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Hp = msg_sorted.shape
+    nblocks = B // TILE_B
+    w2 = w_sorted.reshape(B // 128, 128)
+    d2 = dst_sorted.astype(jnp.float32).reshape(B // 128, 128)
+    d_bcast = jnp.broadcast_to(dst_sorted.astype(jnp.float32)[:, None],
+                               (B, LANE))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((TILE_B, LANE), lambda j, rs: (j, 0)),   # dst tile
+            pl.BlockSpec((TILE_B, Hp), lambda j, rs: (j, 0)),     # msg tile
+            pl.BlockSpec((Hp, Hp), lambda j, rs: (0, 0)),         # W_h
+            pl.BlockSpec(memory_space=pl.ANY),                    # msg HBM
+            pl.BlockSpec(memory_space=pl.ANY),                    # w HBM
+            pl.BlockSpec(memory_space=pl.ANY),                    # dst HBM
+        ],
+        out_specs=pl.BlockSpec((TILE_B, Hp), lambda j, rs: (j, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((EXT, Hp), jnp.float32),
+            pltpu.VMEM((EXT // 128, 128), jnp.float32),
+            pltpu.VMEM((EXT // 128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    fn = pl.pallas_call(
+        _band_matmul_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hp), jnp.float32),
+    )
+    return fn(rs, d_bcast, msg_sorted, wh_padded, msg_sorted, w2, d2)
+
+
+def band_matmul_step_sorted(msg_sorted: jnp.ndarray, wh: jnp.ndarray,
+                            aux: dict) -> jnp.ndarray:
+    """Fused wD-MPNN layer core in sorted order:
+    ((S msg - msg) @ W_h)[srev] — the message aggregation, reverse-bond
+    step and update matmul, with the intermediate z never touching HBM.
+
+    wh: (H_in, H_out) update matrix; rows/cols are zero-padded to the lane
+    -padded Hp internally (zero padding is exact: padded input columns of
+    msg are zero and padded output columns are discarded by the caller).
+    """
+    B, Hp = msg_sorted.shape
+    w_sorted = aux["w_sorted"]
+    dst_sorted = aux["dst_sorted"]
+    rs = aux["rs"]
+
+    def pad_w(w):
+        return jnp.zeros((Hp, Hp), jnp.float32) \
+            .at[:w.shape[0], :w.shape[1]].set(w)
+
+    @jax.custom_vjp
+    def op(m, w):
+        return _band_matmul_apply(m, w_sorted, dst_sorted, rs, pad_w(w))
+
+    def fwd(m, w):
+        return _band_matmul_apply(m, w_sorted, dst_sorted, rs, pad_w(w)), (m, w)
+
+    def bwd(res, g):
+        m, w = res
+        # z = S m - m;  out = z @ Wp
+        # dW = z^T g (sliced to w's shape); dm = (S^T - I)(g @ Wp^T)
+        ones = jnp.ones_like(w_sorted)
+        z = _band_op(m, w_sorted, dst_sorted, rs)  # recompute, stays on MXU
+        dw = (z.T @ g)[:w.shape[0], :w.shape[1]]
+        gw = g[:, :w.shape[1]] @ w.T  # (B, H_in)
+        gw = jnp.pad(gw, ((0, 0), (0, Hp - w.shape[0]))) \
+            if w.shape[0] != Hp else gw
+        kg_minus_g = _band_apply(gw, ones, dst_sorted, rs)
+        dm = w_sorted[:, None] * (kg_minus_g + gw) - gw
+        return dm, dw
+
+    op.defvjp(fwd, bwd)
+    out = op(msg_sorted, wh)
+    return permute_rows(out, aux["srev"], aux["srev"])
 
 
 def atom_readout_sorted(msg_sorted: jnp.ndarray, aux: dict,
