@@ -85,7 +85,15 @@ class MoleculeDataLoader:
                             dataset[0].bond_features is None)))
             use_native = available() and simple
         self.use_native = use_native
-        # Pallas band kernel needs TILE_B-multiple, >= EXT bond envelopes
+        # Pallas band kernel needs TILE_B-multiple, >= EXT bond envelopes,
+        # and a TPU backend (CPU would need interpreter mode)
+        if use_pallas:
+            import jax
+            if jax.default_backend() not in ("tpu", "axon"):
+                import warnings
+                warnings.warn("use_pallas requires a TPU backend; falling "
+                              "back to the XLA segment-sum path")
+                use_pallas = False
         self.use_pallas = use_pallas
         if use_pallas:
             from ..ops.pallas_mpnn import EXT, TILE_B
