@@ -688,6 +688,80 @@ void assign_conjugation(Mol& m) {
   }
 }
 
+// --- CIP branch comparison (mirrors chem/stereo.py) ---------------------
+
+constexpr int CIP_DEPTH = 12;
+
+std::vector<std::vector<int>> branch_levels(const Mol& m, int root,
+                                            int first) {
+  std::vector<std::vector<int>> levels;
+  levels.push_back({m.atoms[first].z});
+  std::set<int> visited{root, first};
+  std::vector<std::pair<int, int>> frontier{{first, root}};
+  for (int d = 0; d < CIP_DEPTH; d++) {
+    std::vector<std::pair<int, int>> nxt;
+    std::vector<int> level;
+    for (auto& [a, parent] : frontier) {
+      for (int bi : m.adj[a]) {
+        const Bond& b = m.bonds[bi];
+        int o = m.other(bi, a);
+        int mult = 0;
+        if (b.order == ORDER_DOUBLE) mult = 1;
+        else if (b.order == ORDER_TRIPLE) mult = 2;
+        else if ((b.order == ORDER_AROMATIC || b.aromatic) &&
+                 b.kekule == ORDER_DOUBLE) mult = 1;
+        if (o == parent) {
+          for (int k = 0; k < mult; k++) level.push_back(m.atoms[parent].z);
+          continue;
+        }
+        level.push_back(m.atoms[o].z);
+        for (int k = 0; k < mult; k++) level.push_back(m.atoms[o].z);
+        if (!visited.count(o)) {
+          visited.insert(o);
+          nxt.push_back({o, a});
+        }
+      }
+    }
+    for (auto& [a, parent] : frontier)
+      for (int k = 0; k < m.atoms[a].num_h; k++) level.push_back(1);
+    if (level.empty()) break;
+    std::sort(level.rbegin(), level.rend());
+    levels.push_back(level);
+    frontier = nxt;
+    if (frontier.empty()) break;
+  }
+  // sort level 0 too (single element, no-op) for parity with python
+  return levels;
+}
+
+int compare_branches(const Mol& m, int root, int a, int b) {
+  if (a == b) return 0;
+  auto la = branch_levels(m, root, a);
+  auto lb = branch_levels(m, root, b);
+  size_t n = std::max(la.size(), lb.size());
+  for (size_t i = 0; i < n; i++) {
+    static const std::vector<int> empty;
+    const auto& va = i < la.size() ? la[i] : empty;
+    const auto& vb = i < lb.size() ? lb[i] : empty;
+    if (va != vb) return va > vb ? 1 : -1;
+  }
+  return 0;
+}
+
+// highest-priority neighbour of atom (excluding `exclude`); tie -> -2
+int high_priority_neighbor(const Mol& m, int atom, int exclude) {
+  std::vector<int> nbrs;
+  for (int bi : m.adj[atom]) {
+    int o = m.other(bi, atom);
+    if (o != exclude) nbrs.push_back(o);
+  }
+  if (nbrs.empty()) return -1;
+  if (nbrs.size() == 1) return nbrs[0];
+  int c = compare_branches(m, atom, nbrs[0], nbrs[1]);
+  if (c == 0) return -2;
+  return c > 0 ? nbrs[0] : nbrs[1];
+}
+
 void assign_stereo(Mol& m) {
   for (auto& b : m.bonds) {
     b.stereo = 0;
@@ -706,9 +780,39 @@ void assign_stereo(Mol& m) {
       }
     }
     if (n1 < 0 || n2 < 0) continue;
+    int marked1 = m.other(n1, b.a1);
+    int marked2 = m.other(n2, b.a2);
     int s1 = (m.bonds[n1].a1 == b.a1) ? d1 : -d1;
     int s2 = (m.bonds[n2].a1 == b.a2) ? d2 : -d2;
+    int hi1 = high_priority_neighbor(m, b.a1, b.a2);
+    int hi2 = high_priority_neighbor(m, b.a2, b.a1);
+    if (hi1 == -2 || hi2 == -2) continue;  // not stereogenic
+    if (hi1 < 0) hi1 = marked1;
+    if (hi2 < 0) hi2 = marked2;
+    if (hi1 != marked1) s1 = -s1;
+    if (hi2 != marked2) s2 = -s2;
     b.stereo = (s1 == s2) ? 2 : 3;  // STEREOZ : STEREOE
+  }
+  // clear chiral tags on non-stereocenters (RDKit cleanIt=true)
+  for (int ai = 0; ai < (int)m.atoms.size(); ai++) {
+    Atom& at = m.atoms[ai];
+    if (at.chiral == 0) continue;
+    std::vector<int> nbrs;
+    for (int bi : m.adj[ai]) nbrs.push_back(m.other(bi, ai));
+    int n_branches = (int)nbrs.size() + at.num_h;
+    if ((n_branches < 4 && !(nbrs.size() == 3 && at.num_h == 0)) ||
+        at.num_h > 1) {
+      at.chiral = 0;
+      continue;
+    }
+    bool distinguishable = true;
+    for (size_t i = 0; i < nbrs.size() && distinguishable; i++)
+      for (size_t j = i + 1; j < nbrs.size(); j++)
+        if (compare_branches(m, ai, nbrs[i], nbrs[j]) == 0) {
+          distinguishable = false;
+          break;
+        }
+    if (!distinguishable) at.chiral = 0;
   }
 }
 

@@ -185,7 +185,10 @@ class Molecule:
         self._assign_implicit_hs()
         self._assign_hybridization()
         self._assign_conjugation()
-        self._assign_bond_stereo()
+        # CIP-based E/Z + non-stereocenter tag clearing (RDKit
+        # AssignStereochemistry(cleanIt=True) equivalent)
+        from .stereo import assign_stereochemistry
+        assign_stereochemistry(self)
         return self
 
     # ring membership: an edge is in a ring iff it is not a bridge.
@@ -577,30 +580,10 @@ class Molecule:
                         b1.conjugated = True
                         b2.conjugated = True
 
-    # --- double-bond stereo (from SMILES direction markers) -----------------
-    def _assign_bond_stereo(self) -> None:
-        for b in self.bonds:
-            b.stereo = STEREONONE
-            if b.order != DOUBLE or b.in_ring:
-                continue
-            # find directional single bonds on both ends
-            ref1 = self._directional_neighbor(b.a1, b.idx)
-            ref2 = self._directional_neighbor(b.a2, b.idx)
-            if ref1 is None or ref2 is None:
-                continue
-            (n1, d1), (n2, d2) = ref1, ref2
-            # A '/' bond stored X->Y means Y sits "up" relative to X. The side
-            # of the marked neighbour w.r.t. the double-bond axis is therefore
-            # +d when the axis atom is the source of the directional bond and
-            # -d when it is the target (F/C=C/F: F1 down, F2 up -> trans).
-            s1 = d1 if self.bonds[n1].a1 == b.a1 else -d1
-            s2 = d2 if self.bonds[n2].a1 == b.a2 else -d2
-            # same side -> cis, opposite -> trans. Without full CIP ranking we
-            # map cis->STEREOZ / trans->STEREOE using the marked reference
-            # atoms, which matches RDKit for the overwhelmingly common case of
-            # a single substituent pair.
-            b.stereo = STEREOZ if s1 == s2 else STEREOE
-
+    # --- double-bond stereo helpers (assignment lives in chem/stereo.py,
+    # which uses CIP priorities; a '/' bond stored X->Y means Y sits "up"
+    # relative to X, so the marked neighbour's side is +d when the axis atom
+    # is the directional bond's source and -d when it is the target) -------
     def _directional_neighbor(self, a: int, skip_bond: int):
         for bb in self.atom_bonds(a):
             if bb.idx != skip_bond and bb.direction != 0 and bb.order == SINGLE:
