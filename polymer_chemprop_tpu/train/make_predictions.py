@@ -109,7 +109,8 @@ def make_predictions(args: PredictConfig,
         sum_preds = arr if sum_preds is None else sum_preds + arr
         if args.ensemble_variance:
             sq_preds = arr ** 2 if sq_preds is None else sq_preds + arr ** 2
-        if args.individual_ensemble_predictions:
+        if args.individual_ensemble_predictions or \
+                (args.ensemble_variance and tcfg.dataset_type == "spectra"):
             individual.append(arr)
         if emb is not None:
             sum_emb = emb if sum_emb is None else sum_emb + emb
@@ -117,11 +118,19 @@ def make_predictions(args: PredictConfig,
     n = len(ckpts)
     avg_preds = sum_preds / n
     var_preds = (sq_preds / n - avg_preds ** 2) if sq_preds is not None else None
+    if args.ensemble_variance and tcfg.dataset_type == "spectra" and individual:
+        # spectra ensembles report round-robin pairwise SID instead of
+        # variance (reference make_predictions.py:198-199)
+        from .metrics import roundrobin_sid
+        stacked = np.stack(individual, axis=2)  # (N, L, ensemble)
+        rr = roundrobin_sid(stacked, threshold=tcfg.spectra_target_floor)
+        var_preds = np.asarray(rr)[:, None].repeat(avg_preds.shape[1], axis=1)
     if sum_emb is not None and args.graph_embeddings_path:
         np.save(args.graph_embeddings_path, sum_emb / n)
 
     if args.preds_path:
-        _write_preds(args, tcfg, full_rows, avg_preds, var_preds, individual,
+        _write_preds(args, tcfg, full_rows, avg_preds, var_preds,
+                     individual if args.individual_ensemble_predictions else [],
                      num_tasks)
     return avg_preds.tolist()
 

@@ -107,6 +107,55 @@ def cmd_split_data(args):
           f"-> {args.save_dir}")
 
 
+def cmd_create_crossval_splits(args):
+    """Create k-fold index files for --split_type index_predetermined /
+    predetermined (reference scripts/create_crossval_splits.py +
+    create_crossval_index_files.py)."""
+    import pickle
+    from random import Random
+
+    from polymer_chemprop_tpu.data import scaffold_to_indices
+
+    _, rows = read_rows(args.data_path)
+    n = len(rows)
+    os.makedirs(args.save_dir, exist_ok=True)
+    k = args.num_folds
+    if args.split_type == "random":
+        idx = list(range(n))
+        Random(args.seed).shuffle(idx)
+        folds = [sorted(idx[i::k]) for i in range(k)]
+    elif args.split_type == "scaffold":
+        sti = scaffold_to_indices([r[0] for r in rows])
+        sets = sorted(sti.values(), key=len, reverse=True)
+        folds = [[] for _ in range(k)]
+        for s in sets:  # greedy bin packing to the smallest fold
+            folds.sort(key=len)
+            folds[0].extend(s)
+        folds = [sorted(f) for f in folds]
+    elif args.split_type == "time":
+        # time-window splits: contiguous chunks in file order
+        per = -(-n // k)
+        folds = [list(range(i * per, min((i + 1) * per, n)))
+                 for i in range(k)]
+    else:
+        raise ValueError(f"unknown split_type {args.split_type}")
+
+    # folds file for --split_type predetermined
+    with open(os.path.join(args.save_dir, "folds.pckl"), "wb") as f:
+        pickle.dump(folds, f)
+    # per-seed (train, val, test) index sets for index_predetermined
+    index_sets = []
+    for s in range(k):
+        test = folds[s]
+        val = folds[(s + 1) % k]
+        train = [i for j, fold in enumerate(folds)
+                 if j not in (s, (s + 1) % k) for i in fold]
+        index_sets.append([train, val, test])
+    with open(os.path.join(args.save_dir, "index_sets.pckl"), "wb") as f:
+        pickle.dump(index_sets, f)
+    print(f"wrote {k} folds ({[len(f) for f in folds]}) to {args.save_dir}")
+
+
 def cmd_examine_split_balance(args):
     data = get_data(args.data_path)
     for split_type in ("random", "scaffold_balanced"):
@@ -142,6 +191,13 @@ if __name__ == "__main__":
     s.add_argument("--split_type", default="random")
     s.add_argument("--split_sizes", nargs=3, type=float,
                    default=[0.8, 0.1, 0.1])
+    s.add_argument("--seed", type=int, default=0)
+    s = sub.add_parser("create_crossval_splits")
+    s.add_argument("--data_path", required=True)
+    s.add_argument("--save_dir", required=True)
+    s.add_argument("--split_type", default="random",
+                   choices=["random", "scaffold", "time"])
+    s.add_argument("--num_folds", type=int, default=10)
     s.add_argument("--seed", type=int, default=0)
     s = sub.add_parser("examine_split_balance")
     s.add_argument("--data_path", required=True)
