@@ -8,6 +8,7 @@ partitions match the reference exactly — which is what lets the golden
 
 from __future__ import annotations
 
+import os
 import pickle
 from collections import defaultdict
 from random import Random
@@ -30,11 +31,27 @@ def split_data(data: MoleculeDataset,
                val_fold_index: Optional[int] = None,
                test_fold_index: Optional[int] = None,
                crossval_index_sets: Optional[list] = None,
+               crossval_index_dir: Optional[str] = None,
                key_molecule_index: int = 0) -> Splits:
     if not (len(sizes) == 3 and abs(sum(sizes) - 1) < 1e-9):
         raise ValueError("Valid split sizes must sum to 1 and must have "
                          "three sizes: train, validation, and test.")
     random = Random(seed)
+
+    if split_type == "crossval":
+        # predefined fold-index files: crossval_index_sets[seed] holds three
+        # lists of file indices; each {i}.pkl in crossval_index_dir holds the
+        # datapoint indices of one fold (reference data/utils.py:426-439)
+        index_set = crossval_index_sets[seed]
+        data_split = []
+        for split in range(3):
+            split_indices = []
+            for index in index_set[split]:
+                with open(os.path.join(crossval_index_dir, f"{index}.pkl"),
+                          "rb") as rf:
+                    split_indices.extend(pickle.load(rf))
+            data_split.append(MoleculeDataset([data[i] for i in split_indices]))
+        return tuple(data_split)  # type: ignore[return-value]
 
     if split_type in ("cv", "cv-no-test"):
         if num_folds <= 1 or num_folds > len(data):

@@ -180,9 +180,16 @@ def run_training(cfg: TrainConfig,
                 cfg.num_folds, cfg.folds_file, cfg.val_fold_index,
                 cfg.test_fold_index)
     else:
+        crossval_sets = None
+        if cfg.crossval_index_file:
+            import pickle
+            with open(cfg.crossval_index_file, "rb") as f:
+                crossval_sets = pickle.load(f)
         train_data, val_data, test_data = split_data(
             data, cfg.split_type, cfg.split_sizes, cfg.seed, cfg.num_folds,
-            cfg.folds_file, cfg.val_fold_index, cfg.test_fold_index)
+            cfg.folds_file, cfg.val_fold_index, cfg.test_fold_index,
+            crossval_index_sets=crossval_sets,
+            crossval_index_dir=cfg.crossval_index_dir)
 
     # ---- train_frac subsampling (fork addition, run_training.py:132-137) --
     if cfg.train_frac < 1.0:

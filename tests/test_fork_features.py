@@ -133,3 +133,31 @@ class TestForkFeatures:
             cfg = base(str(tmp_path / actv), activation=actv, bias=True)
             mean, _ = cross_validate(cfg)
             assert np.isfinite(mean)
+
+    def test_parallel_hyperopt_instances_share_trials(self, tmp_path):
+        """Two hyperopt() calls with a shared trial directory coordinate
+        through trial files + the seed file (reference hyperopt_utils)."""
+        from polymer_chemprop_tpu.hyperparameter_optimization import (
+            hyperopt, load_trials)
+        shared = str(tmp_path / "trials")
+        cfg1 = base(str(tmp_path / "a"), epochs=1, max_data_size=60)
+        hyperopt(cfg1, num_iters=2, hyperopt_checkpoint_dir=shared)
+        assert len(load_trials(shared)) == 2
+        cfg2 = base(str(tmp_path / "b"), epochs=1, max_data_size=60)
+        hyperopt(cfg2, num_iters=3, hyperopt_checkpoint_dir=shared)
+        trials = load_trials(shared)
+        assert len(trials) == 3  # second instance saw 2, ran 1 more
+        seeds = (tmp_path / "trials" / "hyperopt_seeds.txt").read_text().split()
+        assert len(set(seeds)) == len(seeds)  # unique seeds
+
+    def test_index_predetermined_via_trainer(self, tmp_path):
+        import pickle
+        sets = [[list(range(0, 80)), list(range(80, 100)),
+                 list(range(100, 120))]]
+        idx_file = tmp_path / "sets.pckl"
+        with open(idx_file, "wb") as f:
+            pickle.dump(sets, f)
+        cfg = base(str(tmp_path / "run"), split_type="index_predetermined",
+                   crossval_index_file=str(idx_file))
+        mean, _ = cross_validate(cfg)
+        assert np.isfinite(mean)
