@@ -10,7 +10,7 @@ SMILES_TO_GRAPH cache (data.py:16-51).
 from __future__ import annotations
 
 import threading
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

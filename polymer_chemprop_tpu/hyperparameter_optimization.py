@@ -19,7 +19,6 @@ from __future__ import annotations
 import json
 import os
 import random
-from copy import deepcopy
 from typing import Dict, List, Optional
 
 import numpy as np

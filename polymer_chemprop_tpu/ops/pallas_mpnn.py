@@ -29,7 +29,6 @@ transposed by reusing the same kernel with unit weights.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

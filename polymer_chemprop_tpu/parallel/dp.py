@@ -13,7 +13,6 @@ gradient a single-device run on the concatenated batch would produce.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Dict, Optional
 
 import jax

@@ -16,13 +16,11 @@ import numpy as np
 from sklearn.ensemble import RandomForestClassifier, RandomForestRegressor
 from sklearn.svm import SVC, SVR
 
-from .chem.scaffold import scaffold_key  # noqa: F401  (parity import)
 from .config import TrainConfig
 from .data import MoleculeDataset, split_data
 from .features.generators import morgan_binary_features_generator
 from .train.cross_validate import cross_validate
 from .train.metrics import evaluate_predictions
-from .utils.checkpoint import save_checkpoint
 from .utils.logging import timeit
 
 

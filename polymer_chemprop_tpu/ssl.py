@@ -34,11 +34,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from .chem.periodic import ATOMIC_MASS
 from .config import TrainConfig
 from .data import MoleculeDataLoader, MoleculeDataset, get_data
 from .models import EncoderConfig, init_encoder, init_linear, linear
-from .models.encoder import apply_encoder
 from .ops.segment import atom_readout, bond_message_step, weighted_segment_sum
 from .models.nn import get_activation
 from .train.scheduler import build_optimizer

@@ -4,7 +4,7 @@ evaluate_predictions (reference train/evaluate.py:11-80)."""
 from __future__ import annotations
 
 import math
-from typing import Callable, Dict, List, Optional, Union
+from typing import Callable, Dict, List, Optional
 
 import numpy as np
 from sklearn.metrics import (

@@ -9,7 +9,6 @@ with the LR schedule folded in as a function of the optax step count.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict, Optional
 
 import jax

@@ -15,7 +15,7 @@ from __future__ import annotations
 import csv
 import time
 import os
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +26,6 @@ from ..config import TrainConfig
 from ..data import (
     MoleculeDataLoader,
     MoleculeDataset,
-    StandardScaler,
     set_cache_graph,
     split_data,
 )

@@ -14,7 +14,6 @@ Routes:
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import threading
