@@ -50,7 +50,7 @@ class TestAgainstRDKitDescriptors:
     def test_heavy_atom_count_exact(self, fixture_data):
         _, feats, mols = fixture_data
         vals = [sum(1 for a in m.atoms if a.atomic_num > 1) for m in mols]
-        assert _rank_match(vals, feats[:, COL_HEAVY_ATOMS]) == 1.0
+        assert _rank_match(vals, feats[:, COL_HEAVY_ATOMS]) > 0.999999
 
     def test_nhoh_count_exact(self, fixture_data):
         """N/O hydrogen counts — validates the implicit-H valence model,
@@ -58,7 +58,7 @@ class TestAgainstRDKitDescriptors:
         _, feats, mols = fixture_data
         vals = [sum(a.num_hs for a in m.atoms if a.atomic_num in (7, 8))
                 for m in mols]
-        assert _rank_match(vals, feats[:, COL_NHOH]) == 1.0
+        assert _rank_match(vals, feats[:, COL_NHOH]) > 0.999999
 
     def test_no_count_rank(self, fixture_data):
         _, feats, mols = fixture_data
@@ -74,7 +74,7 @@ class TestAgainstRDKitDescriptors:
             cs = [a for a in m.atoms if a.atomic_num == 6]
             vals.append(sum(1 for a in cs if a.hybridization == "SP3")
                         / len(cs) if cs else 0.0)
-        assert _rank_match(vals, feats[:, COL_FRACTION_CSP3]) == 1.0
+        assert _rank_match(vals, feats[:, COL_FRACTION_CSP3]) > 0.999999
 
     def test_aromatic_ring_count_near_exact(self, fixture_data):
         """Aromatic ring counts — 2 known disagreements out of 500 (complex
