@@ -234,7 +234,13 @@ Atom parse_bracket(const std::string& body) {
   return a;
 }
 
-Mol parse_smiles_raw(const std::string& s) {
+// semantic neighbour order entries for chirality parity:
+// >=0 atom id, -1 bracket-H, -(100+num) unresolved ring placeholder
+struct SemOrder {
+  std::map<int, std::vector<int>> order;
+};
+
+Mol parse_smiles_raw(const std::string& s, SemOrder* sem = nullptr) {
   Mol m;
   int prev = -1;
   char pending = 0;
@@ -268,7 +274,13 @@ Mol parse_smiles_raw(const std::string& s) {
         }
       }
       m.add_bond(prev, na, order, arom, dir);
+      if (sem) {
+        sem->order[prev].push_back(na);
+        sem->order[na].push_back(prev);
+      }
     }
+    if (sem && m.atoms[na].chiral && m.atoms[na].explicit_h >= 1)
+      sem->order[na].push_back(-1);  // bracket H slot
     prev = na;
     pending = 0;
   };
@@ -278,6 +290,7 @@ Mol parse_smiles_raw(const std::string& s) {
     auto it = rings.find(num);
     if (it == rings.end()) {
       rings[num] = {prev, pending};
+      if (sem) sem->order[prev].push_back(-(100 + num));
       pending = 0;
       return;
     }
@@ -295,6 +308,13 @@ Mol parse_smiles_raw(const std::string& s) {
     }
     if (a_open == prev) throw ParseError{};
     m.add_bond(a_open, prev, order, arom, dir);
+    if (sem) {
+      // resolve the opener's placeholder; record at closure position
+      auto& so = sem->order[a_open];
+      for (auto& e : so)
+        if (e == -(100 + num)) { e = prev; break; }
+      sem->order[prev].push_back(a_open);
+    }
     pending = 0;
   };
 
@@ -816,6 +836,45 @@ void assign_stereo(Mol& m) {
   }
 }
 
+int perm_parity(const std::vector<int>& from, const std::vector<int>& to) {
+  std::map<int, int> pos;
+  for (size_t i = 0; i < to.size(); i++) pos[to[i]] = (int)i;
+  std::vector<int> perm;
+  for (int v : from) {
+    auto it = pos.find(v);
+    if (it == pos.end()) return -1;
+    perm.push_back(it->second);
+  }
+  int parity = 0;
+  std::vector<bool> seen(perm.size(), false);
+  for (size_t i = 0; i < perm.size(); i++) {
+    if (seen[i]) continue;
+    size_t j = i; int clen = 0;
+    while (!seen[j]) { seen[j] = true; j = perm[j]; clen++; }
+    parity ^= (clen - 1) & 1;
+  }
+  return parity;
+}
+
+void normalize_chirality(Mol& m, const SemOrder& sem) {
+  for (int ai = 0; ai < (int)m.atoms.size(); ai++) {
+    Atom& at = m.atoms[ai];
+    if (at.chiral != 1 && at.chiral != 2) continue;
+    auto it = sem.order.find(ai);
+    if (it == sem.order.end()) continue;
+    std::vector<int> written = it->second;
+    std::vector<int> mol_order;
+    for (int bi : m.adj[ai]) mol_order.push_back(m.other(bi, ai));
+    if (at.explicit_h >= 1) mol_order.push_back(-1);
+    if (written.size() != mol_order.size() ||
+        (written.size() != 3 && written.size() != 4))
+      continue;
+    int p = perm_parity(written, mol_order);
+    if (p < 0) continue;
+    if (p) at.chiral = (at.chiral == 1) ? 2 : 1;
+  }
+}
+
 bool perceive(Mol& m) {
   fold_explicit_h(m);
   perceive_rings(m);
@@ -885,7 +944,9 @@ PackedGraph featurize_one(const std::string& smiles) {
   PackedGraph g;
   Mol m;
   try {
-    m = parse_smiles_raw(smiles);
+    SemOrder sem;
+    m = parse_smiles_raw(smiles, &sem);
+    normalize_chirality(m, sem);
     if (!perceive(m)) return g;
   } catch (...) {
     return g;

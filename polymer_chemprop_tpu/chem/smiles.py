@@ -74,6 +74,12 @@ def _parse(s: str) -> Molecule:
     pending_bond: Optional[str] = None
     stack: List[Tuple[Optional[int], Optional[str]]] = []
     ring_openings: Dict[int, Tuple[int, Optional[str]]] = {}
+    # semantic neighbour order per atom for chirality parity: entries are
+    # neighbour atom ids, "H" (bracket hydrogen), or ("ring", num)
+    # placeholders resolved at closure. SMILES chirality refers to this
+    # written order; the molecule's bond-list order differs (ring closures
+    # attach late), so the parity difference must flip @/@@ accordingly.
+    sem_order: Dict[int, list] = {}
 
     def close_or_open_ring(num: int, bond_sym: Optional[str]) -> None:
         nonlocal pending_bond
@@ -96,8 +102,17 @@ def _parse(s: str) -> Molecule:
                 pass  # direction already encoded from the opening symbol
             mol.add_bond(a_open, prev_atom, order, is_aromatic=aromatic,
                          direction=direction)
+            # resolve the opener's placeholder; record at closure position
+            so = sem_order.get(a_open)
+            if so is not None:
+                for k, entry in enumerate(so):
+                    if entry == ("ring", num):
+                        so[k] = prev_atom
+                        break
+            sem_order.setdefault(prev_atom, []).append(a_open)
         else:
             ring_openings[num] = (prev_atom, bond_sym)
+            sem_order.setdefault(prev_atom, []).append(("ring", num))
 
     def _decode_bond(sym: Optional[str], a1: int, a2: int):
         if sym is None:
@@ -119,6 +134,13 @@ def _parse(s: str) -> Molecule:
                     order = SINGLE
             mol.add_bond(prev_atom, new_atom, order, is_aromatic=aromatic,
                          direction=direction)
+            sem_order.setdefault(prev_atom, []).append(new_atom)
+            so = sem_order.setdefault(new_atom, [])
+            so.append(prev_atom)
+        # bracket hydrogen occupies the slot right after the preceding atom
+        # (it is written inside the brackets, before any ring digit/branch)
+        if mol.atoms[new_atom].chiral_tag and mol.atoms[new_atom].explicit_hs:
+            sem_order.setdefault(new_atom, []).append("H")
         prev_atom = new_atom
         pending_bond = None
 
@@ -184,7 +206,52 @@ def _parse(s: str) -> Molecule:
         raise SmilesParseError(f"unclosed branch in {s!r}")
     if mol.n_atoms == 0:
         raise SmilesParseError("empty SMILES")
+    _normalize_chirality(mol, sem_order)
     return mol
+
+
+def _perm_parity(seq_from: list, seq_to: list) -> int:
+    """Parity (0 even / 1 odd) of the permutation mapping seq_from onto
+    seq_to (sequences over the same distinct elements)."""
+    pos = {v: i for i, v in enumerate(seq_to)}
+    perm = [pos[v] for v in seq_from]
+    parity = 0
+    seen = [False] * len(perm)
+    for i in range(len(perm)):
+        if seen[i]:
+            continue
+        j, clen = i, 0
+        while not seen[j]:
+            seen[j] = True
+            j = perm[j]
+            clen += 1
+        parity ^= (clen - 1) & 1
+    return parity
+
+
+def _normalize_chirality(mol: Molecule, sem_order: Dict[int, list]) -> None:
+    """Re-express parsed @/@@ tags relative to the molecule's bond-list
+    neighbour order (implicit/bracket H last). SMILES chirality refers to
+    the WRITTEN neighbour order; ring-closure bonds join the bond list at
+    closure time, so the two orders differ by a permutation whose parity
+    must flip the tag. Without this, identical 3D configurations written
+    differently would get different tags (internally inconsistent features).
+    """
+    from .mol import CHI_TETRAHEDRAL_CCW, CHI_TETRAHEDRAL_CW
+    for atom in mol.atoms:
+        if atom.chiral_tag not in (CHI_TETRAHEDRAL_CW, CHI_TETRAHEDRAL_CCW):
+            continue
+        written = list(sem_order.get(atom.idx, []))
+        mol_order = [b.other(atom.idx) for b in mol.atom_bonds(atom.idx)]
+        if atom.explicit_hs:
+            mol_order.append("H")
+        if len(written) != len(mol_order) or len(written) not in (3, 4) \
+                or set(map(str, written)) != set(map(str, mol_order)):
+            continue  # degenerate; leave tag as parsed
+        if _perm_parity(written, mol_order):
+            atom.chiral_tag = (CHI_TETRAHEDRAL_CW
+                               if atom.chiral_tag == CHI_TETRAHEDRAL_CCW
+                               else CHI_TETRAHEDRAL_CCW)
 
 
 def _parse_bracket(body: str) -> Atom:

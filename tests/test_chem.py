@@ -122,3 +122,41 @@ class TestFixtureCoverage:
                 if row and parse_smiles(row[0], strict=False) is None:
                     bad.append(row[0])
         assert not bad, f"{len(bad)} fixture SMILES failed to parse: {bad[:5]}"
+
+
+class TestChiralityNormalization:
+    """Tags are normalized to the molecule's bond-list order, so the same
+    3D configuration written differently yields consistent R/S labels."""
+
+    @staticmethod
+    def _rs(smiles):
+        import functools
+        from polymer_chemprop_tpu.chem.smiles import _perm_parity
+        from polymer_chemprop_tpu.chem.stereo import compare_branches
+        m = parse_smiles(smiles)
+        for a in m.atoms:
+            if a.chiral_tag:
+                nbrs = [b.other(a.idx) for b in m.atom_bonds(a.idx)]
+                order = sorted(nbrs, key=functools.cmp_to_key(
+                    lambda x, y: -compare_branches(m, a.idx, x, y)))
+                mol_order = nbrs + (["H"] if a.num_hs else [])
+                cip_order = order + (["H"] if a.num_hs else [])
+                p = _perm_parity(mol_order, cip_order)
+                return "R" if ((a.chiral_tag == 1) ^ p) == 0 else "S"
+        return None
+
+    def test_alanine_writings_consistent(self):
+        labels = {self._rs("C[C@H](N)C(=O)O"),
+                  self._rs("N[C@@H](C)C(=O)O"),
+                  self._rs("OC(=O)[C@H](C)N")}
+        assert len(labels) == 1
+
+    def test_enantiomer_flips(self):
+        assert self._rs("C[C@H](N)C(=O)O") != self._rs("C[C@@H](N)C(=O)O")
+
+    def test_branch_order_swap(self):
+        assert self._rs("C[C@](F)(Cl)Br") == self._rs("C[C@@](Cl)(F)Br")
+
+    def test_ring_closure_position(self):
+        assert self._rs("O[C@H]1CCCC1C") == self._rs("[C@H]1(O)CCCC1C")
+        assert self._rs("O[C@H]1CCCC1C") != self._rs("[C@@H]1(O)CCCC1C")
