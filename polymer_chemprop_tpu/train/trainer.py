@@ -271,6 +271,12 @@ def run_training(cfg: TrainConfig,
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.pytorch_seed), model_idx)
         key, init_key = jax.random.split(key)
         params = init_model(init_key, model_cfg)
+        # warm-start from existing checkpoints (reference run_training loads
+        # args.checkpoint_paths[model_idx] as the initial weights)
+        if cfg.checkpoint_paths:
+            warm = cfg.checkpoint_paths[model_idx % len(cfg.checkpoint_paths)]
+            params, _, _, _ = load_checkpoint(warm)
+            info(f"Warm-started model {model_idx} from {warm}")
         info(f"Number of parameters = {param_count(params):,}")
 
         schedule = build_schedule(
@@ -422,11 +428,14 @@ def _normalize_spectra_targets(train_data, val_data, test_data,
     for ds in (train_data, val_data, test_data):
         if len(ds) == 0:
             continue
-        phase_feats = ds.features() if phase_mask is not None else None
+        # use RAW features: the phase indicator must be the unscaled one-hot
+        phase_feats = [d.raw_features for d in ds] if phase_mask is not None \
+            else None
         new_targets = []
         for i, t in enumerate(ds.targets()):
             arr = np.array([np.nan if x is None else x for x in t], dtype=float)
-            if phase_mask is not None and phase_feats is not None:
+            if phase_mask is not None and phase_feats is not None \
+                    and phase_feats[i] is not None:
                 phase = np.asarray(phase_feats[i], dtype=float)
                 mask_row = phase @ np.asarray(phase_mask, dtype=float)
                 arr = np.where(mask_row > 0, arr, np.nan)

@@ -111,7 +111,8 @@ class TestReaction:
         assert g.w_atoms == [1.0, 1.0]
         assert g.w_bonds == [1.0, 1.0]
 
-    @pytest.mark.parametrize("mode", ["reac_prod", "prod_diff", "reac_diff_balance"])
+    @pytest.mark.parametrize("mode", ["reac_prod", "prod_diff", "reac_diff_balance",
+                                      "reac_prod_balance", "prod_diff_balance"])
     def test_modes_run(self, mode):
         cfg = FeaturizationConfig.for_reaction(mode)
         g = MolGraph("[CH2:1]=[CH2:2].[H:3][H:4]>>[CH3:1][CH3:2]", cfg)

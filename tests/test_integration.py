@@ -210,6 +210,17 @@ class TestResume:
         mean, _ = cross_validate(cfg2)
         assert np.isfinite(mean)
 
+    def test_warm_start_from_checkpoint(self, tmp_path):
+        # reference run_training loads args.checkpoint_paths[model_idx] as
+        # the initial weights when training (train.py warm-start path)
+        cfg = train_cfg(str(tmp_path), epochs=2)
+        cross_validate(cfg)
+        ckpt = tmp_path / "fold_0" / "model_0" / "model.ckpt"
+        cfg2 = train_cfg(str(tmp_path / "warm"), epochs=1,
+                         checkpoint_paths=[str(ckpt)])
+        mean, _ = cross_validate(cfg2)
+        assert np.isfinite(mean)
+
     def test_fold_resume(self, tmp_path):
         cfg = train_cfg(str(tmp_path), epochs=2, num_folds=2)
         cross_validate(cfg)
