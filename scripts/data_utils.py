@@ -15,6 +15,7 @@ Usage:
 import argparse
 import csv
 import os
+import pickle
 import sys
 from collections import defaultdict
 
@@ -156,6 +157,61 @@ def cmd_create_crossval_splits(args):
     print(f"wrote {k} folds ({[len(f) for f in folds]}) to {args.save_dir}")
 
 
+def cmd_create_crossval_index_files(args):
+    """Meta index files naming which folds act as train/val/test per trial
+    (reference scripts/create_crossval_index_files.py:16-45): for each chosen
+    test fold i, dump a list of [train_folds, val_fold, test_fold] index-set
+    triples to {i}_opt.pkl (val==test, for hyperopt) and {i}_test.pkl."""
+    import random as _random
+    _random.seed(0)
+    n = args.num_folds
+    test_k = args.test_folds_to_test or n
+    val_k = args.val_folds_per_test or n - 1
+    folds = list(range(n))
+    _random.shuffle(folds)
+    os.makedirs(args.save_dir, exist_ok=True)
+    for i in folds[:test_k]:
+        rest = [f for f in folds if f != i]
+        _random.shuffle(rest)
+        opt_sets, test_sets = [], []
+        for val in rest[:val_k]:
+            train = [f for f in rest if f != val]
+            opt_sets.append([train, [val], [val]])
+            test_sets.append([train, [val], [i]])
+        with open(os.path.join(args.save_dir, f"{i}_opt.pkl"), "wb") as f:
+            pickle.dump(opt_sets, f)
+        with open(os.path.join(args.save_dir, f"{i}_test.pkl"), "wb") as f:
+            pickle.dump(test_sets, f)
+        print(f"fold {i}: {len(opt_sets)} trials")
+
+
+def cmd_lsc_to_our_format(args):
+    """Convert LSC-benchmark HDF5 fold dumps into this package's fold layout
+    (reference scripts/lsc_to_our_format.py). Requires h5py, which is an
+    optional dependency — the command degrades with a clear error."""
+    try:
+        import h5py  # noqa: F401
+    except ImportError:
+        sys.exit("lsc_to_our_format requires h5py (not installed in this "
+                 "environment); install h5py to use this converter")
+    import shutil
+    os.makedirs(args.save_dir, exist_ok=True)
+    for name in os.listdir(args.lsc_dir):
+        src = os.path.join(args.lsc_dir, name)
+        if not name.endswith(".h5"):
+            continue
+        with h5py.File(src, "r") as h5:
+            folds = [np.asarray(h5[k]) for k in sorted(h5.keys())]
+        out = os.path.join(args.save_dir, name.replace(".h5", ".pckl"))
+        with open(out, "wb") as f:
+            pickle.dump([fold.tolist() for fold in folds], f)
+        print(f"{name} -> {out}")
+    if args.ckpt_dir:
+        for name in os.listdir(args.ckpt_dir):
+            if name.endswith(".csv"):
+                shutil.copy(os.path.join(args.ckpt_dir, name), args.save_dir)
+
+
 def cmd_examine_split_balance(args):
     data = get_data(args.data_path)
     for split_type in ("random", "scaffold_balanced"):
@@ -199,6 +255,15 @@ if __name__ == "__main__":
                    choices=["random", "scaffold", "time"])
     s.add_argument("--num_folds", type=int, default=10)
     s.add_argument("--seed", type=int, default=0)
+    s = sub.add_parser("create_crossval_index_files")
+    s.add_argument("--save_dir", required=True)
+    s.add_argument("--num_folds", type=int, default=10)
+    s.add_argument("--test_folds_to_test", type=int)
+    s.add_argument("--val_folds_per_test", type=int)
+    s = sub.add_parser("lsc_to_our_format")
+    s.add_argument("--lsc_dir", required=True)
+    s.add_argument("--ckpt_dir")
+    s.add_argument("--save_dir", required=True)
     s = sub.add_parser("examine_split_balance")
     s.add_argument("--data_path", required=True)
     s.add_argument("--seed", type=int, default=0)
