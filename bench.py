@@ -51,7 +51,8 @@ def _load_batch():
     return gb
 
 
-def bench_tpu(pallas: bool = False, bf16: bool = False) -> dict:
+def bench_tpu(pallas: bool = False, bf16: bool = False,
+              precision: str = "highest") -> dict:
     import jax
     from polymer_chemprop_tpu.models import EncoderConfig, ModelConfig, init_model
     from polymer_chemprop_tpu.train import make_train_step
@@ -63,7 +64,8 @@ def bench_tpu(pallas: bool = False, bf16: bool = False) -> dict:
 
     enc = EncoderConfig(atom_fdim=133, bond_fdim=147, hidden_size=HIDDEN,
                         depth=DEPTH,
-                        compute_dtype="bfloat16" if bf16 else "float32")
+                        compute_dtype="bfloat16" if bf16 else "float32",
+                        band_precision=precision)
     mcfg = ModelConfig(encoder=enc, dataset_type="regression", num_tasks=1,
                        ffn_hidden_size=HIDDEN)
     params = init_model(jax.random.PRNGKey(0), mcfg)
@@ -181,6 +183,9 @@ if __name__ == "__main__":
         print(json.dumps(bench_tpu(pallas=False)))
     elif "--bf16" in sys.argv:
         print(json.dumps(bench_tpu(pallas=True, bf16=True)))
+    elif "--fastband" in sys.argv:
+        # 1-pass bf16 MXU band kernels (diagnostics; experimental accuracy)
+        print(json.dumps(bench_tpu(pallas=True, precision="default")))
     else:
         # default: Pallas band kernel; fall back to the XLA path if the
         # kernel fails to compile on this chip generation

@@ -124,9 +124,11 @@ class TrainConfig:
     # the reference is single-device only, SURVEY.md §2.9)
     num_devices: Optional[int] = None        # data-parallel shards (None = all)
     param_dtype: str = "float32"
+    band_precision: str = "highest"  # Pallas MXU precision: highest|default
     use_pallas: bool = False                 # fused band kernel for message passing
     use_native_featurizer: bool = False      # C++ host featurization
     profile_dir: Optional[str] = None        # jax.profiler trace output
+    tensorboard: bool = False                # write TensorBoard event files
 
     def __post_init__(self):
         if self.metric is None:

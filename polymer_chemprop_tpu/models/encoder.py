@@ -54,6 +54,10 @@ class EncoderConfig:
     atom_descriptors: Optional[str] = None
     atom_descriptors_size: int = 0
     compute_dtype: str = "float32"  # 'bfloat16' runs matmuls on the MXU fast path
+    band_precision: str = "highest"  # Pallas band-matmul MXU precision:
+    # 'highest' (fp32, matches the XLA oracle; required for golden parity) or
+    # 'default' (1-pass bf16, fastest but ~1e-3 relative error — experimental;
+    # Mosaic does not lower Precision.HIGH/bf16_3x)
 
 
 def init_encoder(key: jax.Array, cfg: EncoderConfig) -> Dict:
@@ -127,6 +131,8 @@ def apply_encoder(params: Dict,
         )
         aux = batch["pallas_aux"]
         H = cfg.hidden_size
+        prec = {"highest": jax.lax.Precision.HIGHEST,
+                "default": jax.lax.Precision.DEFAULT}[cfg.band_precision]
         # fuse the W_h matmul into the band kernel when it is a plain
         # (bias-free, f32) matrix — the z intermediate never touches HBM
         fuse_wh = not cfg.bias and cdt is None
@@ -139,9 +145,9 @@ def apply_encoder(params: Dict,
             if fuse_wh:
                 from ..ops.pallas_mpnn import band_matmul_step_sorted
                 message = band_matmul_step_sorted(
-                    message, params["W_h"]["w"], aux)[:, :H]
+                    message, params["W_h"]["w"], aux, prec)[:, :H]
             else:
-                message = band_message_step_sorted(message, aux)
+                message = band_message_step_sorted(message, aux, prec)
                 message = linear(params["W_h"], message[:, :H], cdt)
             message = act(inputs[:, :H] + message)
             message = dropout(message, cfg.dropout, next(keys), deterministic)

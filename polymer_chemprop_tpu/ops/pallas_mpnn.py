@@ -29,6 +29,7 @@ transposed by reusing the same kernel with unit weights.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -146,7 +147,8 @@ def permute_rows(x, idx, inv_idx):
 def _band_matmul_kernel(rs_ref, dst_tile_ref, msg_tile_ref, wh_ref,
                         msg_hbm, w_hbm, dst_hbm,
                         out_ref,
-                        msg_win, w_win, dst_win, sems):
+                        msg_win, w_win, dst_win, sems, *,
+                        precision=jax.lax.Precision.HIGHEST):
     """One bond tile with the message-update matmul fused:
     out = (Q @ msg_window - msg_tile) @ W_h.
 
@@ -182,18 +184,19 @@ def _band_matmul_kernel(rs_ref, dst_tile_ref, msg_tile_ref, wh_ref,
         q, msg_win[:, :],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST) - msg_tile_ref[:, :]
+        precision=precision) - msg_tile_ref[:, :]
     out_ref[:, :] = jax.lax.dot_general(
         z, wh_ref[:, :],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        precision=precision)
 
 
 def _band_kernel(rs_ref, dst_tile_ref, msg_tile_ref,
                  msg_hbm, w_hbm, dst_hbm,
                  out_ref,
-                 msg_win, w_win, dst_win, sems):
+                 msg_win, w_win, dst_win, sems, *,
+                 precision=jax.lax.Precision.HIGHEST):
     """One bond tile: out = Q @ msg_window - msg_tile."""
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -231,12 +234,13 @@ def _band_kernel(rs_ref, dst_tile_ref, msg_tile_ref,
         q, msg_win[:, :],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        precision=precision)
     out_ref[:, :] = acc - msg_tile_ref[:, :]
 
 
 def _band_apply(msg_sorted: jnp.ndarray, w_sorted: jnp.ndarray,
-                dst_sorted: jnp.ndarray, rs: jnp.ndarray) -> jnp.ndarray:
+                dst_sorted: jnp.ndarray, rs: jnp.ndarray,
+                precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """z_sorted = S @ msg_sorted - msg_sorted via the band kernel.
 
     msg_sorted: (B, Hp) f32 with Hp a multiple of 128; w/dst: (B,) arrays.
@@ -272,14 +276,15 @@ def _band_apply(msg_sorted: jnp.ndarray, w_sorted: jnp.ndarray,
         ],
     )
     fn = pl.pallas_call(
-        _band_kernel,
+        functools.partial(_band_kernel, precision=precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hp), jnp.float32),
     )
     return fn(rs, d_bcast, msg_sorted, msg_sorted, w2, d2)
 
 
-def _band_op(msg_sorted, w_sorted, dst_sorted, rs):
+def _band_op(msg_sorted, w_sorted, dst_sorted, rs,
+             precision=jax.lax.Precision.HIGHEST):
     """Band kernel with custom VJP. z = S msg - msg where
     S[b, c] = w[c] * [dst(c) == dst(b)].
 
@@ -289,14 +294,14 @@ def _band_op(msg_sorted, w_sorted, dst_sorted, rs):
 
     @jax.custom_vjp
     def op(m):
-        return _band_apply(m, w_sorted, dst_sorted, rs)
+        return _band_apply(m, w_sorted, dst_sorted, rs, precision)
 
     def fwd(m):
-        return _band_apply(m, w_sorted, dst_sorted, rs), None
+        return _band_apply(m, w_sorted, dst_sorted, rs, precision), None
 
     def bwd(_, g):
         ones = jnp.ones_like(w_sorted)
-        kg_minus_g = _band_apply(g, ones, dst_sorted, rs)
+        kg_minus_g = _band_apply(g, ones, dst_sorted, rs, precision)
         return (w_sorted[:, None] * (kg_minus_g + g) - g,)
 
     op.defvjp(fwd, bwd)
@@ -320,13 +325,16 @@ def to_sorted(x: jnp.ndarray, aux: dict) -> jnp.ndarray:
     return permute_rows(pad_lane(x), aux["perm"], aux["rank"])
 
 
-def band_message_step_sorted(msg_sorted: jnp.ndarray, aux: dict) -> jnp.ndarray:
+def band_message_step_sorted(msg_sorted: jnp.ndarray, aux: dict,
+                             precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """m_new (sorted order) = (S msg - msg)[srev]."""
-    z = _band_op(msg_sorted, aux["w_sorted"], aux["dst_sorted"], aux["rs"])
+    z = _band_op(msg_sorted, aux["w_sorted"], aux["dst_sorted"], aux["rs"],
+                 precision)
     return permute_rows(z, aux["srev"], aux["srev"])
 
 
-def _band_matmul_apply(msg_sorted, w_sorted, dst_sorted, rs, wh_padded):
+def _band_matmul_apply(msg_sorted, w_sorted, dst_sorted, rs, wh_padded,
+                       precision=jax.lax.Precision.HIGHEST):
     """(S msg - msg) @ W via the fused kernel; wh_padded is (Hp, Hp)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -358,7 +366,7 @@ def _band_matmul_apply(msg_sorted, w_sorted, dst_sorted, rs, wh_padded):
         ],
     )
     fn = pl.pallas_call(
-        _band_matmul_kernel,
+        functools.partial(_band_matmul_kernel, precision=precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hp), jnp.float32),
     )
@@ -366,7 +374,8 @@ def _band_matmul_apply(msg_sorted, w_sorted, dst_sorted, rs, wh_padded):
 
 
 def band_matmul_step_sorted(msg_sorted: jnp.ndarray, wh: jnp.ndarray,
-                            aux: dict) -> jnp.ndarray:
+                            aux: dict,
+                            precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Fused wD-MPNN layer core in sorted order:
     ((S msg - msg) @ W_h)[srev] — the message aggregation, reverse-bond
     step and update matmul, with the intermediate z never touching HBM.
@@ -386,22 +395,25 @@ def band_matmul_step_sorted(msg_sorted: jnp.ndarray, wh: jnp.ndarray,
 
     @jax.custom_vjp
     def op(m, w):
-        return _band_matmul_apply(m, w_sorted, dst_sorted, rs, pad_w(w))
+        return _band_matmul_apply(m, w_sorted, dst_sorted, rs, pad_w(w),
+                                  precision)
 
     def fwd(m, w):
-        return _band_matmul_apply(m, w_sorted, dst_sorted, rs, pad_w(w)), (m, w)
+        return _band_matmul_apply(m, w_sorted, dst_sorted, rs, pad_w(w),
+                                  precision), (m, w)
 
     def bwd(res, g):
         m, w = res
         # z = S m - m;  out = z @ Wp
         # dW = z^T g (sliced to w's shape); dm = (S^T - I)(g @ Wp^T)
         ones = jnp.ones_like(w_sorted)
-        z = _band_op(m, w_sorted, dst_sorted, rs)  # recompute, stays on MXU
+        # recompute z, stays on MXU
+        z = _band_op(m, w_sorted, dst_sorted, rs, precision)
         dw = (z.T @ g)[:w.shape[0], :w.shape[1]]
         gw = g[:, :w.shape[1]] @ w.T  # (B, H_in)
         gw = jnp.pad(gw, ((0, 0), (0, Hp - w.shape[0]))) \
             if w.shape[0] != Hp else gw
-        kg_minus_g = _band_apply(gw, ones, dst_sorted, rs)
+        kg_minus_g = _band_apply(gw, ones, dst_sorted, rs, precision)
         dm = w_sorted[:, None] * (kg_minus_g + gw) - gw
         return dm, dw
 

@@ -61,6 +61,7 @@ def build_model_config(cfg: TrainConfig, num_tasks: int,
         atom_descriptors_size=atom_descriptors_size,
         compute_dtype="bfloat16" if cfg.param_dtype in ("bfloat16", "bf16")
         else "float32",
+        band_precision=cfg.band_precision,
     )
     return ModelConfig(
         encoder=enc,
@@ -330,6 +331,16 @@ def run_training(cfg: TrainConfig,
         best_epoch = 0
         best_params = params
 
+        # TensorBoard scalars (reference run_training.py:233-236,393-402;
+        # train.py:91-111 logs loss/pnorm/gnorm/lr) — best-effort import
+        tb_writer = None
+        if cfg.tensorboard and model_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                tb_writer = SummaryWriter(log_dir=model_dir)
+            except Exception as exc:  # pragma: no cover - env-dependent
+                info(f"TensorBoard unavailable ({exc}); skipping event logs")
+
         profiling = False
         for epoch in range(start_epoch, cfg.epochs):
             # jax.profiler trace of the first epoch (tracing/observability;
@@ -366,6 +377,12 @@ def run_training(cfg: TrainConfig,
                 with open(csv_path, "a", newline="") as f:
                     csv.writer(f).writerow([epoch, mean_loss, avg_val,
                                             pnorm, mean_gnorm])
+            if tb_writer is not None:
+                tb_writer.add_scalar("train_loss", mean_loss, epoch)
+                tb_writer.add_scalar(f"validation_{cfg.metric}", avg_val,
+                                     epoch)
+                tb_writer.add_scalar("param_norm", pnorm, epoch)
+                tb_writer.add_scalar("gradient_norm", mean_gnorm, epoch)
             # every-epoch resume checkpoint (reference run_training.py:404-409)
             if model_dir:
                 save_checkpoint(
@@ -387,6 +404,8 @@ def run_training(cfg: TrainConfig,
                                  "features_scaler": features_scaler},
                         epoch=epoch)
 
+        if tb_writer is not None:
+            tb_writer.close()
         info(f"Model {model_idx} best validation {cfg.metric} = "
              f"{best_score:.6f} on epoch {best_epoch}")
         best_params_all.append(best_params)

@@ -161,3 +161,15 @@ class TestForkFeatures:
                    crossval_index_file=str(idx_file))
         mean, _ = cross_validate(cfg)
         assert np.isfinite(mean)
+
+
+class TestTensorBoard:
+    def test_event_files_written(self, tmp_path):
+        from tests.test_integration import train_cfg
+        from polymer_chemprop_tpu.train.cross_validate import cross_validate
+        cfg = train_cfg(str(tmp_path), epochs=1, tensorboard=True,
+                        max_data_size=60)
+        cross_validate(cfg)
+        events = [f for root, _, fs in os.walk(tmp_path) for f in fs
+                  if f.startswith("events.out.tfevents")]
+        assert events, "no TensorBoard event files written"

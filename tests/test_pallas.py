@@ -217,3 +217,48 @@ class TestFusedBandMatmul:
                         jax.tree_util.tree_leaves(g_p)):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-3, atol=1e-4)
+
+
+class TestBandPrecision:
+    @pytest.mark.parametrize("prec", ["default"])
+    def test_reduced_precision_plumbing(self, interpret_mode, batch, prec):
+        """band_precision threads through to the kernels; in interpret mode
+        all precisions are exact f32, so reduced modes must match the
+        HIGHEST output bit-for-bit. On hardware 'default' (1-pass bf16) is
+        the fast experimental mode; Mosaic lowers only DEFAULT|HIGHEST."""
+        from polymer_chemprop_tpu.ops.pallas_mpnn import (
+            band_matmul_step_sorted,
+            band_message_step_sorted,
+        )
+        p = {"default": jax.lax.Precision.DEFAULT}[prec]
+        gb = batch
+        aux = _aux_arrays(gb)
+        B = gb.f_bonds.shape[0]
+        H = 24
+        rng = np.random.default_rng(7)
+        msg = jnp.asarray(rng.normal(size=(B, 128)).astype(np.float32))
+        msg = msg.at[:, H:].set(0.0)
+        wh = jnp.asarray(rng.normal(size=(H, H)).astype(np.float32))
+
+        base = band_message_step_sorted(msg, aux)
+        red = band_message_step_sorted(msg, aux, p)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(red))
+        base_f = band_matmul_step_sorted(msg, wh, aux)
+        red_f = band_matmul_step_sorted(msg, wh, aux, p)
+        np.testing.assert_array_equal(np.asarray(base_f), np.asarray(red_f))
+
+    def test_encoder_config_precision(self, interpret_mode, batch):
+        from polymer_chemprop_tpu.models import (
+            EncoderConfig,
+            apply_encoder,
+            init_encoder,
+        )
+        gb = batch
+        cfg = EncoderConfig(atom_fdim=gb.f_atoms.shape[1],
+                            bond_fdim=gb.f_bonds.shape[1],
+                            hidden_size=32, depth=3,
+                            band_precision="default")
+        params = init_encoder(jax.random.PRNGKey(0), cfg)
+        p_x = dict(gb.arrays(pallas=True))
+        out = apply_encoder(params, p_x, cfg)
+        assert np.isfinite(np.asarray(out)).all()
