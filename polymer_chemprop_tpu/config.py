@@ -221,6 +221,11 @@ class PredictConfig:
     drop_extra_columns: bool = False
     ensemble_variance: bool = False
     individual_ensemble_predictions: bool = False
+    # extra atom/bond feature inputs (reference CommonArgs args.py:97-102;
+    # must match the descriptors the checkpoint was trained with)
+    atom_descriptors: Optional[str] = None
+    atom_descriptors_path: Optional[str] = None
+    bond_features_path: Optional[str] = None
     # fork additions (args.py:666-669)
     save_graph_embeddings: bool = False
     graph_embeddings_path: Optional[str] = None

@@ -78,6 +78,10 @@ def make_predictions(args: PredictConfig,
                              features_path=args.features_path,
                              features_generators=args.features_generator or
                              tcfg.features_generator,
+                             atom_descriptors=args.atom_descriptors or
+                             tcfg.atom_descriptors,
+                             atom_descriptors_path=args.atom_descriptors_path,
+                             bond_features_path=args.bond_features_path,
                              store_row=True)
         full_rows = [d.row for d in test_data]
 
@@ -96,11 +100,25 @@ def make_predictions(args: PredictConfig,
     sum_emb = None
     for ckpt in ckpts:
         params, tcfg_i, scalers = load_model(ckpt)
-        if test_data.features() is not None and \
-                scalers.get("features_scaler") is not None and \
-                not tcfg_i.no_features_scaling:
+        # re-apply the training-time feature scalers per ensemble member
+        # (reference make_predictions.py:146-153: features + atom descriptor
+        # + bond feature scalers all travel in the checkpoint)
+        needs_reset = not tcfg_i.no_features_scaling and any(
+            scalers.get(k) is not None for k in
+            ("features_scaler", "atom_descriptor_scaler",
+             "bond_feature_scaler"))
+        if needs_reset:
             test_data.reset_features_and_targets()
-            test_data.normalize_features(scalers["features_scaler"])
+            if test_data.features() is not None and \
+                    scalers.get("features_scaler") is not None:
+                test_data.normalize_features(scalers["features_scaler"])
+            if scalers.get("atom_descriptor_scaler") is not None:
+                test_data.normalize_features(
+                    scalers["atom_descriptor_scaler"],
+                    scale_atom_descriptors=True)
+            if scalers.get("bond_feature_scaler") is not None:
+                test_data.normalize_features(
+                    scalers["bond_feature_scaler"], scale_bond_features=True)
         preds, emb = predict(params, predict_step, loader,
                              scaler=scalers.get("data_scaler"),
                              return_embeddings=args.save_graph_embeddings,

@@ -52,10 +52,20 @@ def molecule_fingerprint(args: FingerprintConfig) -> np.ndarray:
     all_fps = []
     for ckpt in ckpts:
         params, tcfg_i, scalers = load_model(ckpt)
-        if test_data.features() is not None and \
-                scalers.get("features_scaler") is not None:
+        if any(scalers.get(k) is not None for k in
+               ("features_scaler", "atom_descriptor_scaler",
+                "bond_feature_scaler")):
             test_data.reset_features_and_targets()
-            test_data.normalize_features(scalers["features_scaler"])
+            if test_data.features() is not None and \
+                    scalers.get("features_scaler") is not None:
+                test_data.normalize_features(scalers["features_scaler"])
+            if scalers.get("atom_descriptor_scaler") is not None:
+                test_data.normalize_features(
+                    scalers["atom_descriptor_scaler"],
+                    scale_atom_descriptors=True)
+            if scalers.get("bond_feature_scaler") is not None:
+                test_data.normalize_features(
+                    scalers["bond_feature_scaler"], scale_bond_features=True)
 
         @jax.jit
         def fp_step(p, batch):

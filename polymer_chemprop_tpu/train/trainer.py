@@ -216,6 +216,8 @@ def run_training(cfg: TrainConfig,
         val_data.normalize_features(features_scaler)
         test_data.normalize_features(features_scaler)
     # per-atom/bond extra feature scaling (reference run_training.py:118-130)
+    ad_scaler = None
+    bf_scaler = None
     if len(train_data) and (train_data[0].atom_descriptors is not None or
                             train_data[0].atom_features is not None) \
             and not cfg.no_features_scaling:
@@ -389,7 +391,9 @@ def run_training(cfg: TrainConfig,
                     os.path.join(model_dir, "model.ckpt"), params,
                     cfg.to_dict(),
                     scalers={"data_scaler": scaler,
-                             "features_scaler": features_scaler},
+                             "features_scaler": features_scaler,
+                             "atom_descriptor_scaler": ad_scaler,
+                             "bond_feature_scaler": bf_scaler},
                     opt_state=opt_state, epoch=epoch)
             improved = (avg_val < best_score) if cfg.minimize_score \
                 else (avg_val > best_score)
@@ -401,7 +405,9 @@ def run_training(cfg: TrainConfig,
                         os.path.join(model_dir, "best_model.ckpt"), params,
                         cfg.to_dict(),
                         scalers={"data_scaler": scaler,
-                                 "features_scaler": features_scaler},
+                                 "features_scaler": features_scaler,
+                                 "atom_descriptor_scaler": ad_scaler,
+                                 "bond_feature_scaler": bf_scaler},
                         epoch=epoch)
 
         if tb_writer is not None:

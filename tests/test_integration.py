@@ -361,6 +361,31 @@ class TestAtomBondDescriptors:
         mean, _ = cross_validate(cfg)
         assert np.isfinite(mean)
 
+    def test_descriptor_scalers_travel_in_checkpoint(self, tmp_path):
+        """atom-descriptor and bond-feature scalers must be saved and
+        re-applied at predict time (reference utils.py:47-73 four-scaler
+        checkpoint + make_predictions.py:146-153 re-normalization)."""
+        from polymer_chemprop_tpu.train.make_predictions import make_predictions
+        from polymer_chemprop_tpu.utils.checkpoint import load_checkpoint
+        dst, atoms_npz, bonds_npz = self._make_csv_and_descriptors(tmp_path)
+        run_dir = tmp_path / "run"
+        cfg = train_cfg(str(run_dir), data_path=dst, epochs=1,
+                        atom_descriptors="feature",
+                        atom_descriptors_path=atoms_npz,
+                        bond_features_path=bonds_npz, batch_size=10)
+        cross_validate(cfg)
+        ckpt = run_dir / "fold_0" / "model_0" / "best_model.ckpt"
+        _, _, scalers, _ = load_checkpoint(str(ckpt))
+        assert scalers.get("atom_descriptor_scaler") is not None
+        assert scalers.get("bond_feature_scaler") is not None
+        pargs = PredictConfig(
+            test_path=dst, preds_path=str(tmp_path / "preds.csv"),
+            checkpoint_dir=str(run_dir),
+            atom_descriptors_path=atoms_npz,
+            bond_features_path=bonds_npz)
+        preds = make_predictions(pargs)
+        assert np.isfinite(np.asarray(preds, dtype=float)).all()
+
 
 class TestSpectra:
     def test_spectra_training(self, tmp_path):
