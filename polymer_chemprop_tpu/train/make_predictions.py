@@ -48,6 +48,25 @@ def update_prediction_args(args: PredictConfig, tcfg: TrainConfig) -> None:
         raise ValueError(
             "Features were not used during training, so they cannot be "
             "specified during prediction.")
+    # extra atom/bond feature consistency (reference utils.py:769-807)
+    if tcfg.atom_descriptors_path and not args.atom_descriptors_path:
+        raise ValueError(
+            "Atom descriptors were used during training so they must be "
+            "specified again during prediction using "
+            "--atom_descriptors_path.")
+    if args.atom_descriptors_path and not tcfg.atom_descriptors_path:
+        raise ValueError(
+            "Atom descriptors were not used during training, so they "
+            "cannot be specified during prediction.")
+    if tcfg.bond_features_path and not args.bond_features_path:
+        raise ValueError(
+            "Bond features were used during training so they must be "
+            "specified again during prediction using "
+            "--bond_features_path.")
+    if args.bond_features_path and not tcfg.bond_features_path:
+        raise ValueError(
+            "Bond features were not used during training, so they cannot "
+            "be specified during prediction.")
 
 
 def make_predictions(args: PredictConfig,
