@@ -252,6 +252,9 @@ def run_training(cfg: TrainConfig,
         class_balance=cfg.class_balance, **loader_kw)
     val_loader = MoleculeDataLoader(val_data, fcfg, **loader_kw)
     test_loader = MoleculeDataLoader(test_data, fcfg, **loader_kw)
+    # unshuffled train loader for per-epoch train-set evaluation
+    # (reference run_training.py:188-203 train_data_loader for eval)
+    train_eval_loader = MoleculeDataLoader(train_data, fcfg, **loader_kw)
 
     model_cfg = build_model_config(
         cfg, num_tasks,
@@ -320,14 +323,20 @@ def run_training(cfg: TrainConfig,
             cfg.alternative_loss_function,
             cfg.spectra_target_floor if cfg.dataset_type == "spectra" else None)
 
-        # per-epoch CSV metric log (fork addition, run_training.py:212-231)
+        # per-epoch CSV metric log (fork addition, run_training.py:212-231:
+        # per-metric train/val averages + per-task columns)
         csv_path = os.path.join(model_dir, "train_val_loss_log.csv") \
             if model_dir else None
+        task_names = [f"task_{i}" for i in range(num_tasks)]
         if csv_path and start_epoch == 0:
+            header = ["epoch", "train_loss"]
+            for metric in cfg.metrics:
+                header += [f"train_avg_{metric}", f"val_avg_{metric}"]
+                header += [f"train_{t}_{metric}" for t in task_names]
+                header += [f"val_{t}_{metric}" for t in task_names]
+            header += ["param_norm", "gradient_norm"]
             with open(csv_path, "w", newline="") as f:
-                csv.writer(f).writerow(
-                    ["epoch", "train_loss", f"val_{cfg.metric}",
-                     "param_norm", "gradient_norm"])
+                csv.writer(f).writerow(header)
 
         best_score = float("inf") if cfg.minimize_score else -float("inf")
         best_epoch = 0
@@ -366,6 +375,9 @@ def run_training(cfg: TrainConfig,
                 profiling = False
             val_scores = evaluate(params, predict_step, val_loader, num_tasks,
                                   cfg.metrics, cfg.dataset_type, scaler)
+            train_scores = evaluate(params, predict_step, train_eval_loader,
+                                    num_tasks, cfg.metrics, cfg.dataset_type,
+                                    scaler) if csv_path else None
             avg_val = float(np.nanmean(val_scores[cfg.metric]))
             mean_loss = float(np.mean(losses)) if losses else float("nan")
             from ..models import compute_pnorm
@@ -376,9 +388,14 @@ def run_training(cfg: TrainConfig,
                   f"PNorm = {pnorm:.4f}, GNorm = {mean_gnorm:.4f}, "
                   f"{len(losses) / max(epoch_s, 1e-9):.1f} steps/s")
             if csv_path:
+                row = [epoch, mean_loss]
+                for metric in cfg.metrics:
+                    tv, vv = train_scores[metric], val_scores[metric]
+                    row += [float(np.nanmean(tv)), float(np.nanmean(vv))]
+                    row += list(tv) + list(vv)
+                row += [pnorm, mean_gnorm]
                 with open(csv_path, "a", newline="") as f:
-                    csv.writer(f).writerow([epoch, mean_loss, avg_val,
-                                            pnorm, mean_gnorm])
+                    csv.writer(f).writerow(row)
             if tb_writer is not None:
                 tb_writer.add_scalar("train_loss", mean_loss, epoch)
                 tb_writer.add_scalar(f"validation_{cfg.metric}", avg_val,
