@@ -327,7 +327,15 @@ def run_training(cfg: TrainConfig,
         # per-metric train/val averages + per-task columns)
         csv_path = os.path.join(model_dir, "train_val_loss_log.csv") \
             if model_dir else None
-        task_names = [f"task_{i}" for i in range(num_tasks)]
+        try:
+            from ..data import get_task_names
+            task_names = get_task_names(
+                cfg.data_path, cfg.smiles_columns, cfg.target_columns,
+                cfg.ignore_columns, cfg.number_of_molecules)
+        except (OSError, ValueError):
+            task_names = []
+        if len(task_names) != num_tasks:
+            task_names = [f"task_{i}" for i in range(num_tasks)]
         if csv_path and start_epoch == 0:
             header = ["epoch", "train_loss"]
             for metric in cfg.metrics:
