@@ -15,8 +15,11 @@ All green-field TPU design — the reference is strictly single-device
 from .dp import make_dp_train_step, shard_batch, stack_device_batches
 from .mesh import make_mesh
 from .gspmd import graph_shardings, make_gspmd_train_step
-from .partition import build_edge_shards, make_edge_parallel_forward
+from .partition import (build_edge_shards, build_edge_shards_halo,
+                        make_edge_parallel_forward,
+                        make_edge_parallel_forward_halo)
 
-__all__ = ["build_edge_shards", "graph_shardings", "make_dp_train_step", "make_gspmd_train_step",
+__all__ = ["build_edge_shards", "build_edge_shards_halo",
+           "make_edge_parallel_forward_halo", "graph_shardings", "make_dp_train_step", "make_gspmd_train_step",
            "make_edge_parallel_forward", "make_mesh", "shard_batch",
            "stack_device_batches"]

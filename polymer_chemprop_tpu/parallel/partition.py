@@ -12,8 +12,11 @@ LOCAL. The only cross-chip dependency per layer is the atom-state
 aggregation: each shard computes a partial weighted segment-sum over the
 full atom axis and the partials are combined with ``psum`` over ICI
 (bandwidth: A x H per layer — the direct analogue of the all-reduce in
-Megatron-style tensor parallelism; a future halo-exchange variant can
-reduce this to boundary atoms only via ppermute).
+Megatron-style tensor parallelism). The halo-exchange variant below
+(:func:`build_edge_shards_halo` / :func:`make_edge_parallel_forward_halo`)
+cuts that to two neighbour ``ppermute`` shifts of one (A/n_shards, H)
+atom window per layer — ~n_shards x less ICI traffic — by exploiting
+GraphBatch's molecule-contiguous atom numbering.
 
 Atoms (f_atoms, readout) are kept replicated; molecule readout runs on
 shard 0's copy (cheap: A x H -> M x H segment sum).
@@ -108,6 +111,195 @@ def make_edge_parallel_forward(cfg: EncoderConfig, mesh: Mesh,
                                 replicated["a2mol"], num_mols,
                                 replicated["degree_of_polym"],
                                 cfg.aggregation, cfg.aggregation_norm)
+
+    smapped = shard_map(local_forward, mesh=mesh,
+                        in_specs=(P(), P(axis), P()),
+                        out_specs=P(),
+                        check_vma=False)
+    return jax.jit(smapped)
+
+
+# ---------------------------------------------------------------------------
+# halo-exchange variant: neighbour ppermute instead of global psum
+# ---------------------------------------------------------------------------
+
+def build_edge_shards_halo(arrays: Dict[str, np.ndarray], n_shards: int
+                           ) -> Tuple[Dict[str, np.ndarray],
+                                      Dict[str, np.ndarray]]:
+    """Host-side partitioner for the halo-exchange forward.
+
+    GraphBatch numbers atoms contiguously per molecule and emits bonds in
+    molecule order, so a contiguous chunk of bond pairs references one
+    contiguous atom window. Each shard gets a window of width ``Aw``
+    (max over shards, padded); adjacent windows overlap only at the
+    molecule split across the boundary. The per-layer combine then only
+    needs the two neighbouring shards' partials (``ppermute``), shrinking
+    ICI traffic from an (A, H) all-reduce to two (Aw, H) shifts —
+    ~n_shards x less.
+
+    Raises ValueError when a single molecule spans 3+ shards (windows of
+    non-adjacent shards would overlap); callers should fall back to
+    :func:`build_edge_shards` + psum in that case.
+    """
+    B = arrays["f_bonds"].shape[0]
+    A = arrays["f_atoms"].shape[0]
+    n_pairs = (B - 1) // 2
+    pairs_per_shard = -(-n_pairs // n_shards)
+    Bs = pairs_per_shard * 2 + 1
+
+    b2a = arrays["b2a"]
+    b2dst = arrays["b2dst"]
+    w_bonds = arrays["w_bonds"]
+
+    # per-shard referenced atom windows
+    o = np.zeros(n_shards, np.int64)
+    hi_atom = np.zeros(n_shards, np.int64)
+    for s in range(n_shards):
+        lo = 1 + s * pairs_per_shard * 2
+        hi = min(1 + (s + 1) * pairs_per_shard * 2, B)
+        real = np.zeros(0, np.int64)
+        if hi > lo:
+            ref = np.concatenate([b2a[lo:hi], b2dst[lo:hi]])
+            real = ref[ref > 0]
+        if real.size == 0:
+            # empty tail shard: window past the end (owns nothing, all
+            # zero rows; keeps the o array monotone for searchsorted)
+            o[s] = hi_atom[s] = A
+        else:
+            o[s], hi_atom[s] = real.min(), real.max() + 1
+    # monotonicity + the <=2-consecutive-shards invariant
+    for s in range(n_shards - 2):
+        if hi_atom[s] > o[s + 2]:
+            raise ValueError(
+                "a molecule spans 3+ edge shards; use build_edge_shards "
+                "(psum variant) instead")
+    Aw = int(((hi_atom - o).max() + 7) // 8 * 8)
+
+    def shard_bond_array(x, fill=0):
+        out = np.full((n_shards, Bs) + x.shape[1:], fill, dtype=x.dtype)
+        for s in range(n_shards):
+            lo = 1 + s * pairs_per_shard * 2
+            hi = min(1 + (s + 1) * pairs_per_shard * 2, B)
+            if hi > lo:
+                out[s, 1:1 + hi - lo] = x[lo:hi]
+        return out
+
+    sharded = {
+        "f_bonds": shard_bond_array(arrays["f_bonds"]),
+        "w_bonds": shard_bond_array(w_bonds),
+    }
+    # atom indices rebased into the local window; padding bonds carry zero
+    # weight so the clipped index is harmless
+    b2a_s = shard_bond_array(b2a)
+    b2dst_s = shard_bond_array(b2dst)
+    loc = lambda x: np.clip(x - o[:, None], 0, Aw - 1).astype(np.int32)
+    sharded["b2a_local"] = loc(b2a_s)
+    sharded["b2dst_local"] = loc(b2dst_s)
+    # real-bond mask: padding slots must not receive a_win gathers
+    sharded["bond_mask"] = (b2dst_s > 0).astype(np.float32)
+
+    rev_local = np.zeros((n_shards, Bs), np.int32)
+    idx = np.arange(1, Bs, dtype=np.int32)
+    swapped = np.where(idx % 2 == 1, idx + 1, idx - 1)
+    rev_local[:, 1:] = np.clip(swapped, 0, Bs - 1)
+    sharded["b2revb_local"] = rev_local
+
+    # atom windows (zero-padded past A)
+    F = arrays["f_atoms"].shape[1]
+    f_win = np.zeros((n_shards, Aw, F), arrays["f_atoms"].dtype)
+    w_win = np.zeros((n_shards, Aw), arrays["w_atoms"].dtype)
+    mol_win = np.zeros((n_shards, Aw), np.int32)
+    own = np.zeros((n_shards, Aw), np.float32)
+    for s in range(n_shards):
+        lo, hi = int(o[s]), min(int(o[s]) + Aw, A)
+        n = hi - lo
+        f_win[s, :n] = arrays["f_atoms"][lo:hi]
+        w_win[s, :n] = arrays["w_atoms"][lo:hi]
+        mol_win[s, :n] = arrays["a2mol"][lo:hi]
+    # ownership = exact partition of the real atoms [1, A): the owner of
+    # atom a is the last shard whose window starts at or before a (overlap
+    # atoms belong to the later shard)
+    atoms = np.arange(1, A)
+    owner = np.searchsorted(o, atoms, side="right") - 1
+    r = atoms - o[owner]
+    valid = r < Aw
+    own[owner[valid], r[valid]] = 1.0
+    sharded["f_atoms_win"] = f_win
+    sharded["w_atoms_win"] = w_win
+    sharded["a2mol_win"] = mol_win
+    sharded["own_mask"] = own
+    # shift offsets, clipped so an out-of-range neighbour (empty shard /
+    # no overlap) lands entirely in the zero half of the padded buffer
+    sharded["off_prev"] = np.clip(np.array(
+        [0] + [int(o[s] - o[s - 1]) for s in range(1, n_shards)], np.int64),
+        0, Aw).astype(np.int32)
+    sharded["off_next"] = np.clip(np.array(
+        [int(Aw + o[s] - o[s + 1]) for s in range(n_shards - 1)] + [Aw],
+        np.int64), 0, Aw).astype(np.int32)
+
+    replicated = {k: arrays[k] for k in ("degree_of_polym", "mol_mask")}
+    return sharded, replicated
+
+
+def make_edge_parallel_forward_halo(cfg: EncoderConfig, mesh: Mesh,
+                                    axis: str = "ep"):
+    """Encoder forward over halo edge shards: per-layer neighbour
+    ppermute of (Aw, H) atom-window partials instead of a global (A, H)
+    psum; only the tiny (M, H) molecule readout is all-reduced."""
+    act = get_activation(cfg.activation)
+    n = mesh.shape[axis]
+    fwd_perm = [(i, i + 1) for i in range(n - 1)]   # s receives from s-1
+    bwd_perm = [(i + 1, i) for i in range(n - 1)]   # s receives from s+1
+
+    def combine(partial, off_prev, off_next):
+        """own partial + shifted neighbour partials (missing ppermute
+        sources deliver zeros, so the boundary shards need no masks)."""
+        Aw = partial.shape[0]
+        zeros = jnp.zeros_like(partial)
+        from_prev = jax.lax.ppermute(partial, axis, fwd_perm)
+        from_next = jax.lax.ppermute(partial, axis, bwd_perm)
+        prev_pad = jnp.concatenate([from_prev, zeros], axis=0)
+        shifted_prev = jax.lax.dynamic_slice_in_dim(prev_pad, off_prev, Aw)
+        next_pad = jnp.concatenate([zeros, from_next], axis=0)
+        shifted_next = jax.lax.dynamic_slice_in_dim(next_pad, off_next, Aw)
+        return partial + shifted_prev + shifted_next
+
+    def local_forward(params, sharded, replicated):
+        sh = jax.tree_util.tree_map(lambda x: x[0], sharded)
+        Aw = sh["f_atoms_win"].shape[0]
+        off_prev = sh["off_prev"].reshape(())
+        off_next = sh["off_next"].reshape(())
+        bmask = sh["bond_mask"][:, None]
+        inputs = linear(params["W_i"], sh["f_bonds"])
+        message = act(inputs)
+        for _ in range(cfg.depth - 1):
+            partial = weighted_segment_sum(message, sh["w_bonds"],
+                                           sh["b2dst_local"], Aw)
+            a_win = combine(partial, off_prev, off_next)
+            m_new = a_win[sh["b2a_local"]] * bmask \
+                - message[sh["b2revb_local"]]
+            message = act(inputs + linear(params["W_h"], m_new))
+        partial = weighted_segment_sum(message, sh["w_bonds"],
+                                       sh["b2dst_local"], Aw)
+        a_win = combine(partial, off_prev, off_next)
+        a_input = jnp.concatenate([sh["f_atoms_win"], a_win], axis=1)
+        atom_hiddens = act(linear(params["W_o"], a_input))
+        own_w = sh["w_atoms_win"] * sh["own_mask"]
+        num_mols = replicated["degree_of_polym"].shape[0]
+        wsum = jax.lax.psum(
+            weighted_segment_sum(atom_hiddens, own_w, sh["a2mol_win"],
+                                 num_mols), axis)
+        if cfg.aggregation == "mean":
+            denom = jax.lax.psum(
+                jax.ops.segment_sum(own_w, sh["a2mol_win"],
+                                    num_segments=num_mols), axis)
+            out = wsum / jnp.maximum(denom, 1e-12)[:, None]
+            out = jnp.where(denom[:, None] > 0, out, 0.0)
+        elif cfg.aggregation == "sum":
+            out = wsum
+        else:
+            out = wsum / cfg.aggregation_norm
+        return out * replicated["degree_of_polym"][:, None]
 
     smapped = shard_map(local_forward, mesh=mesh,
                         in_specs=(P(), P(axis), P()),

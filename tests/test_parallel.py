@@ -157,3 +157,52 @@ def test_gspmd_matches_single_device(setup):
                     jax.tree_util.tree_leaves(sp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_edge_partition_halo_matches_single_device(setup):
+    """Halo-exchange edge sharding (neighbour ppermute of atom-window
+    partials, ~n_shards x less ICI traffic than the psum variant) must
+    also equal the single-device encoder."""
+    from polymer_chemprop_tpu.models import apply_encoder
+    from polymer_chemprop_tpu.parallel import (
+        build_edge_shards_halo,
+        make_edge_parallel_forward_halo,
+    )
+    model_cfg, params = setup
+    cfg = model_cfg.encoder
+    enc_params = params["encoders"][0]
+    smiles = ["CCO", "c1ccccc1", "CC(C)=CCCC(C)=CC(=O)",
+              "CCOc1ccc2nc(S(N)(=O)=O)sc2c1", "CCN", "c1ccncc1",
+              "CC(=O)Nc1ccc(O)cc1", "C1CCCCC1"]
+    gb = mol2graph(smiles, pad_atoms=128, pad_bonds=256, pad_mols=len(smiles))
+    arrays = gb.arrays()
+
+    single = np.asarray(apply_encoder(
+        enc_params, {k: jnp.asarray(v) for k, v in arrays.items()}, cfg))
+
+    for n_dev in (2, 4, 8):
+        mesh = make_mesh(n_dev, ("ep",))
+        sharded, replicated = build_edge_shards_halo(arrays, n_dev)
+        fwd = make_edge_parallel_forward_halo(cfg, mesh, "ep")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharded_dev = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P("ep"))),
+            sharded)
+        out = np.asarray(fwd(enc_params, sharded_dev, replicated))
+        np.testing.assert_allclose(out, single, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"n_dev={n_dev}")
+
+
+def test_edge_partition_halo_rejects_giant_molecule():
+    """A single molecule spanning 3+ shards violates the neighbour-only
+    exchange invariant; the builder must refuse so callers fall back to
+    build_edge_shards + psum."""
+    import pytest
+    from polymer_chemprop_tpu.parallel import build_edge_shards_halo
+    # macrocycle: the ring-closure bond links the last atom back to atom 0,
+    # so the final shard references the first shard's window (a linear
+    # chain, by contrast, has perfect locality and shards fine)
+    ring = "C1" + "C" * 198 + "1"
+    gb = mol2graph([ring], pad_atoms=256, pad_bonds=512, pad_mols=1)
+    with pytest.raises(ValueError, match="3\\+ edge shards"):
+        build_edge_shards_halo(gb.arrays(), 8)
