@@ -71,6 +71,7 @@ class TrainConfig:
     save_dir: Optional[str] = None
     quiet: bool = False
     save_preds: bool = False
+    show_individual_scores: bool = False  # per-task scores (args.py:290)
     save_smiles_splits: bool = False
     resume_from_checkpoint: Optional[str] = None  # fork addition (args.py:301-305)
     resume_experiment: bool = False

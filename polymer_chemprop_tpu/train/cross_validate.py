@@ -82,12 +82,23 @@ def cross_validate(cfg: TrainConfig,
         for metric, scores in all_scores.items():
             info(f"\tSeed {init_seed + fold_num} ==> test {metric} = "
                  f"{np.nanmean(scores[fold_num]):.6f}")
+            if cfg.show_individual_scores:
+                for name, score in zip(task_names, scores[fold_num]):
+                    info(f"\t\tSeed {init_seed + fold_num} ==> test "
+                         f"{name} {metric} = {score:.6f}")
 
     mean_score = std_score = float("nan")
     for metric, scores in all_scores.items():
         avg = np.nanmean(np.asarray(scores, dtype=float), axis=1)
         mean, std = float(np.nanmean(avg)), float(np.nanstd(avg))
         info(f"Overall test {metric} = {mean:.6f} +/- {std:.6f}")
+        if cfg.show_individual_scores:
+            arr = np.asarray(scores, dtype=float)
+            for t_idx, name in enumerate(task_names):
+                if t_idx < arr.shape[1]:
+                    info(f"\tOverall test {name} {metric} = "
+                         f"{np.nanmean(arr[:, t_idx]):.6f} +/- "
+                         f"{np.nanstd(arr[:, t_idx]):.6f}")
         if metric == cfg.metric:
             mean_score, std_score = mean, std
 

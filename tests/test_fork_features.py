@@ -173,3 +173,22 @@ class TestTensorBoard:
         events = [f for root, _, fs in os.walk(tmp_path) for f in fs
                   if f.startswith("events.out.tfevents")]
         assert events, "no TensorBoard event files written"
+
+
+class TestShowIndividualScores:
+    def test_per_task_scores_logged(self, tmp_path):
+        from tests.test_integration import train_cfg
+        cfg = train_cfg(str(tmp_path), epochs=1, max_data_size=50,
+                        data_path=os.path.join(
+                            os.path.dirname(__file__), "data",
+                            "classification.csv"),
+                        dataset_type="classification",
+                        show_individual_scores=True, quiet=False)
+        from polymer_chemprop_tpu.train.cross_validate import cross_validate
+        mean, _ = cross_validate(cfg)
+        log = os.path.join(tmp_path, "verbose.log")
+        assert os.path.exists(log)
+        text = open(log).read()
+        assert "Overall test" in text
+        # per-task lines appear with real task names from the CSV header
+        assert text.count("==> test") > cfg.num_folds
