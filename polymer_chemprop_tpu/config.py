@@ -34,11 +34,24 @@ class TrainConfig:
     train_frac: float = 1.0                  # fork addition (args.py:306-307)
     separate_val_path: Optional[str] = None
     separate_test_path: Optional[str] = None
+    # per-separate-set feature inputs (reference args.py:325-339)
+    separate_val_features_path: Optional[List[str]] = None
+    separate_test_features_path: Optional[List[str]] = None
+    separate_val_phase_features_path: Optional[str] = None
+    separate_test_phase_features_path: Optional[str] = None
+    separate_val_atom_descriptors_path: Optional[str] = None
+    separate_test_atom_descriptors_path: Optional[str] = None
+    separate_val_bond_features_path: Optional[str] = None
+    separate_test_bond_features_path: Optional[str] = None
 
     # features
     features_generator: Optional[List[str]] = None
     features_path: Optional[List[str]] = None
+    phase_features_path: Optional[str] = None  # one-hot spectra phases (args.py:87)
     no_features_scaling: bool = False
+    no_atom_descriptor_scaling: bool = False  # (args.py: fork scaling opt-outs)
+    no_bond_features_scaling: bool = False
+    no_cache_mol: bool = False               # disable the graph cache (args.py:107)
     atom_descriptors: Optional[str] = None   # 'feature' | 'descriptor'
     atom_descriptors_path: Optional[str] = None
     bond_features_path: Optional[str] = None
@@ -76,6 +89,8 @@ class TrainConfig:
     resume_from_checkpoint: Optional[str] = None  # fork addition (args.py:301-305)
     resume_experiment: bool = False
     checkpoint_frzn: Optional[str] = None
+    frzn_encoder: bool = False  # fork: checkpoint_frzn alone only warm-starts;
+    # the encoder is frozen only when this is set (run_training.py:277-288)
     freeze_first_only: bool = False
     frzn_ffn_layers: int = 0
     checkpoint_paths: Optional[List[str]] = None

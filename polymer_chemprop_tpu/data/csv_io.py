@@ -95,7 +95,8 @@ def get_data(path: str,
              store_row: bool = False,
              atom_descriptors: Optional[str] = None,
              atom_descriptors_path: Optional[str] = None,
-             bond_features_path: Optional[str] = None) -> MoleculeDataset:
+             bond_features_path: Optional[str] = None,
+             phase_features_path: Optional[str] = None) -> MoleculeDataset:
     """CSV -> MoleculeDataset (reference data/utils.py:177-355)."""
     config = config or FeaturizationConfig()
     smiles_columns = preprocess_smiles_columns(path, smiles_columns,
@@ -109,6 +110,19 @@ def get_data(path: str,
         from ..features.utils import load_features
         feats = [load_features(p) for p in features_path]
         features_data = np.concatenate(feats, axis=1)
+
+    # spectra phase features: validated one-hot rows, appended to the
+    # molecule features AND kept separately for target masking
+    # (reference data/utils.py:250-260)
+    phase_data = None
+    if phase_features_path is not None:
+        from ..features.utils import load_features
+        phase_data = np.asarray(load_features(phase_features_path))
+        for d_phase in phase_data:
+            if not (d_phase.sum() == 1 and np.count_nonzero(d_phase) == 1):
+                raise ValueError("Phase features must be one-hot encoded.")
+        features_data = phase_data if features_data is None else \
+            np.concatenate([features_data, phase_data], axis=1)
 
     data_weights = get_data_weights(data_weights_path) \
         if data_weights_path is not None else None
@@ -152,6 +166,8 @@ def get_data(path: str,
                 atom_descriptors=af if atom_descriptors == "descriptor" else None,
                 bond_features=bond_feats_list[i]
                 if bond_feats_list is not None else None,
+                phase_features=phase_data[i]
+                if phase_data is not None else None,
             ))
 
     if skip_invalid_smiles:

@@ -47,8 +47,10 @@ class MoleculeDatapoint:
                  features_generators: Optional[List[str]] = None,
                  atom_features: Optional[np.ndarray] = None,
                  atom_descriptors: Optional[np.ndarray] = None,
-                 bond_features: Optional[np.ndarray] = None):
+                 bond_features: Optional[np.ndarray] = None,
+                 phase_features: Optional[np.ndarray] = None):
         self.smiles = smiles
+        self.phase_features = phase_features
         self.targets = targets
         self.row = row
         self.data_weight = data_weight
@@ -164,6 +166,12 @@ class MoleculeDataset:
         if len(self._data) == 0 or self._data[0].features is None:
             return None
         return [d.features for d in self._data]
+
+    def phase_features(self) -> Optional[List[np.ndarray]]:
+        """One-hot spectra phase per datapoint (reference data.py:327-336)."""
+        if len(self._data) == 0 or self._data[0].phase_features is None:
+            return None
+        return [d.phase_features for d in self._data]
 
     def atom_descriptors(self):
         if len(self._data) == 0 or self._data[0].atom_descriptors is None:

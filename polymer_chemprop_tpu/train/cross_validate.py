@@ -49,7 +49,8 @@ def cross_validate(cfg: TrainConfig,
                     max_data_size=cfg.max_data_size,
                     atom_descriptors=cfg.atom_descriptors,
                     atom_descriptors_path=cfg.atom_descriptors_path,
-                    bond_features_path=cfg.bond_features_path)
+                    bond_features_path=cfg.bond_features_path,
+                    phase_features_path=cfg.phase_features_path)
 
     all_scores: Dict[str, List[List[float]]] = {}
     for fold_num in range(cfg.num_folds):

@@ -84,7 +84,9 @@ def build_model_config(cfg: TrainConfig, num_tasks: int,
 def _trainable_mask(params, cfg: TrainConfig):
     """Parameter-freezing mask for transfer learning (reference
     model.py:49-55, 118-121: freeze encoders and/or first FFN layers)."""
-    freeze_encoder = cfg.checkpoint_frzn is not None
+    # fork semantics (run_training.py:277-288): checkpoint_frzn alone only
+    # warm-starts; the encoder is frozen only when frzn_encoder is set
+    freeze_encoder = cfg.checkpoint_frzn is not None and cfg.frzn_encoder
 
     def mask_tree(tree, trainable):
         return jax.tree_util.tree_map(lambda _: trainable, tree)
@@ -158,14 +160,30 @@ def run_training(cfg: TrainConfig,
         val_data = get_data(cfg.separate_val_path, cfg.smiles_columns,
                             cfg.target_columns, cfg.ignore_columns,
                             cfg.number_of_molecules, fcfg,
-                            features_path=cfg.features_path,
-                            features_generators=cfg.features_generator) \
+                            features_path=cfg.separate_val_features_path
+                            or cfg.features_path,
+                            features_generators=cfg.features_generator,
+                            atom_descriptors=cfg.atom_descriptors,
+                            atom_descriptors_path=(
+                                cfg.separate_val_atom_descriptors_path),
+                            bond_features_path=(
+                                cfg.separate_val_bond_features_path),
+                            phase_features_path=(
+                                cfg.separate_val_phase_features_path)) \
             if cfg.separate_val_path else None
         test_data = get_data(cfg.separate_test_path, cfg.smiles_columns,
                              cfg.target_columns, cfg.ignore_columns,
                              cfg.number_of_molecules, fcfg,
-                             features_path=cfg.features_path,
-                             features_generators=cfg.features_generator) \
+                             features_path=cfg.separate_test_features_path
+                             or cfg.features_path,
+                             features_generators=cfg.features_generator,
+                             atom_descriptors=cfg.atom_descriptors,
+                             atom_descriptors_path=(
+                                 cfg.separate_test_atom_descriptors_path),
+                             bond_features_path=(
+                                 cfg.separate_test_bond_features_path),
+                             phase_features_path=(
+                                 cfg.separate_test_phase_features_path)) \
             if cfg.separate_test_path else None
         if val_data is not None and test_data is not None:
             train_data = data
@@ -220,13 +238,13 @@ def run_training(cfg: TrainConfig,
     bf_scaler = None
     if len(train_data) and (train_data[0].atom_descriptors is not None or
                             train_data[0].atom_features is not None) \
-            and not cfg.no_features_scaling:
+            and not cfg.no_atom_descriptor_scaling:
         ad_scaler = train_data.normalize_features(
             replace_nan_token=0, scale_atom_descriptors=True)
         val_data.normalize_features(ad_scaler, scale_atom_descriptors=True)
         test_data.normalize_features(ad_scaler, scale_atom_descriptors=True)
     if len(train_data) and train_data[0].bond_features is not None \
-            and not cfg.no_features_scaling:
+            and not cfg.no_bond_features_scaling:
         bf_scaler = train_data.normalize_features(
             replace_nan_token=0, scale_bond_features=True)
         val_data.normalize_features(bf_scaler, scale_bond_features=True)
@@ -243,7 +261,7 @@ def run_training(cfg: TrainConfig,
         _normalize_spectra_targets(train_data, val_data, test_data, cfg)
 
     # ---- loaders ----------------------------------------------------------
-    set_cache_graph(len(data) <= cfg.cache_cutoff)
+    set_cache_graph(len(data) <= cfg.cache_cutoff and not cfg.no_cache_mol)
     loader_kw = dict(batch_size=cfg.batch_size, num_workers=cfg.num_workers,
                      use_native=cfg.use_native_featurizer or None,
                      use_pallas=cfg.use_pallas)
@@ -478,9 +496,13 @@ def _normalize_spectra_targets(train_data, val_data, test_data,
     for ds in (train_data, val_data, test_data):
         if len(ds) == 0:
             continue
-        # use RAW features: the phase indicator must be the unscaled one-hot
-        phase_feats = [d.raw_features for d in ds] if phase_mask is not None \
-            else None
+        # dedicated phase features when provided (reference data.py:327-336),
+        # else fall back to RAW molecule features as one-hot phases — the
+        # phase indicator must never be the scaled features
+        if phase_mask is not None:
+            phase_feats = ds.phase_features() or [d.raw_features for d in ds]
+        else:
+            phase_feats = None
         new_targets = []
         for i, t in enumerate(ds.targets()):
             arr = np.array([np.nan if x is None else x for x in t], dtype=float)

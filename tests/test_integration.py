@@ -407,6 +407,39 @@ class TestSpectra:
         mean, _ = cross_validate(cfg)
         assert np.isfinite(mean)
 
+    def test_spectra_phase_features_path(self, tmp_path):
+        """Dedicated --phase_features_path: one-hot rows become both model
+        features and the target-masking phases (reference
+        data/utils.py:250-260)."""
+        cfg = train_cfg(str(tmp_path),
+                        data_path=os.path.join(DATA, "spectra.csv"),
+                        dataset_type="spectra", epochs=2,
+                        split_type="random_with_repeated_smiles",
+                        phase_features_path=os.path.join(
+                            DATA, "spectra_features.csv"),
+                        spectra_phase_mask_path=os.path.join(
+                            DATA, "spectra_mask.csv"),
+                        no_features_scaling=True)
+        mean, _ = cross_validate(cfg)
+        assert np.isfinite(mean)
+
+    def test_phase_features_must_be_one_hot(self, tmp_path):
+        import csv as _csv
+        bad = tmp_path / "phases.csv"
+        with open(os.path.join(DATA, "spectra.csv")) as f:
+            n = sum(1 for _ in f) - 1
+        with open(bad, "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["p0", "p1"])
+            for _ in range(n):
+                w.writerow([0.5, 0.5])  # not one-hot
+        cfg = train_cfg(str(tmp_path),
+                        data_path=os.path.join(DATA, "spectra.csv"),
+                        dataset_type="spectra", epochs=1,
+                        phase_features_path=str(bad))
+        with pytest.raises(ValueError, match="one-hot"):
+            cross_validate(cfg)
+
     def test_wasserstein_loss(self, tmp_path):
         cfg = train_cfg(str(tmp_path),
                         data_path=os.path.join(DATA, "spectra.csv"),

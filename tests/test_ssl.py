@@ -48,7 +48,7 @@ class TestSSL:
         tcfg = TrainConfig(data_path=polymer_csv, dataset_type="regression",
                            polymer=True, epochs=2, num_folds=1,
                            hidden_size=32, depth=2, ffn_hidden_size=32,
-                           checkpoint_frzn=ckpt, batch_size=10,
+                           checkpoint_frzn=ckpt, frzn_encoder=True, batch_size=10,
                            save_dir=str(tmp_path / "downstream"), quiet=True)
         mean, _ = cross_validate(tcfg)
         assert np.isfinite(mean)
@@ -60,3 +60,34 @@ class TestSSL:
         np.testing.assert_array_equal(
             trained["encoders"][0]["W_h"]["w"],
             params["encoders"][0]["W_h"]["w"])
+
+
+def test_checkpoint_frzn_without_frzn_encoder_warm_starts(tmp_path):
+    """Fork semantics (reference run_training.py:277-288): checkpoint_frzn
+    without --frzn_encoder loads the weights but leaves them TRAINABLE."""
+    import numpy as np
+    from polymer_chemprop_tpu.config import TrainConfig
+    from polymer_chemprop_tpu.train import cross_validate
+    from polymer_chemprop_tpu.utils.checkpoint import load_checkpoint
+    import os
+    data = os.path.join(os.path.dirname(__file__), "data", "regression.csv")
+    base = TrainConfig(data_path=data, dataset_type="regression", epochs=1,
+                       num_folds=1, hidden_size=32, depth=2,
+                       ffn_hidden_size=32, max_data_size=60, batch_size=10,
+                       save_dir=str(tmp_path / "teacher"), quiet=True)
+    cross_validate(base)
+    ckpt = str(tmp_path / "teacher" / "fold_0" / "model_0" /
+               "best_model.ckpt")
+    teacher, _, _, _ = load_checkpoint(ckpt)
+
+    student_cfg = TrainConfig(data_path=data, dataset_type="regression",
+                              epochs=2, num_folds=1, hidden_size=32, depth=2,
+                              ffn_hidden_size=32, max_data_size=60,
+                              batch_size=10, checkpoint_frzn=ckpt,
+                              save_dir=str(tmp_path / "student"), quiet=True)
+    cross_validate(student_cfg)
+    student, _, _, _ = load_checkpoint(
+        str(tmp_path / "student" / "fold_0" / "model_0" / "best_model.ckpt"))
+    # weights must have MOVED (trainable), not stayed identical (frozen)
+    assert not np.array_equal(student["encoders"][0]["W_h"]["w"],
+                              teacher["encoders"][0]["W_h"]["w"])
