@@ -242,6 +242,8 @@ class PredictConfig:
     atom_descriptors: Optional[str] = None
     atom_descriptors_path: Optional[str] = None
     bond_features_path: Optional[str] = None
+    phase_features_path: Optional[str] = None
+    no_features_scaling: bool = False
     # fork additions (args.py:666-669)
     save_graph_embeddings: bool = False
     graph_embeddings_path: Optional[str] = None

@@ -123,10 +123,12 @@ def get_hyperopt_seed(seed: int, trials_dir: str) -> int:
 def hyperopt(cfg: TrainConfig, num_iters: int = 20,
              hyperopt_checkpoint_dir: Optional[str] = None,
              manual_trial_dirs: Optional[List[str]] = None,
-             config_save_path: Optional[str] = None) -> Dict:
+             config_save_path: Optional[str] = None,
+             startup_random_iters: int = 10,
+             log_dir: Optional[str] = None) -> Dict:
     """TPE search; objective = cross_validate mean score
     (reference hyperparameter_optimization.py:31-156)."""
-    logger = get_logger("hyperopt", cfg.save_dir, cfg.quiet)
+    logger = get_logger("hyperopt", log_dir or cfg.save_dir, cfg.quiet)
     trials_dir = hyperopt_checkpoint_dir or \
         os.path.join(cfg.save_dir or ".", "hyperopt_trials")
 
@@ -146,7 +148,7 @@ def hyperopt(cfg: TrainConfig, num_iters: int = 20,
         if len(trials) >= num_iters:
             break
         seed = get_hyperopt_seed(cfg.seed + len(trials), trials_dir)
-        tpe = TPE(SPACE, seed=seed)
+        tpe = TPE(SPACE, n_startup=startup_random_iters, seed=seed)
         params = tpe.suggest(trials)
         trial_cfg = TrainConfig.from_dict(cfg.to_dict())
         for k, v in params.items():
@@ -196,14 +198,19 @@ def chemprop_hyperopt(argv: Optional[List[str]] = None) -> None:
     parser.add_argument("--hyperopt_checkpoint_dir", type=str, default=None)
     parser.add_argument("--manual_trial_dirs", nargs="*", default=None)
     parser.add_argument("--config_save_path", type=str, default=None)
+    parser.add_argument("--startup_random_iters", type=int, default=10)
+    parser.add_argument("--log_dir", type=str, default=None)
     ns = parser.parse_args(argv)
     d = vars(ns)
     num_iters = d.pop("num_iters")
     ckpt_dir = d.pop("hyperopt_checkpoint_dir")
     manual = d.pop("manual_trial_dirs")
     config_save_path = d.pop("config_save_path")
+    startup_random_iters = d.pop("startup_random_iters")
+    log_dir = d.pop("log_dir")
     if d.get("split_sizes") is not None:
         d["split_sizes"] = tuple(d["split_sizes"])
     cfg = TrainConfig.from_dict(d)
     hyperopt(cfg, num_iters=num_iters, hyperopt_checkpoint_dir=ckpt_dir,
-             manual_trial_dirs=manual, config_save_path=config_save_path)
+             manual_trial_dirs=manual, config_save_path=config_save_path,
+             startup_random_iters=startup_random_iters, log_dir=log_dir)

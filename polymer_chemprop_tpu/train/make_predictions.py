@@ -101,6 +101,8 @@ def make_predictions(args: PredictConfig,
                              tcfg.atom_descriptors,
                              atom_descriptors_path=args.atom_descriptors_path,
                              bond_features_path=args.bond_features_path,
+                             phase_features_path=args.phase_features_path
+                             or tcfg.phase_features_path,
                              store_row=True)
         full_rows = [d.row for d in test_data]
 
