@@ -520,3 +520,36 @@ class TestGoldenScores:
                         epochs=10, num_folds=3)
         mean, _ = cross_validate(cfg)
         assert abs(mean - 0.001421315) / 0.001421315 < DELTA
+
+
+class TestInterpret:
+    def test_mcts_rationale_extraction(self, tmp_path):
+        """Interpret smoke test (reference test_integration.py:436-468):
+        train a small classifier, then extract MCTS substructure
+        rationales for a few molecules."""
+        from polymer_chemprop_tpu.interpret import interpret
+        cfg = train_cfg(str(tmp_path),
+                        data_path=os.path.join(DATA, "classification.csv"),
+                        dataset_type="classification", epochs=2,
+                        max_data_size=80)
+        cross_validate(cfg)
+        # small test file from the training fixture
+        import csv as _csv
+        test_csv = tmp_path / "interp.csv"
+        with open(os.path.join(DATA, "classification.csv")) as f:
+            rows = list(_csv.reader(f))
+        with open(test_csv, "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(rows[0][:1])
+            for r in rows[1:6]:
+                w.writerow(r[:1])
+        pargs = PredictConfig(test_path=str(test_csv),
+                              checkpoint_dir=str(tmp_path), batch_size=10)
+        lines = []
+        results = interpret(pargs, str(test_csv), property_id=1, rollout=3,
+                            max_atoms=12, min_atoms=4, prop_delta=0.0,
+                            writer=lines.append)
+        assert len(results) == 5
+        # every row: (smiles, score, rationale_smiles_or_None, r_score)
+        for smiles, score, rationale, r_score in results:
+            assert isinstance(score, float)
