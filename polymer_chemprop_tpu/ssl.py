@@ -55,11 +55,20 @@ class SSLConfig:
     hidden_size: int = 300
     depth: int = 3
     mask_ratio: float = 0.15
+    min_mask: int = 2           # per-graph minimum masked atoms/bond pairs
     graph_loss_weight: float = 0.5
     epochs_stage1: int = 20
     epochs_stage2: int = 10
     batch_size: int = 50
     lr: float = 1e-3
+    lr_graph: Optional[float] = None   # stage-2 LR (defaults to lr)
+    dropout: float = 0.0
+    weight_decay: float = 0.0
+    pretrain_frac: float = 1.0
+    val_frac: float = 0.0       # held-out fraction for early stopping
+    pretrain_folds_file: Optional[str] = None  # pickle of pretrain indices
+    save_graph_embeddings: bool = False
+    graph_embeddings_path: Optional[str] = None
     seed: int = 0
     patience: int = 5          # early stopping (reference two-stage main)
     lr_decay: float = 0.5      # ReduceLROnPlateau factor
@@ -99,10 +108,13 @@ def init_ssl_model(key: jax.Array, enc_cfg: EncoderConfig) -> Dict:
     }
 
 
-def _mask_batch(batch: Dict, rng: jax.Array, mask_ratio: float):
+def _mask_batch(batch: Dict, rng: jax.Array, mask_ratio: float,
+                min_mask: int = 0):
     """Zero out a random fraction of real atom rows and bond-pair rows;
     returns (masked batch, atom_mask, bond_mask) with masks over the padded
-    axes (1 = masked position to reconstruct)."""
+    axes (1 = masked position to reconstruct). With ``min_mask`` > 0, every
+    graph gets at least that many masked atoms (reference V5_C masking:
+    mask 15%% with a per-graph minimum of 2)."""
     f_atoms, f_bonds = batch["f_atoms"], batch["f_bonds"]
     A, B = f_atoms.shape[0], f_bonds.shape[0]
     k1, k2 = jax.random.split(rng)
@@ -110,7 +122,20 @@ def _mask_batch(batch: Dict, rng: jax.Array, mask_ratio: float):
     # real bonds: exclude slot 0 / padding (zero weight rows are padding,
     # but stochastic-bond weights are in (0,1]; padding rows have w == 0)
     real_bond = (batch["w_bonds"] > 0)
-    atom_mask = (jax.random.uniform(k1, (A,)) < mask_ratio) & real_atom
+    if min_mask > 0:
+        # rank each atom's random score within its molecule; mask the
+        # max(min_mask, ratio * n_g) lowest-scoring atoms per graph
+        score = jnp.where(real_atom, jax.random.uniform(k1, (A,)), 2.0)
+        a2mol = batch["a2mol"]
+        same = a2mol[:, None] == a2mol[None, :]
+        rank = (same & (score[None, :] < score[:, None])).sum(axis=1)
+        n_g = jax.ops.segment_sum(real_atom.astype(jnp.int32), a2mol,
+                                  num_segments=batch["degree_of_polym"].shape[0])
+        k_g = jnp.maximum(jnp.minimum(min_mask, n_g),
+                          (mask_ratio * n_g).astype(jnp.int32))
+        atom_mask = (rank < k_g[a2mol]) & real_atom
+    else:
+        atom_mask = (jax.random.uniform(k1, (A,)) < mask_ratio) & real_atom
     pair_mask = (jax.random.uniform(k2, (B // 2,)) < mask_ratio)
     bond_mask = jnp.repeat(pair_mask, 2, total_repeat_length=B - B % 2)
     if B % 2:
@@ -124,7 +149,8 @@ def _mask_batch(batch: Dict, rng: jax.Array, mask_ratio: float):
 
 
 def make_ssl_step(enc_cfg: EncoderConfig, tx, mask_ratio: float,
-                  graph_loss_weight: float, with_graph_task: bool):
+                  graph_loss_weight: float, with_graph_task: bool,
+                  min_mask: int = 0):
     act = get_activation(enc_cfg.activation)
 
     def encode_parts(params, batch):
@@ -148,7 +174,8 @@ def make_ssl_step(enc_cfg: EncoderConfig, tx, mask_ratio: float,
         return message, atom_hiddens, wsum * batch["degree_of_polym"][:, None]
 
     def loss_fn(params, batch, labels, rng):
-        masked, atom_mask, bond_mask = _mask_batch(batch, rng, mask_ratio)
+        masked, atom_mask, bond_mask = _mask_batch(batch, rng, mask_ratio,
+                                                   min_mask)
         message, atom_hiddens, mol_emb = encode_parts(params, masked)
         node_rec = linear(params["node_head"], atom_hiddens)
         edge_rec = linear(params["edge_head"], message)
@@ -186,45 +213,106 @@ def ssl_pretrain(cfg: SSLConfig) -> str:
     fcfg = tcfg.featurization()
     data = get_data(cfg.data_path, config=fcfg, target_columns=[],
                     max_data_size=cfg.max_data_size)
+    # pretrain subset: explicit fold file > fraction subsample
+    # (reference V5_C --pretrain_folds_file / --pretrain_frac)
+    import random as _random
+    if cfg.pretrain_folds_file:
+        import pickle
+        with open(cfg.pretrain_folds_file, "rb") as f:
+            idx = list(pickle.load(f))
+        if idx and isinstance(idx[0], (list, tuple)):
+            idx = [i for fold in idx for i in fold]
+        data = MoleculeDataset([data[i] for i in idx if i < len(data)])
+    elif cfg.pretrain_frac < 1.0:
+        rnd = _random.Random(cfg.seed)
+        idx = list(range(len(data)))
+        rnd.shuffle(idx)
+        keep = idx[:max(1, int(len(data) * cfg.pretrain_frac))]
+        data = MoleculeDataset([data[i] for i in sorted(keep)])
+    # held-out validation split for early stopping (--val_frac)
+    val_data = None
+    if cfg.val_frac > 0 and len(data) > 4:
+        n_val = max(1, int(len(data) * cfg.val_frac))
+        rnd = _random.Random(cfg.seed + 1)
+        idx = list(range(len(data)))
+        rnd.shuffle(idx)
+        val_idx = set(idx[:n_val])
+        val_data = MoleculeDataset([data[i] for i in sorted(val_idx)])
+        data = MoleculeDataset([data[i] for i in range(len(data))
+                                if i not in val_idx])
     labels_all = molecular_weight_label(data, fcfg)
+    val_labels = molecular_weight_label(val_data, fcfg) \
+        if val_data is not None else None
 
     enc_cfg = EncoderConfig(atom_fdim=fcfg.atom_fdim,
                             bond_fdim=fcfg.bond_fdim(),
-                            hidden_size=cfg.hidden_size, depth=cfg.depth)
+                            hidden_size=cfg.hidden_size, depth=cfg.depth,
+                            dropout=cfg.dropout)
     key = jax.random.PRNGKey(cfg.seed)
     key, init_key = jax.random.split(key)
     params = init_ssl_model(init_key, enc_cfg)
-    tx = build_optimizer("adam", lambda step: cfg.lr)
+    tx = build_optimizer("adamw" if cfg.weight_decay > 0 else "adam",
+                         lambda step: cfg.lr,
+                         weight_decay=cfg.weight_decay)
     opt_state = tx.init(params)
 
     loader = MoleculeDataLoader(data, fcfg, batch_size=cfg.batch_size,
                                 shuffle=False, num_workers=cfg.num_workers)
+    val_loader = MoleculeDataLoader(val_data, fcfg,
+                                    batch_size=cfg.batch_size,
+                                    shuffle=False,
+                                    num_workers=cfg.num_workers) \
+        if val_data is not None else None
 
     def run_stage(params, opt_state, epochs, with_graph, key, stage):
+        # stage-2 LR override (reference --learning_rate_graph)
+        base_scale = (cfg.lr_graph / cfg.lr) \
+            if (with_graph and cfg.lr_graph) else 1.0
         step = make_ssl_step(enc_cfg, tx, cfg.mask_ratio,
-                             cfg.graph_loss_weight, with_graph)
-        best = float("inf")
-        bad_epochs = 0
-        lr_scale = 1.0
-        for epoch in range(epochs):
+                             cfg.graph_loss_weight, with_graph,
+                             min_mask=cfg.min_mask)
+
+        def epoch_loss(params, opt_state, ld, labels_arr, key2, scale,
+                       train=True):
             losses = []
             offset = 0
-            for batch in loader:
+            for batch in ld:
                 pt = batch_pytree(batch)["graphs"][0]
                 pt["mol_mask"] = batch.mol_mask
                 labels = np.zeros(batch.mol_mask.shape[0], np.float32)
-                labels[:batch.size] = labels_all[offset:offset + batch.size]
+                labels[:batch.size] = labels_arr[offset:offset + batch.size]
                 offset += batch.size
-                key2 = jax.random.fold_in(key, epoch * 10000 + offset)
-                params, opt_state, loss = step(params, opt_state, pt,
-                                               jnp.asarray(labels), key2,
-                                               lr_scale)
+                k = jax.random.fold_in(key2, offset)
+                if train:
+                    params, opt_state, loss = step(params, opt_state, pt,
+                                                   jnp.asarray(labels), k,
+                                                   scale)
+                else:
+                    loss = step(params, opt_state, pt, jnp.asarray(labels),
+                                k, 0.0)[2]  # zero-scaled update = eval
                 losses.append(float(loss))
-            mean_loss = float(np.mean(losses))
-            log.debug(f"[stage {stage}] epoch {epoch} loss {mean_loss:.5f} "
+            return params, opt_state, float(np.mean(losses))
+
+        best = float("inf")
+        bad_epochs = 0
+        lr_scale = base_scale
+        for epoch in range(epochs):
+            key2 = jax.random.fold_in(key, epoch)
+            params, opt_state, train_loss = epoch_loss(
+                params, opt_state, loader, labels_all, key2, lr_scale)
+            if val_loader is not None:
+                # early-stopping criterion = held-out loss (--val_frac)
+                _, _, crit = epoch_loss(params, opt_state, val_loader,
+                                        val_labels,
+                                        jax.random.fold_in(key2, 999),
+                                        0.0, train=False)
+            else:
+                crit = train_loss
+            log.debug(f"[stage {stage}] epoch {epoch} loss "
+                      f"{train_loss:.5f} crit {crit:.5f} "
                       f"(lr x{lr_scale:.3f})")
-            if mean_loss < best - 1e-5:
-                best = mean_loss
+            if crit < best - 1e-5:
+                best = crit
                 bad_epochs = 0
             else:
                 bad_epochs += 1
@@ -253,6 +341,21 @@ def ssl_pretrain(cfg: SSLConfig) -> str:
                     extra_meta={"ssl": True,
                                 "transfer_strategy": cfg.transfer_strategy})
     log.info(f"Saved SSL checkpoint to {path}")
+
+    if cfg.save_graph_embeddings:
+        # graph-level embedding export (reference --save_graph_embeddings)
+        from .models import apply_encoder
+        import functools
+        embed = jax.jit(functools.partial(apply_encoder, cfg=enc_cfg))
+        chunks = []
+        for batch in loader:
+            pt = batch_pytree(batch)["graphs"][0]
+            emb = np.asarray(embed(params["encoder"], pt))
+            chunks.append(emb[:batch.size])
+        emb_path = cfg.graph_embeddings_path or \
+            os.path.join(cfg.save_dir or ".", "ssl_graph_embeddings.npy")
+        np.save(emb_path, np.concatenate(chunks, axis=0))
+        log.info(f"Saved graph embeddings to {emb_path}")
     return path
 
 

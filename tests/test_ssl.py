@@ -91,3 +91,24 @@ def test_checkpoint_frzn_without_frzn_encoder_warm_starts(tmp_path):
     # weights must have MOVED (trainable), not stayed identical (frozen)
     assert not np.array_equal(student["encoders"][0]["W_h"]["w"],
                               teacher["encoders"][0]["W_h"]["w"])
+
+
+def test_ssl_full_option_surface(tmp_path):
+    """min_mask, val-split early stopping, pretrain_frac, weight decay,
+    stage-2 LR, and graph-embedding export all run end-to-end
+    (reference ssl_two_stage_V5_C.py:733-766 CLI surface)."""
+    import os
+    import numpy as np
+    from polymer_chemprop_tpu.ssl import SSLConfig, ssl_pretrain
+    data = os.path.join(os.path.dirname(__file__), "data", "regression.csv")
+    cfg = SSLConfig(data_path=data, save_dir=str(tmp_path), polymer=False,
+                    hidden_size=32, depth=2, epochs_stage1=2,
+                    epochs_stage2=2, batch_size=10, max_data_size=50,
+                    min_mask=2, val_frac=0.2, pretrain_frac=0.8,
+                    weight_decay=1e-5, lr_graph=5e-4, dropout=0.1,
+                    save_graph_embeddings=True, quiet=True)
+    ckpt = ssl_pretrain(cfg)
+    assert os.path.exists(ckpt)
+    emb = np.load(tmp_path / "ssl_graph_embeddings.npy")
+    # 50 * 0.8 = 40 pretrain mols minus 20% val = 32
+    assert emb.shape == (32, 32) and np.isfinite(emb).all()
