@@ -57,6 +57,12 @@ class SSLConfig:
     mask_ratio: float = 0.15
     min_mask: int = 2           # per-graph minimum masked atoms/bond pairs
     graph_loss_weight: float = 0.5
+    # enhanced mode (reference ssl_enhancements.py): edge-loss weighting,
+    # warmup+cosine LR over each stage, stochastic perturbation of
+    # inter-monomer edge weights as augmentation
+    use_enhanced_ssl: bool = False
+    edge_loss_weight: float = 1.5
+    augment_ratio: float = 0.3
     epochs_stage1: int = 20
     epochs_stage2: int = 10
     batch_size: int = 50
@@ -150,7 +156,8 @@ def _mask_batch(batch: Dict, rng: jax.Array, mask_ratio: float,
 
 def make_ssl_step(enc_cfg: EncoderConfig, tx, mask_ratio: float,
                   graph_loss_weight: float, with_graph_task: bool,
-                  min_mask: int = 0):
+                  min_mask: int = 0, edge_loss_weight: float = 1.0,
+                  augment_ratio: float = 0.0):
     act = get_activation(enc_cfg.activation)
 
     def encode_parts(params, batch):
@@ -174,6 +181,17 @@ def make_ssl_step(enc_cfg: EncoderConfig, tx, mask_ratio: float,
         return message, atom_hiddens, wsum * batch["degree_of_polym"][:, None]
 
     def loss_fn(params, batch, labels, rng):
+        if augment_ratio > 0:
+            # perturb inter-monomer stochastic edges (0 < w < 1) in a
+            # random fraction of batches (ssl_enhancements.py:313-333)
+            rng, k_gate, k_noise = jax.random.split(rng, 3)
+            w = batch["w_bonds"]
+            inter = (w > 0) & (w < 1.0)
+            noise = jax.random.normal(k_noise, w.shape) * 0.05
+            w_aug = jnp.where(inter, jnp.clip(w + noise, 0.01, 0.99), w)
+            gate = jax.random.bernoulli(k_gate, augment_ratio)
+            batch = dict(batch)
+            batch["w_bonds"] = jnp.where(gate, w_aug, w)
         masked, atom_mask, bond_mask = _mask_batch(batch, rng, mask_ratio,
                                                    min_mask)
         message, atom_hiddens, mol_emb = encode_parts(params, masked)
@@ -183,7 +201,7 @@ def make_ssl_step(enc_cfg: EncoderConfig, tx, mask_ratio: float,
         edge_se = ((edge_rec - batch["f_bonds"]) ** 2).mean(axis=1)
         node_loss = (node_se * atom_mask).sum() / jnp.maximum(atom_mask.sum(), 1)
         edge_loss = (edge_se * bond_mask).sum() / jnp.maximum(bond_mask.sum(), 1)
-        loss = node_loss + edge_loss
+        loss = node_loss + edge_loss_weight * edge_loss
         if with_graph_task:
             h = act(linear(params["graph_head"][0], mol_emb))
             pred = linear(params["graph_head"][1], h)[:, 0]
@@ -268,9 +286,22 @@ def ssl_pretrain(cfg: SSLConfig) -> str:
         # stage-2 LR override (reference --learning_rate_graph)
         base_scale = (cfg.lr_graph / cfg.lr) \
             if (with_graph and cfg.lr_graph) else 1.0
-        step = make_ssl_step(enc_cfg, tx, cfg.mask_ratio,
-                             cfg.graph_loss_weight, with_graph,
-                             min_mask=cfg.min_mask)
+        step = make_ssl_step(
+            enc_cfg, tx, cfg.mask_ratio, cfg.graph_loss_weight, with_graph,
+            min_mask=cfg.min_mask,
+            edge_loss_weight=cfg.edge_loss_weight if cfg.use_enhanced_ssl
+            else 1.0,
+            augment_ratio=cfg.augment_ratio if cfg.use_enhanced_ssl else 0.0)
+
+        def enhanced_lr(epoch):
+            # 10%->100% linear warmup then cosine decay over the stage
+            # (ssl_enhancements.py:25-45)
+            import math
+            warm = max(1, min(5, epochs // 10))
+            if epoch < warm:
+                return 0.1 + 0.9 * epoch / warm
+            return 0.5 * (1 + math.cos(
+                math.pi * (epoch - warm) / max(1, epochs - warm)))
 
         def epoch_loss(params, opt_state, ld, labels_arr, key2, scale,
                        train=True):
@@ -297,6 +328,8 @@ def ssl_pretrain(cfg: SSLConfig) -> str:
         bad_epochs = 0
         lr_scale = base_scale
         for epoch in range(epochs):
+            if cfg.use_enhanced_ssl:
+                lr_scale = base_scale * enhanced_lr(epoch)
             key2 = jax.random.fold_in(key, epoch)
             params, opt_state, train_loss = epoch_loss(
                 params, opt_state, loader, labels_all, key2, lr_scale)

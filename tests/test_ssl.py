@@ -112,3 +112,26 @@ def test_ssl_full_option_surface(tmp_path):
     emb = np.load(tmp_path / "ssl_graph_embeddings.npy")
     # 50 * 0.8 = 40 pretrain mols minus 20% val = 32
     assert emb.shape == (32, 32) and np.isfinite(emb).all()
+
+
+def test_ssl_enhanced_mode(tmp_path):
+    """use_enhanced_ssl: weighted edge loss, warmup+cosine LR, and
+    stochastic inter-monomer edge perturbation (ssl_enhancements.py)."""
+    import os
+    from polymer_chemprop_tpu.ssl import SSLConfig, ssl_pretrain
+    poly = tmp_path / "poly.csv"
+    import numpy as np
+    rng = np.random.default_rng(0)
+    rows = ["smiles,target"]
+    mons = ["[*:1]CC[*:2]", "[*:1]CO[*:2]", "[*:1]c1ccc([*:2])cc1"]
+    for _ in range(30):
+        m1, m2 = rng.choice(mons, 2, replace=False)
+        m2 = m2.replace("[*:1]", "[*:3]").replace("[*:2]", "[*:4]")
+        rows.append(f'"{m1}.{m2}|0.5|0.5|<1-3:0.5:0.5<2-4:0.5:0.5~10",0')
+    poly.write_text("\n".join(rows))
+    cfg = SSLConfig(data_path=str(poly), save_dir=str(tmp_path),
+                    polymer=True, hidden_size=32, depth=2, epochs_stage1=2,
+                    epochs_stage2=2, batch_size=10, use_enhanced_ssl=True,
+                    quiet=True)
+    ckpt = ssl_pretrain(cfg)
+    assert os.path.exists(ckpt)
