@@ -88,19 +88,34 @@ def bench_tpu(pallas: bool = False, bf16: bool = False,
     params, opt_state, loss, gnorm = step(params, opt_state, batch, key)
     jax.block_until_ready(params)
 
-    # adaptive iteration count: the chip is reached through a shared tunnel
-    # whose latency varies; probe first, then size the timed run to ~5s max
-    t0 = time.perf_counter()
-    for _ in range(3):
-        params, opt_state, loss, gnorm = step(params, opt_state, batch, key)
-    jax.block_until_ready(params)
-    probe_dt = (time.perf_counter() - t0) / 3
-    n_iters = max(3, min(30, int(5.0 / max(probe_dt, 1e-4))))
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        params, opt_state, loss, gnorm = step(params, opt_state, batch, key)
-    jax.block_until_ready(params)
-    dt = (time.perf_counter() - t0) / n_iters
+    # The chip is reached through a shared tunnel whose latency varies by
+    # >100x between quiet and congested windows (observed 15 ms to 5.2 s
+    # for this same step). Congestion only ever ADDS wall-clock, so the
+    # honest device throughput is the FASTEST of several spaced rounds,
+    # each sized adaptively to ~4 s.
+    best_dt = float("inf")
+    deadline = time.perf_counter() + 300.0
+    for trial in range(5):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            params, opt_state, loss, gnorm = step(params, opt_state, batch,
+                                                  key)
+        jax.block_until_ready(params)
+        probe_dt = (time.perf_counter() - t0) / 3
+        n_iters = max(3, min(30, int(4.0 / max(probe_dt, 1e-4))))
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            params, opt_state, loss, gnorm = step(params, opt_state, batch,
+                                                  key)
+        jax.block_until_ready(params)
+        dt = (time.perf_counter() - t0) / n_iters
+        best_dt = min(best_dt, dt)
+        # a measurement near device speed needs no more trials; otherwise
+        # wait out the congestion (bounded by the overall deadline)
+        if best_dt < 0.025 or time.perf_counter() + 35 > deadline:
+            break
+        time.sleep(20)
+    dt = best_dt
 
     edges_per_s = n_real_edges / dt
     kernel = ("pallas-band" if pallas else "xla-segment") + \
