@@ -148,40 +148,56 @@ def _band_matmul_kernel(rs_ref, dst_tile_ref, msg_tile_ref, wh_ref,
                         msg_hbm, w_hbm, dst_hbm,
                         out_ref,
                         msg_win, w_win, dst_win, sems, *,
+                        nblocks,
                         precision=jax.lax.Precision.HIGHEST):
     """One bond tile with the message-update matmul fused:
     out = (Q @ msg_window - msg_tile) @ W_h.
 
     Row-wise matmuls commute with the reverse-bond permutation applied
     outside, so fusing W_h here saves writing+re-reading the intermediate
-    z to HBM (one full B x H round trip per layer)."""
+    z to HBM (one full B x H round trip per layer).
+
+    The window DMAs are DOUBLE-BUFFERED: the copies for tile j+1 are
+    issued before computing tile j, so the HBM fetch overlaps the MXU
+    matmuls (scratch leading dim = 2 slots)."""
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     j = pl.program_id(0)
-    start = pl.multiple_of(rs_ref[j], 128)
-    row = pl.multiple_of(start // 128, 1)
+    slot = jax.lax.rem(j, 2)
 
-    cp1 = pltpu.make_async_copy(msg_hbm.at[pl.ds(start, EXT), :], msg_win,
-                                sems.at[0])
-    cp2 = pltpu.make_async_copy(w_hbm.at[pl.ds(row, EXT // 128), :], w_win,
-                                sems.at[1])
-    cp3 = pltpu.make_async_copy(dst_hbm.at[pl.ds(row, EXT // 128), :],
-                                dst_win, sems.at[2])
-    cp1.start()
-    cp2.start()
-    cp3.start()
-    cp1.wait()
-    cp2.wait()
-    cp3.wait()
+    def copies(idx, sl):
+        start = pl.multiple_of(rs_ref[idx], 128)
+        row = pl.multiple_of(start // 128, 1)
+        return (
+            pltpu.make_async_copy(msg_hbm.at[pl.ds(start, EXT), :],
+                                  msg_win.at[sl], sems.at[sl, 0]),
+            pltpu.make_async_copy(w_hbm.at[pl.ds(row, EXT // 128), :],
+                                  w_win.at[sl], sems.at[sl, 1]),
+            pltpu.make_async_copy(dst_hbm.at[pl.ds(row, EXT // 128), :],
+                                  dst_win.at[sl], sems.at[sl, 2]),
+        )
+
+    @pl.when(j == 0)
+    def _():
+        for c in copies(0, 0):
+            c.start()
+
+    @pl.when(j + 1 < nblocks)
+    def _():
+        for c in copies(j + 1, jax.lax.rem(j + 1, 2)):
+            c.start()
+
+    for c in copies(j, slot):
+        c.wait()
 
     dst_tile = dst_tile_ref[:, 0:1]
-    dst_w = dst_win[...].reshape(1, EXT)
-    w = w_win[...].reshape(1, EXT)
+    dst_w = dst_win[slot].reshape(1, EXT)
+    w = w_win[slot].reshape(1, EXT)
     q = jnp.where(dst_tile == dst_w, w, 0.0)
     z = jax.lax.dot_general(
-        q, msg_win[:, :],
+        q, msg_win[slot],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision) - msg_tile_ref[:, :]
@@ -196,42 +212,57 @@ def _band_kernel(rs_ref, dst_tile_ref, msg_tile_ref,
                  msg_hbm, w_hbm, dst_hbm,
                  out_ref,
                  msg_win, w_win, dst_win, sems, *,
+                 nblocks,
                  precision=jax.lax.Precision.HIGHEST):
-    """One bond tile: out = Q @ msg_window - msg_tile."""
+    """One bond tile: out = Q @ msg_window - msg_tile.
+
+    Window DMAs are double-buffered across grid steps (see
+    _band_matmul_kernel)."""
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     j = pl.program_id(0)
-    # build_sorted_aux aligns starts to 128 rows; the hints let Mosaic
-    # prove the dynamic HBM slices respect the (8, 128) tiling
-    start = pl.multiple_of(rs_ref[j], 128)
-    row = pl.multiple_of(start // 128, 1)
+    slot = jax.lax.rem(j, 2)
 
-    cp1 = pltpu.make_async_copy(msg_hbm.at[pl.ds(start, EXT), :], msg_win,
-                                sems.at[0])
-    # w/dst are packed (B/128, 128); the window is EXT/128 packed rows
-    cp2 = pltpu.make_async_copy(w_hbm.at[pl.ds(row, EXT // 128), :], w_win,
-                                sems.at[1])
-    cp3 = pltpu.make_async_copy(dst_hbm.at[pl.ds(row, EXT // 128), :],
-                                dst_win, sems.at[2])
-    cp1.start()
-    cp2.start()
-    cp3.start()
-    cp1.wait()
-    cp2.wait()
-    cp3.wait()
+    def copies(idx, sl):
+        # build_sorted_aux aligns starts to 128 rows; the hints let Mosaic
+        # prove the dynamic HBM slices respect the (8, 128) tiling
+        start = pl.multiple_of(rs_ref[idx], 128)
+        row = pl.multiple_of(start // 128, 1)
+        return (
+            pltpu.make_async_copy(msg_hbm.at[pl.ds(start, EXT), :],
+                                  msg_win.at[sl], sems.at[sl, 0]),
+            # w/dst are packed (B/128, 128); the window is EXT/128 rows
+            pltpu.make_async_copy(w_hbm.at[pl.ds(row, EXT // 128), :],
+                                  w_win.at[sl], sems.at[sl, 1]),
+            pltpu.make_async_copy(dst_hbm.at[pl.ds(row, EXT // 128), :],
+                                  dst_win.at[sl], sems.at[sl, 2]),
+        )
+
+    @pl.when(j == 0)
+    def _():
+        for c in copies(0, 0):
+            c.start()
+
+    @pl.when(j + 1 < nblocks)
+    def _():
+        for c in copies(j + 1, jax.lax.rem(j + 1, 2)):
+            c.start()
+
+    for c in copies(j, slot):
+        c.wait()
 
     dst_tile = dst_tile_ref[:, 0:1]                    # (TILE_B, 1)
-    dst_w = dst_win[...].reshape(1, EXT)               # (1, EXT)
-    w = w_win[...].reshape(1, EXT)                     # (1, EXT)
+    dst_w = dst_win[slot].reshape(1, EXT)              # (1, EXT)
+    w = w_win[slot].reshape(1, EXT)                    # (1, EXT)
     # banded same-destination one-hot, weighted
     q = jnp.where(dst_tile == dst_w, w, 0.0)
     # HIGHEST precision: the MXU's default single-pass bf16 f32 emulation
     # loses ~1e-3 relative accuracy; the band matmul is the whole
     # aggregation so it must match the XLA segment-sum path closely.
     acc = jax.lax.dot_general(
-        q, msg_win[:, :],
+        q, msg_win[slot],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision)
@@ -269,14 +300,15 @@ def _band_apply(msg_sorted: jnp.ndarray, w_sorted: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((TILE_B, Hp), lambda j, rs: (j, 0)),
         scratch_shapes=[
-            pltpu.VMEM((EXT, Hp), jnp.float32),
-            pltpu.VMEM((EXT // 128, 128), jnp.float32),
-            pltpu.VMEM((EXT // 128, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, EXT, Hp), jnp.float32),
+            pltpu.VMEM((2, EXT // 128, 128), jnp.float32),
+            pltpu.VMEM((2, EXT // 128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     fn = pl.pallas_call(
-        functools.partial(_band_kernel, precision=precision),
+        functools.partial(_band_kernel, precision=precision,
+                          nblocks=nblocks),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hp), jnp.float32),
     )
@@ -359,14 +391,15 @@ def _band_matmul_apply(msg_sorted, w_sorted, dst_sorted, rs, wh_padded,
         ],
         out_specs=pl.BlockSpec((TILE_B, Hp), lambda j, rs: (j, 0)),
         scratch_shapes=[
-            pltpu.VMEM((EXT, Hp), jnp.float32),
-            pltpu.VMEM((EXT // 128, 128), jnp.float32),
-            pltpu.VMEM((EXT // 128, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, EXT, Hp), jnp.float32),
+            pltpu.VMEM((2, EXT // 128, 128), jnp.float32),
+            pltpu.VMEM((2, EXT // 128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     fn = pl.pallas_call(
-        functools.partial(_band_matmul_kernel, precision=precision),
+        functools.partial(_band_matmul_kernel, precision=precision,
+                          nblocks=nblocks),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hp), jnp.float32),
     )
