@@ -130,6 +130,31 @@ def make_handler(state: AppState):
                 ckpt_id = int(path.rsplit("/", 1)[1])
                 self._send(json.dumps(state.progress.get(
                     ckpt_id, {"state": "unknown"})), ctype="application/json")
+            elif path.startswith("/download_ckpt/"):
+                # serve the checkpoint file (reference views.py download)
+                ckpt_id = int(path.rsplit("/", 1)[1])
+                rows = [c for c in state.db.ckpts() if c["id"] == ckpt_id]
+                fp = os.path.join(rows[0]["save_dir"], "best_model.ckpt") \
+                    if rows else None
+                found = None
+                if rows and rows[0]["save_dir"]:
+                    for root_, _, files in os.walk(rows[0]["save_dir"]):
+                        if "best_model.ckpt" in files:
+                            found = os.path.join(root_, "best_model.ckpt")
+                            break
+                if found:
+                    with open(found, "rb") as fh:
+                        blob = fh.read()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "application/octet-stream")
+                    self.send_header("Content-Disposition",
+                                     "attachment; filename=model.ckpt")
+                    self.send_header("Content-Length", str(len(blob)))
+                    self.end_headers()
+                    self.wfile.write(blob)
+                else:
+                    self._send("not found", 404)
             else:
                 self._send("not found", 404)
 
@@ -167,6 +192,24 @@ def make_handler(state: AppState):
                         body=f"<h2>Predictions</h2><table>"
                              f"<tr><th>smiles</th><th>prediction</th></tr>"
                              f"{rows}</table><a href='/'>back</a>"))
+                elif path == "/create_user":
+                    f = self._form()
+                    state.db.add_user(f.get("username", b"user").decode())
+                    self._redirect()
+                elif path == "/upload_checkpoint":
+                    # import an externally trained .ckpt
+                    # (reference views.py checkpoint upload)
+                    f = self._form()
+                    name = f.get("name", b"uploaded").decode()
+                    blob = f.get("file", b"")
+                    cdir = os.path.join(state.root, "ckpts", name)
+                    os.makedirs(cdir, exist_ok=True)
+                    with open(os.path.join(cdir, "best_model.ckpt"),
+                              "wb") as fh:
+                        fh.write(blob)
+                    cid = state.db.add_ckpt(name, "imported", 0, 1, 0, cdir)
+                    state.db.finish_ckpt(cid, {})
+                    self._redirect()
                 elif path.startswith("/delete_data/"):
                     state.db.delete_dataset(int(path.rsplit("/", 1)[1]))
                     self._redirect()

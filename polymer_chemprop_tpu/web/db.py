@@ -79,6 +79,18 @@ class WebDB:
         finally:
             con.close()
 
+    # -- users (reference web/app/db.py user CRUD) --------------------------
+    def add_user(self, username: str, preferences: str = "") -> int:
+        return self.execute(
+            "INSERT OR IGNORE INTO user (username, preferences) "
+            "VALUES (?, ?)", (username, preferences))
+
+    def users(self) -> List[Dict]:
+        return self.query("SELECT * FROM user ORDER BY id")
+
+    def delete_user(self, user_id: int) -> None:
+        self.execute("DELETE FROM user WHERE id = ?", (user_id,))
+
     # -- datasets -----------------------------------------------------------
     def add_dataset(self, name: str, dataset_class: str, path: str,
                     user_id: int = 1) -> int:

@@ -89,3 +89,37 @@ class TestWebApp:
                              {"ckpt_id": ckpt_id,
                               "smiles": "CCO\nc1ccccc1"})
         assert status == 200 and b"Predictions" in body
+
+    def test_users_and_checkpoint_roundtrip(self, server):
+        """User CRUD + checkpoint download/upload (reference web
+        views.py user and checkpoint management routes)."""
+        port, state = server
+        status, _ = _post(port, "/create_user", {"username": "alice"})
+        assert status == 303
+        assert any(u["username"] == "alice" for u in state.db.users())
+
+        # train something tiny, then download its checkpoint
+        with open(os.path.join(DATA, "regression.csv"), "rb") as f:
+            csv_bytes = f.read()
+        _post(port, "/upload_data", {"name": "d2", "class": "regression",
+                                     "file": csv_bytes})
+        ds = state.db.datasets()[0]
+        status, body = _post(port, "/train",
+                             {"dataset_id": ds["id"], "ckpt_name": "m2",
+                              "dataset_type": "regression", "epochs": 1})
+        ckpt_id = json.loads(body)["ckpt_id"]
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            _, body = _get(port, f"/progress/{ckpt_id}")
+            if json.loads(body)["state"] in ("done", "error"):
+                break
+            time.sleep(2)
+        status, blob = _get(port, f"/download_ckpt/{ckpt_id}")
+        assert status == 200 and len(blob) > 1000
+
+        # re-import the downloaded checkpoint as a new entry
+        status, _ = _post(port, "/upload_checkpoint",
+                          {"name": "imported", "file": blob})
+        assert status == 303
+        names = [c["ckpt_name"] for c in state.db.ckpts()]
+        assert "imported" in names
