@@ -501,6 +501,15 @@ class TestGoldenScores:
         mean, _ = cross_validate(cfg, train_func=run_sklearn)
         assert abs(mean - 1.582733) / 1.582733 < DELTA
 
+    def test_svm_golden(self, tmp_path):
+        from polymer_chemprop_tpu.sklearn_train import SklearnTrainConfig, run_sklearn
+        cfg = SklearnTrainConfig(
+            data_path=os.path.join(DATA, "regression.csv"),
+            dataset_type="regression", model_type="svm", num_folds=3,
+            seed=0, save_dir=str(tmp_path), quiet=True)
+        mean, _ = cross_validate(cfg, train_func=run_sklearn)
+        assert abs(mean - 1.698927) / 1.698927 < DELTA  # measured -1.3%
+
     def test_reaction_golden(self, tmp_path):
         cfg = train_cfg(str(tmp_path),
                         data_path=os.path.join(DATA, "reaction_regression.csv"),
