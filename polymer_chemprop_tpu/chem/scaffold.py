@@ -78,7 +78,15 @@ def scaffold_key(smiles_or_mol, include_chirality: bool = False) -> str:
     hash provides the same grouping)."""
     mol: Optional[Molecule]
     if isinstance(smiles_or_mol, str):
-        mol = parse_smiles(smiles_or_mol, strict=False)
+        s = smiles_or_mol
+        if ">" in s:
+            # reaction SMILES: scaffold of the REACTANT side only
+            # (reference data/scaffold.py:25-26 takes mol[0] of the tuple)
+            s = s.split(">")[0]
+        elif "|" in s:
+            # polymer ensemble string: scaffold of the monomer SMILES
+            s = s.split("|")[0]
+        mol = parse_smiles(s, strict=False)
     else:
         mol = smiles_or_mol
     if mol is None:

@@ -65,6 +65,13 @@ class MoleculeDatapoint:
             for fg_name in features_generators:
                 fg = get_features_generator(fg_name)
                 for s in self.smiles:
+                    # reaction SMILES: featurize the REACTANT side
+                    # (reference data.py:120-122 uses m[0] of the tuple);
+                    # polymer strings: featurize the monomer SMILES
+                    if ">" in s:
+                        s = s.split(">")[0]
+                    elif "|" in s:
+                        s = s.split("|")[0]
                     feats.append(fg(s))
             self.features = np.concatenate(feats) if feats else None
 
