@@ -173,6 +173,23 @@ def build_edge_shards_halo(arrays: Dict[str, np.ndarray], n_shards: int
             raise ValueError(
                 "a molecule spans 3+ edge shards; use build_edge_shards "
                 "(psum variant) instead")
+    # extend windows to cover gaps between them: atoms with NO incoming
+    # bonds (single-atom fragments after H folding, e.g. water) are never
+    # referenced by any shard's bonds but still contribute to the readout
+    # via W_o(f_atoms || 0) — every real atom (w > 0) must lie in a window
+    w_atoms_all = arrays["w_atoms"]
+    nz = np.nonzero(w_atoms_all > 0)[0]
+    real_hi = int(nz.max()) + 1 if nz.size else 1
+    first_real = int(nz.min()) if nz.size else 1
+    if n_shards > 0 and o[0] > first_real:
+        o[0] = first_real
+    for s in range(n_shards - 1):
+        if o[s] < A:  # skip empty tail shards
+            hi_atom[s] = max(hi_atom[s], min(int(o[s + 1]), real_hi))
+    for s in range(n_shards - 1, -1, -1):
+        if o[s] < A:
+            hi_atom[s] = max(hi_atom[s], real_hi)
+            break
     Aw = int(((hi_atom - o).max() + 7) // 8 * 8)
 
     def shard_bond_array(x, fill=0):

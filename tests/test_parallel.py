@@ -206,3 +206,33 @@ def test_edge_partition_halo_rejects_giant_molecule():
     gb = mol2graph([ring], pad_atoms=256, pad_bonds=512, pad_mols=1)
     with pytest.raises(ValueError, match="3\\+ edge shards"):
         build_edge_shards_halo(gb.arrays(), 8)
+
+
+def test_edge_partition_halo_covers_bondless_molecules(setup):
+    """Single-atom molecules (water/methane fold to one heavy atom, no
+    bonds) are referenced by no shard's bonds, but must still reach the
+    readout through some shard's atom window."""
+    from polymer_chemprop_tpu.models import apply_encoder
+    from polymer_chemprop_tpu.parallel import (
+        build_edge_shards_halo,
+        make_edge_parallel_forward_halo,
+    )
+    model_cfg, params = setup
+    cfg = model_cfg.encoder
+    enc_params = params["encoders"][0]
+    smiles = ["O", "CCO", "C", "c1ccccc1", "O", "CCN", "C", "CC(=O)O"]
+    gb = mol2graph(smiles, pad_atoms=64, pad_bonds=64, pad_mols=len(smiles))
+    arrays = gb.arrays()
+    single = np.asarray(apply_encoder(
+        enc_params, {k: jnp.asarray(v) for k, v in arrays.items()}, cfg))
+    for n_dev in (2, 4):
+        mesh = make_mesh(n_dev, ("ep",))
+        sharded, replicated = build_edge_shards_halo(arrays, n_dev)
+        fwd = make_edge_parallel_forward_halo(cfg, mesh, "ep")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharded_dev = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P("ep"))),
+            sharded)
+        out = np.asarray(fwd(enc_params, sharded_dev, replicated))
+        np.testing.assert_allclose(out, single, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"n_dev={n_dev}")
