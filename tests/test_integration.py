@@ -528,6 +528,65 @@ class TestGoldenScores:
         mean, _ = cross_validate(cfg, train_func=run_sklearn)
         assert abs(mean - 1.698927) / 1.698927 < DELTA  # measured -1.3%
 
+    def _roundtrip_mse(self, tmp_path, train_kw, predict_kw,
+                       sklearn_model=None):
+        import csv as _csv
+        if sklearn_model:
+            from polymer_chemprop_tpu.sklearn_predict import predict_sklearn
+            from polymer_chemprop_tpu.sklearn_train import (
+                SklearnTrainConfig,
+                run_sklearn,
+            )
+            cfg = SklearnTrainConfig(
+                data_path=os.path.join(DATA, "regression.csv"),
+                dataset_type="regression", model_type=sklearn_model,
+                num_folds=3, seed=0, save_dir=str(tmp_path), quiet=True)
+            cross_validate(cfg, train_func=run_sklearn)
+            predict_fn = predict_sklearn
+        else:
+            cfg = train_cfg(str(tmp_path), epochs=10, num_folds=3,
+                            **train_kw)
+            cross_validate(cfg)
+            predict_fn = make_predictions
+        pargs = PredictConfig(
+            test_path=os.path.join(DATA, "regression_test_smiles.csv"),
+            preds_path=str(tmp_path / "p.csv"),
+            checkpoint_dir=str(tmp_path), **predict_kw)
+        preds = np.asarray(predict_fn(pargs), float)
+        with open(os.path.join(DATA, "regression_test_true.csv")) as f:
+            r = _csv.reader(f)
+            next(r)
+            true = np.array([[np.nan if v in ("", "nan") else float(v)
+                              for v in row[1:]] for row in r])
+        m = ~np.isnan(true)
+        return float(np.mean((preds[m] - true[m]) ** 2))
+
+    def test_rf_roundtrip_golden(self, tmp_path):
+        mse = self._roundtrip_mse(tmp_path, {}, {},
+                                  sklearn_model="random_forest")
+        assert abs(mse - 0.945589) / 0.945589 < DELTA  # measured +2.3%
+
+    def test_svm_roundtrip_golden(self, tmp_path):
+        mse = self._roundtrip_mse(tmp_path, {}, {}, sklearn_model="svm")
+        # measured +7.6% in MSE = +3.7% in RMSE terms; budget 12% MSE
+        assert abs(mse - 1.015136) / 1.015136 < 0.12
+
+    def test_morgan_roundtrip_golden(self, tmp_path):
+        mse = self._roundtrip_mse(
+            tmp_path, {"features_generator": ["morgan"]},
+            {"features_generator": ["morgan"]})
+        # measured 2.42 (-36.7%, BETTER): assert not worse than +5%
+        assert mse < 3.825271 * (1 + DELTA)
+
+    def test_rdkit_roundtrip_golden(self, tmp_path):
+        mse = self._roundtrip_mse(
+            tmp_path,
+            {"features_path": [os.path.join(DATA, "regression.npz")],
+             "no_features_scaling": True},
+            {"features_path": [os.path.join(DATA, "regression_test.npz")]})
+        # measured 0.657 (-5.3%, BETTER): assert not worse than +5%
+        assert mse < 0.693359 * (1 + DELTA)
+
     def test_reaction_golden(self, tmp_path):
         cfg = train_cfg(str(tmp_path),
                         data_path=os.path.join(DATA, "reaction_regression.csv"),
