@@ -14,8 +14,11 @@ def get_logger(name: str, save_dir: Optional[str] = None,
                quiet: bool = False) -> logging.Logger:
     """Named logger with console + verbose.log/quiet.log file handlers."""
     logger = logging.getLogger(name)
-    if logger.handlers:
-        return logger
+    # Rebuild handlers every call: a cached logger would keep file handlers
+    # pointing at a previous run's save_dir (breaks repeated in-process runs).
+    for handler in list(logger.handlers):
+        handler.close()
+        logger.removeHandler(handler)
     logger.setLevel(logging.DEBUG)
     logger.propagate = False
 
