@@ -159,3 +159,47 @@ class TestInterpret:
         best = max(rationales, key=lambda n: n.P)
         m = parse_smiles(best.smiles)
         assert sum(1 for a in m.atoms if a.is_aromatic) >= 6
+
+
+class TestSDFDescriptors:
+    """SDF atom-descriptor loading (reference features/utils.py:89-103)."""
+
+    def _write_sdf(self, path, records):
+        with open(path, "w") as f:
+            for smi, fields in records:
+                f.write("mol\n  gen\n\n  0  0  0  0  0  0  0  0  0  0999 V2000\n"
+                        "M  END\n")
+                f.write(f"> <SMILES>\n{smi}\n\n")
+                for name, value in fields.items():
+                    f.write(f"> <{name}>\n{value}\n\n")
+                f.write("$$$$\n")
+
+    def test_load_and_reindex(self, tmp_path):
+        from polymer_chemprop_tpu.features.utils import (
+            load_valid_atom_or_bond_features,
+        )
+        p = str(tmp_path / "desc.sdf")
+        self._write_sdf(p, [
+            ("CCO", {"charge": "0.1,0.2,0.3", "logp": "1.0,2.0,3.0",
+                     "name": "ethanol"}),
+            ("CC", {"charge": "0.4,0.5", "logp": "4.0,5.0", "name": "ethane"}),
+        ])
+        # request in the REVERSE order of the file: must reindex by SMILES
+        feats = load_valid_atom_or_bond_features(p, ["CC", "CCO"])
+        assert len(feats) == 2
+        assert feats[0].shape == (2, 2) and feats[1].shape == (3, 2)
+        np.testing.assert_allclose(feats[1][:, 0], [0.1, 0.2, 0.3])
+        np.testing.assert_allclose(feats[0][:, 1], [4.0, 5.0])
+
+    def test_multiline_values_and_missing_smiles(self, tmp_path):
+        from polymer_chemprop_tpu.features.utils import (
+            load_valid_atom_or_bond_features,
+        )
+        p = str(tmp_path / "desc.sdf")
+        # a value wrapped across two physical lines concatenates (the
+        # reference strips newlines before splitting on commas)
+        self._write_sdf(p, [("CCO", {"charge": "0.1,0.\n2,0.3"})])
+        feats = load_valid_atom_or_bond_features(p, ["CCO"])
+        np.testing.assert_allclose(feats[0][:, 0], [0.1, 0.2, 0.3])
+        with pytest.raises(ValueError):
+            load_valid_atom_or_bond_features(p, ["CCN"])
