@@ -84,10 +84,24 @@ def bench_tpu(pallas: bool = False, bf16: bool = False,
     }
     key = jax.random.PRNGKey(0)
 
+    # Stage the batch on device once: a real input pipeline prefetches
+    # batches to device memory, and the chip here sits behind a network
+    # tunnel, so leaving ~20 MB of numpy inputs in the step call would
+    # measure tunnel H2D bandwidth instead of device compute.
+    batch = jax.device_put(batch)
+
     # warmup/compile
     params, opt_state, loss, gnorm = step(params, opt_state, batch, key)
-    jax.block_until_ready(params)
+    float(loss)
 
+    # Sync discipline on this remote platform: jax.block_until_ready is NOT
+    # a reliable fence here — on donated outputs it returns immediately, and
+    # even on fresh scalars it has been observed to resolve on enqueue
+    # (0.19 ms/step "measured" while a value readback proves 7.3 ms/step).
+    # The only trustworthy fence is a D2H value read (float(loss)), which
+    # costs one ~30 ms tunnel round-trip — amortized over the iteration
+    # count.
+    #
     # The chip is reached through a shared tunnel whose latency varies by
     # >100x between quiet and congested windows (observed 15 ms to 5.2 s
     # for this same step). Congestion only ever ADDS wall-clock, so the
@@ -100,19 +114,19 @@ def bench_tpu(pallas: bool = False, bf16: bool = False,
         for _ in range(3):
             params, opt_state, loss, gnorm = step(params, opt_state, batch,
                                                   key)
-        jax.block_until_ready(params)
+        float(loss)
         probe_dt = (time.perf_counter() - t0) / 3
-        n_iters = max(3, min(30, int(4.0 / max(probe_dt, 1e-4))))
+        n_iters = max(10, min(300, int(4.0 / max(probe_dt, 1e-4))))
         t0 = time.perf_counter()
         for _ in range(n_iters):
             params, opt_state, loss, gnorm = step(params, opt_state, batch,
                                                   key)
-        jax.block_until_ready(params)
+        float(loss)
         dt = (time.perf_counter() - t0) / n_iters
         best_dt = min(best_dt, dt)
         # a measurement near device speed needs no more trials; otherwise
         # wait out the congestion (bounded by the overall deadline)
-        if best_dt < 0.025 or time.perf_counter() + 35 > deadline:
+        if best_dt < 0.012 or time.perf_counter() + 35 > deadline:
             break
         time.sleep(20)
     dt = best_dt
