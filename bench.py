@@ -52,7 +52,7 @@ def _load_batch():
 
 
 def bench_tpu(pallas: bool = False, bf16: bool = False,
-              precision: str = "highest") -> dict:
+              precision: str = "high") -> dict:
     import jax
     from polymer_chemprop_tpu.models import EncoderConfig, ModelConfig, init_model
     from polymer_chemprop_tpu.train import make_train_step

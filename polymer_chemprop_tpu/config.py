@@ -140,7 +140,7 @@ class TrainConfig:
     # the reference is single-device only, SURVEY.md §2.9)
     num_devices: Optional[int] = None        # data-parallel shards (None = all)
     param_dtype: str = "float32"
-    band_precision: str = "highest"  # Pallas MXU precision: highest|default
+    band_precision: str = "high"  # Pallas MXU precision: high|highest|default
     use_pallas: bool = False                 # fused band kernel for message passing
     use_native_featurizer: bool = False      # C++ host featurization
     profile_dir: Optional[str] = None        # jax.profiler trace output

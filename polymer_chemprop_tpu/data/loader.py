@@ -98,7 +98,11 @@ class MoleculeDataLoader:
         if use_pallas:
             from ..ops.pallas_mpnn import EXT, TILE_B
             self._align = max(self._align, TILE_B)
-            self._pad_bonds = max(self._pad_bonds or 0, EXT)
+            # the EXT floor must itself be TILE_B-aligned, or a small
+            # dataset whose computed envelope is below it would get a
+            # non-multiple-of-TILE_B pad (kernel asserts on that)
+            self._pad_bonds = max(self._pad_bonds or 0,
+                                  round_up(EXT, TILE_B))
 
     # -- sampling (reference MoleculeSampler, data.py:537-591) --------------
     def _indices(self) -> List[int]:

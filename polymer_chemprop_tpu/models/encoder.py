@@ -54,10 +54,11 @@ class EncoderConfig:
     atom_descriptors: Optional[str] = None
     atom_descriptors_size: int = 0
     compute_dtype: str = "float32"  # 'bfloat16' runs matmuls on the MXU fast path
-    band_precision: str = "highest"  # Pallas band-matmul MXU precision:
-    # 'highest' (fp32, matches the XLA oracle; required for golden parity) or
-    # 'default' (1-pass bf16, fastest but ~1e-3 relative error — experimental;
-    # Mosaic does not lower Precision.HIGH/bf16_3x)
+    band_precision: str = "high"  # Pallas band-matmul MXU precision:
+    # 'high' (default; manual 3-pass bf16 emulation, ~1.5e-5 relative error,
+    # ~2x the speed of 'highest' — see ops/pallas_mpnn._dot_band),
+    # 'highest' (6-pass fp32 emulation, bit-matches the XLA oracle), or
+    # 'default' (1-pass bf16, fastest but ~1e-3 relative error — experimental)
 
 
 def init_encoder(key: jax.Array, cfg: EncoderConfig) -> Dict:
@@ -132,6 +133,7 @@ def apply_encoder(params: Dict,
         aux = batch["pallas_aux"]
         H = cfg.hidden_size
         prec = {"highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH,
                 "default": jax.lax.Precision.DEFAULT}[cfg.band_precision]
         # fuse the W_h matmul into the band kernel when it is a plain
         # (bias-free, f32) matrix — the z intermediate never touches HBM

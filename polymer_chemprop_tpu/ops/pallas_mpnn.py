@@ -144,9 +144,37 @@ def permute_rows(x, idx, inv_idx):
 # the kernel
 # ---------------------------------------------------------------------------
 
+_DN = (((1,), (0,)), ((), ()))
+
+
+def _dot_band(a, b, precision):
+    """MXU matmul at the requested precision.
+
+    Mosaic lowers only DEFAULT (1-pass bf16) and HIGHEST (6-pass fp32
+    emulation). HIGH (bf16_3x) is implemented manually: split both operands
+    into bf16 hi/lo halves and accumulate the three significant cross terms
+    (hi*hi + hi*lo + lo*hi) in f32 — ~2x the throughput of HIGHEST with
+    ~1.5e-5 relative error (vs ~4e-3 for DEFAULT), comfortably inside the
+    encoder's 1e-4 parity tolerance."""
+    if precision == jax.lax.Precision.HIGH:
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(a_hi, b_hi, _DN,
+                                  preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(a_hi, b_lo, _DN,
+                                   preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(a_lo, b_hi, _DN,
+                                   preferred_element_type=jnp.float32)
+        return acc
+    return jax.lax.dot_general(a, b, _DN,
+                               preferred_element_type=jnp.float32,
+                               precision=precision)
+
 def _band_matmul_kernel(rs_ref, dst_tile_ref, msg_tile_ref, wh_ref,
                         msg_hbm, w_hbm, dst_hbm,
-                        out_ref,
+                        out_ref, z_ref,
                         msg_win, w_win, dst_win, sems, *,
                         nblocks,
                         precision=jax.lax.Precision.HIGHEST):
@@ -155,7 +183,9 @@ def _band_matmul_kernel(rs_ref, dst_tile_ref, msg_tile_ref, wh_ref,
 
     Row-wise matmuls commute with the reverse-bond permutation applied
     outside, so fusing W_h here saves writing+re-reading the intermediate
-    z to HBM (one full B x H round trip per layer).
+    z to HBM as an *input* of the next op; z is still written out once
+    (z_ref) so the backward pass can form dW_h = z^T g without re-running
+    the band aggregation.
 
     The window DMAs are DOUBLE-BUFFERED: the copies for tile j+1 are
     issued before computing tile j, so the HBM fetch overlaps the MXU
@@ -196,16 +226,9 @@ def _band_matmul_kernel(rs_ref, dst_tile_ref, msg_tile_ref, wh_ref,
     dst_w = dst_win[slot].reshape(1, EXT)
     w = w_win[slot].reshape(1, EXT)
     q = jnp.where(dst_tile == dst_w, w, 0.0)
-    z = jax.lax.dot_general(
-        q, msg_win[slot],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision) - msg_tile_ref[:, :]
-    out_ref[:, :] = jax.lax.dot_general(
-        z, wh_ref[:, :],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision)
+    z = _dot_band(q, msg_win[slot], precision) - msg_tile_ref[:, :]
+    z_ref[:, :] = z
+    out_ref[:, :] = _dot_band(z, wh_ref[:, :], precision)
 
 
 def _band_kernel(rs_ref, dst_tile_ref, msg_tile_ref,
@@ -258,14 +281,11 @@ def _band_kernel(rs_ref, dst_tile_ref, msg_tile_ref,
     w = w_win[slot].reshape(1, EXT)                    # (1, EXT)
     # banded same-destination one-hot, weighted
     q = jnp.where(dst_tile == dst_w, w, 0.0)
-    # HIGHEST precision: the MXU's default single-pass bf16 f32 emulation
-    # loses ~1e-3 relative accuracy; the band matmul is the whole
-    # aggregation so it must match the XLA segment-sum path closely.
-    acc = jax.lax.dot_general(
-        q, msg_win[slot],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision)
+    # precision: the MXU's default single-pass bf16 f32 emulation loses
+    # ~1e-3 relative accuracy; the band matmul is the whole aggregation so
+    # it must track the XLA segment-sum path closely — HIGH (manual 3-pass)
+    # or HIGHEST (6-pass) both do (see _dot_band).
+    acc = _dot_band(q, msg_win[slot], precision)
     out_ref[:, :] = acc - msg_tile_ref[:, :]
 
 
@@ -367,7 +387,9 @@ def band_message_step_sorted(msg_sorted: jnp.ndarray, aux: dict,
 
 def _band_matmul_apply(msg_sorted, w_sorted, dst_sorted, rs, wh_padded,
                        precision=jax.lax.Precision.HIGHEST):
-    """(S msg - msg) @ W via the fused kernel; wh_padded is (Hp, Hp)."""
+    """((S msg - msg) @ W, S msg - msg) via the fused kernel;
+    wh_padded is (Hp, Hp). The z intermediate is written out once so the
+    VJP can reuse it (dW = z^T g) without re-running the aggregation."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -389,7 +411,8 @@ def _band_matmul_apply(msg_sorted, w_sorted, dst_sorted, rs, wh_padded,
             pl.BlockSpec(memory_space=pl.ANY),                    # w HBM
             pl.BlockSpec(memory_space=pl.ANY),                    # dst HBM
         ],
-        out_specs=pl.BlockSpec((TILE_B, Hp), lambda j, rs: (j, 0)),
+        out_specs=(pl.BlockSpec((TILE_B, Hp), lambda j, rs: (j, 0)),
+                   pl.BlockSpec((TILE_B, Hp), lambda j, rs: (j, 0))),
         scratch_shapes=[
             pltpu.VMEM((2, EXT, Hp), jnp.float32),
             pltpu.VMEM((2, EXT // 128, 128), jnp.float32),
@@ -401,7 +424,8 @@ def _band_matmul_apply(msg_sorted, w_sorted, dst_sorted, rs, wh_padded,
         functools.partial(_band_matmul_kernel, precision=precision,
                           nblocks=nblocks),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hp), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((B, Hp), jnp.float32),
+                   jax.ShapeDtypeStruct((B, Hp), jnp.float32)),
     )
     return fn(rs, d_bcast, msg_sorted, wh_padded, msg_sorted, w2, d2)
 
@@ -429,19 +453,18 @@ def band_matmul_step_sorted(msg_sorted: jnp.ndarray, wh: jnp.ndarray,
     @jax.custom_vjp
     def op(m, w):
         return _band_matmul_apply(m, w_sorted, dst_sorted, rs, pad_w(w),
-                                  precision)
+                                  precision)[0]
 
     def fwd(m, w):
-        return _band_matmul_apply(m, w_sorted, dst_sorted, rs, pad_w(w),
-                                  precision), (m, w)
+        out, z = _band_matmul_apply(m, w_sorted, dst_sorted, rs, pad_w(w),
+                                    precision)
+        return out, (z, w)
 
     def bwd(res, g):
-        m, w = res
-        # z = S m - m;  out = z @ Wp
+        z, w = res
+        # z = S m - m (saved by the forward kernel);  out = z @ Wp
         # dW = z^T g (sliced to w's shape); dm = (S^T - I)(g @ Wp^T)
         ones = jnp.ones_like(w_sorted)
-        # recompute z, stays on MXU
-        z = _band_op(m, w_sorted, dst_sorted, rs, precision)
         dw = (z.T @ g)[:w.shape[0], :w.shape[1]]
         gw = g[:, :w.shape[1]] @ w.T  # (B, H_in)
         gw = jnp.pad(gw, ((0, 0), (0, Hp - w.shape[0]))) \
