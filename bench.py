@@ -65,7 +65,8 @@ def bench_tpu(pallas: bool = False, bf16: bool = False,
     enc = EncoderConfig(atom_fdim=133, bond_fdim=147, hidden_size=HIDDEN,
                         depth=DEPTH,
                         compute_dtype="bfloat16" if bf16 else "float32",
-                        band_precision=precision)
+                        band_precision=precision,
+                        unit_bond_weights=True)  # regression fixture: w=1
     mcfg = ModelConfig(encoder=enc, dataset_type="regression", num_tasks=1,
                        ffn_hidden_size=HIDDEN)
     params = init_model(jax.random.PRNGKey(0), mcfg)

@@ -59,6 +59,9 @@ class EncoderConfig:
     # ~2x the speed of 'highest' — see ops/pallas_mpnn._dot_band),
     # 'highest' (6-pass fp32 emulation, bit-matches the XLA oracle), or
     # 'default' (1-pass bf16, fastest but ~1e-3 relative error — experimental)
+    unit_bond_weights: bool = False  # all w_bonds are bf16-exact (true for
+    # every non-polymer featurization, where they are 1.0): the band
+    # kernel's Q hi/lo split drops the identically-zero q_lo pass
 
 
 def init_encoder(key: jax.Array, cfg: EncoderConfig) -> Dict:
@@ -147,9 +150,11 @@ def apply_encoder(params: Dict,
             if fuse_wh:
                 from ..ops.pallas_mpnn import band_matmul_step_sorted
                 message = band_matmul_step_sorted(
-                    message, params["W_h"]["w"], aux, prec)[:, :H]
+                    message, params["W_h"]["w"], aux, prec,
+                    cfg.unit_bond_weights)[:, :H]
             else:
-                message = band_message_step_sorted(message, aux, prec)
+                message = band_message_step_sorted(message, aux, prec,
+                                                   cfg.unit_bond_weights)
                 message = linear(params["W_h"], message[:, :H], cdt)
             message = act(inputs[:, :H] + message)
             message = dropout(message, cfg.dropout, next(keys), deterministic)

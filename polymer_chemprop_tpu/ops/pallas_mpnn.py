@@ -147,7 +147,7 @@ def permute_rows(x, idx, inv_idx):
 _DN = (((1,), (0,)), ((), ()))
 
 
-def _dot_band(a, b, precision):
+def _dot_band(a, b, precision, a_exact: bool = False):
     """MXU matmul at the requested precision.
 
     Mosaic lowers only DEFAULT (1-pass bf16) and HIGHEST (6-pass fp32
@@ -155,18 +155,24 @@ def _dot_band(a, b, precision):
     into bf16 hi/lo halves and accumulate the three significant cross terms
     (hi*hi + hi*lo + lo*hi) in f32 — ~2x the throughput of HIGHEST with
     ~1.5e-5 relative error (vs ~4e-3 for DEFAULT), comfortably inside the
-    encoder's 1e-4 parity tolerance."""
+    encoder's 1e-4 parity tolerance.
+
+    a_exact=True asserts every element of ``a`` is exactly representable in
+    bf16 (e.g. unit bond weights, or 0/1 one-hot bands): a_lo is then
+    identically zero, so the a_lo*b_hi pass is skipped WITHOUT any
+    accuracy loss (2 passes)."""
     if precision == jax.lax.Precision.HIGH:
         a_hi = a.astype(jnp.bfloat16)
-        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         b_hi = b.astype(jnp.bfloat16)
         b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         acc = jax.lax.dot_general(a_hi, b_hi, _DN,
                                   preferred_element_type=jnp.float32)
         acc += jax.lax.dot_general(a_hi, b_lo, _DN,
                                    preferred_element_type=jnp.float32)
-        acc += jax.lax.dot_general(a_lo, b_hi, _DN,
-                                   preferred_element_type=jnp.float32)
+        if not a_exact:
+            a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc += jax.lax.dot_general(a_lo, b_hi, _DN,
+                                       preferred_element_type=jnp.float32)
         return acc
     return jax.lax.dot_general(a, b, _DN,
                                preferred_element_type=jnp.float32,
@@ -177,7 +183,8 @@ def _band_matmul_kernel(rs_ref, dst_tile_ref, msg_tile_ref, wh_ref,
                         out_ref, z_ref,
                         msg_win, w_win, dst_win, sems, *,
                         nblocks,
-                        precision=jax.lax.Precision.HIGHEST):
+                        precision=jax.lax.Precision.HIGHEST,
+                        w_exact=False):
     """One bond tile with the message-update matmul fused:
     out = (Q @ msg_window - msg_tile) @ W_h.
 
@@ -226,7 +233,7 @@ def _band_matmul_kernel(rs_ref, dst_tile_ref, msg_tile_ref, wh_ref,
     dst_w = dst_win[slot].reshape(1, EXT)
     w = w_win[slot].reshape(1, EXT)
     q = jnp.where(dst_tile == dst_w, w, 0.0)
-    z = _dot_band(q, msg_win[slot], precision) - msg_tile_ref[:, :]
+    z = _dot_band(q, msg_win[slot], precision, w_exact) - msg_tile_ref[:, :]
     z_ref[:, :] = z
     out_ref[:, :] = _dot_band(z, wh_ref[:, :], precision)
 
@@ -236,7 +243,8 @@ def _band_kernel(rs_ref, dst_tile_ref, msg_tile_ref,
                  out_ref,
                  msg_win, w_win, dst_win, sems, *,
                  nblocks,
-                 precision=jax.lax.Precision.HIGHEST):
+                 precision=jax.lax.Precision.HIGHEST,
+                 w_exact=False):
     """One bond tile: out = Q @ msg_window - msg_tile.
 
     Window DMAs are double-buffered across grid steps (see
@@ -285,13 +293,14 @@ def _band_kernel(rs_ref, dst_tile_ref, msg_tile_ref,
     # ~1e-3 relative accuracy; the band matmul is the whole aggregation so
     # it must track the XLA segment-sum path closely — HIGH (manual 3-pass)
     # or HIGHEST (6-pass) both do (see _dot_band).
-    acc = _dot_band(q, msg_win[slot], precision)
+    acc = _dot_band(q, msg_win[slot], precision, w_exact)
     out_ref[:, :] = acc - msg_tile_ref[:, :]
 
 
 def _band_apply(msg_sorted: jnp.ndarray, w_sorted: jnp.ndarray,
                 dst_sorted: jnp.ndarray, rs: jnp.ndarray,
-                precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+                precision=jax.lax.Precision.HIGHEST,
+                w_exact: bool = False) -> jnp.ndarray:
     """z_sorted = S @ msg_sorted - msg_sorted via the band kernel.
 
     msg_sorted: (B, Hp) f32 with Hp a multiple of 128; w/dst: (B,) arrays.
@@ -328,7 +337,7 @@ def _band_apply(msg_sorted: jnp.ndarray, w_sorted: jnp.ndarray,
     )
     fn = pl.pallas_call(
         functools.partial(_band_kernel, precision=precision,
-                          nblocks=nblocks),
+                          nblocks=nblocks, w_exact=w_exact),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hp), jnp.float32),
     )
@@ -336,7 +345,7 @@ def _band_apply(msg_sorted: jnp.ndarray, w_sorted: jnp.ndarray,
 
 
 def _band_op(msg_sorted, w_sorted, dst_sorted, rs,
-             precision=jax.lax.Precision.HIGHEST):
+             precision=jax.lax.Precision.HIGHEST, w_exact: bool = False):
     """Band kernel with custom VJP. z = S msg - msg where
     S[b, c] = w[c] * [dst(c) == dst(b)].
 
@@ -346,14 +355,16 @@ def _band_op(msg_sorted, w_sorted, dst_sorted, rs,
 
     @jax.custom_vjp
     def op(m):
-        return _band_apply(m, w_sorted, dst_sorted, rs, precision)
+        return _band_apply(m, w_sorted, dst_sorted, rs, precision, w_exact)
 
     def fwd(m):
-        return _band_apply(m, w_sorted, dst_sorted, rs, precision), None
+        return _band_apply(m, w_sorted, dst_sorted, rs, precision,
+                           w_exact), None
 
     def bwd(_, g):
         ones = jnp.ones_like(w_sorted)
-        kg_minus_g = _band_apply(g, ones, dst_sorted, rs, precision)
+        # unit weights are always bf16-exact -> 2-pass, exactly
+        kg_minus_g = _band_apply(g, ones, dst_sorted, rs, precision, True)
         return (w_sorted[:, None] * (kg_minus_g + g) - g,)
 
     op.defvjp(fwd, bwd)
@@ -378,15 +389,17 @@ def to_sorted(x: jnp.ndarray, aux: dict) -> jnp.ndarray:
 
 
 def band_message_step_sorted(msg_sorted: jnp.ndarray, aux: dict,
-                             precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+                             precision=jax.lax.Precision.HIGHEST,
+                             w_exact: bool = False) -> jnp.ndarray:
     """m_new (sorted order) = (S msg - msg)[srev]."""
     z = _band_op(msg_sorted, aux["w_sorted"], aux["dst_sorted"], aux["rs"],
-                 precision)
+                 precision, w_exact)
     return permute_rows(z, aux["srev"], aux["srev"])
 
 
 def _band_matmul_apply(msg_sorted, w_sorted, dst_sorted, rs, wh_padded,
-                       precision=jax.lax.Precision.HIGHEST):
+                       precision=jax.lax.Precision.HIGHEST,
+                       w_exact: bool = False):
     """((S msg - msg) @ W, S msg - msg) via the fused kernel;
     wh_padded is (Hp, Hp). The z intermediate is written out once so the
     VJP can reuse it (dW = z^T g) without re-running the aggregation."""
@@ -422,7 +435,7 @@ def _band_matmul_apply(msg_sorted, w_sorted, dst_sorted, rs, wh_padded,
     )
     fn = pl.pallas_call(
         functools.partial(_band_matmul_kernel, precision=precision,
-                          nblocks=nblocks),
+                          nblocks=nblocks, w_exact=w_exact),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((B, Hp), jnp.float32),
                    jax.ShapeDtypeStruct((B, Hp), jnp.float32)),
@@ -432,7 +445,8 @@ def _band_matmul_apply(msg_sorted, w_sorted, dst_sorted, rs, wh_padded,
 
 def band_matmul_step_sorted(msg_sorted: jnp.ndarray, wh: jnp.ndarray,
                             aux: dict,
-                            precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+                            precision=jax.lax.Precision.HIGHEST,
+                            w_exact: bool = False) -> jnp.ndarray:
     """Fused wD-MPNN layer core in sorted order:
     ((S msg - msg) @ W_h)[srev] — the message aggregation, reverse-bond
     step and update matmul, with the intermediate z never touching HBM.
@@ -453,11 +467,11 @@ def band_matmul_step_sorted(msg_sorted: jnp.ndarray, wh: jnp.ndarray,
     @jax.custom_vjp
     def op(m, w):
         return _band_matmul_apply(m, w_sorted, dst_sorted, rs, pad_w(w),
-                                  precision)[0]
+                                  precision, w_exact)[0]
 
     def fwd(m, w):
         out, z = _band_matmul_apply(m, w_sorted, dst_sorted, rs, pad_w(w),
-                                    precision)
+                                    precision, w_exact)
         return out, (z, w)
 
     def bwd(res, g):
@@ -469,7 +483,8 @@ def band_matmul_step_sorted(msg_sorted: jnp.ndarray, wh: jnp.ndarray,
         gw = g[:, :w.shape[1]] @ w.T  # (B, H_in)
         gw = jnp.pad(gw, ((0, 0), (0, Hp - w.shape[0]))) \
             if w.shape[0] != Hp else gw
-        kg_minus_g = _band_apply(gw, ones, dst_sorted, rs, precision)
+        # unit weights are always bf16-exact -> 2-pass, exactly
+        kg_minus_g = _band_apply(gw, ones, dst_sorted, rs, precision, True)
         dm = w_sorted[:, None] * (kg_minus_g + gw) - gw
         return dm, dw
 

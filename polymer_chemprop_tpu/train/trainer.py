@@ -62,6 +62,10 @@ def build_model_config(cfg: TrainConfig, num_tasks: int,
         compute_dtype="bfloat16" if cfg.param_dtype in ("bfloat16", "bf16")
         else "float32",
         band_precision=cfg.band_precision,
+        # non-polymer featurization always yields unit bond weights, which
+        # are bf16-exact: the band kernel drops the identically-zero q_lo
+        # pass (see ops/pallas_mpnn._dot_band)
+        unit_bond_weights=not cfg.polymer,
     )
     return ModelConfig(
         encoder=enc,
