@@ -104,6 +104,10 @@ def apply_encoder(params: Dict,
     keys = iter(jax.random.split(dropout_key, cfg.depth + 2)) \
         if dropout_key is not None else iter([None] * (cfg.depth + 2))
 
+    if cfg.atom_messages and "pallas_aux" in batch:
+        raise ValueError("atom_messages is not supported on the Pallas "
+                         "path (pallas batches carry dst-sorted f_bonds); "
+                         "build the loader with use_pallas=False")
     if cfg.atom_messages:
         # atom-message mode consumes bond-only features: the last bond_fdim
         # columns of the concat(src-atom, bond) vectors (reference
@@ -131,7 +135,6 @@ def apply_encoder(params: Dict,
             band_message_step_sorted,
             pad_lane,
             permute_rows,
-            to_sorted,
         )
         aux = batch["pallas_aux"]
         H = cfg.hidden_size
@@ -141,7 +144,10 @@ def apply_encoder(params: Dict,
         # fuse the W_h matmul into the band kernel when it is a plain
         # (bias-free, f32) matrix — the z intermediate never touches HBM
         fuse_wh = not cfg.bias and cdt is None
-        inputs = to_sorted(linear(params["W_i"], f_bonds, cdt), aux)
+        # pallas batches carry f_bonds already in dst-sorted order (the
+        # host permutes at featurization time), so there is no per-step
+        # natural->sorted gather
+        inputs = pad_lane(linear(params["W_i"], f_bonds, cdt))
         message = act(inputs)
         for _ in range(cfg.depth - 1):
             if cfg.undirected:
@@ -160,7 +166,8 @@ def apply_encoder(params: Dict,
             message = dropout(message, cfg.dropout, next(keys), deterministic)
             message = pad_lane(message)
         a_message = atom_readout_sorted(message, aux, num_atoms,
-                                        cfg.hidden_size)
+                                        cfg.hidden_size, prec,
+                                        cfg.unit_bond_weights)
     else:
         inputs = linear(params["W_i"], f_bonds, cdt)
         message = act(inputs)

@@ -42,6 +42,12 @@ TILE_B = 512     # bonds per output tile
 # of headroom; the window-invariant test guards the bound.
 EXT = 768
 LANE = 128
+# Atom-readout band kernel: TILE_A atoms per output tile; their incoming
+# bonds (contiguous in sorted order) must fit an EXT_A window (~2 bonds per
+# atom on molecular graphs -> 512*2 + alignment slack; the host verifies
+# per batch and falls back to segment_sum when exceeded).
+TILE_A = 512
+EXT_A = 1536
 
 
 class SortedBondAux(NamedTuple):
@@ -58,6 +64,9 @@ class SortedBondAux(NamedTuple):
     rs:       (nblocks,) window start (element offset) per bond tile
     dst_sorted: (B,) destination atom ids in sorted order
     w_sorted: (B,) bond weights in sorted order
+    ra:       (num_atoms/TILE_A,) sorted-bond window start per atom tile
+              for the band-matmul atom readout, or None when the batch
+              violates the EXT_A window bound (falls back to segment_sum)
     """
 
     perm: np.ndarray
@@ -68,10 +77,12 @@ class SortedBondAux(NamedTuple):
     rs: np.ndarray
     dst_sorted: np.ndarray
     w_sorted: np.ndarray
+    ra: "np.ndarray | None" = None
 
 
 def build_sorted_aux(b2dst: np.ndarray, b2revb: np.ndarray,
-                     w_bonds: np.ndarray) -> SortedBondAux:
+                     w_bonds: np.ndarray,
+                     num_atoms: "int | None" = None) -> SortedBondAux:
     """Precompute sorted-band indices for one GraphBatch (cache per batch)."""
     B = int(b2dst.shape[0])
     assert B % TILE_B == 0, f"pad_bonds must be a multiple of {TILE_B}"
@@ -113,8 +124,27 @@ def build_sorted_aux(b2dst: np.ndarray, b2revb: np.ndarray,
         # covers every same-dst peer (in-degree << slack).
         start &= ~127
         rs[j] = min(max(start, 0), B - EXT)
+    # atom-tile windows for the band-matmul readout: the incoming bonds of
+    # atoms [t*TILE_A, (t+1)*TILE_A) are contiguous in sorted order
+    ra = None
+    if (num_atoms is not None and num_atoms % TILE_A == 0 and B >= EXT_A):
+        n_at = num_atoms // TILE_A
+        ra_arr = np.empty(n_at, np.int32)
+        ok = True
+        for t in range(n_at):
+            lo = int(np.searchsorted(sorted_key, t * TILE_A, side="left"))
+            hi = int(np.searchsorted(sorted_key, (t + 1) * TILE_A,
+                                     side="left"))
+            start = lo & ~127
+            start = min(max(start, 0), B - EXT_A)
+            if hi - start > EXT_A:
+                ok = False
+                break
+            ra_arr[t] = start
+        if ok:
+            ra = ra_arr
     return SortedBondAux(perm, rank, rev_rank, rev_rank_inv, srev, rs,
-                         dst_sorted, w_sorted)
+                         dst_sorted, w_sorted, ra)
 
 
 # ---------------------------------------------------------------------------
@@ -493,9 +523,124 @@ def band_matmul_step_sorted(msg_sorted: jnp.ndarray, wh: jnp.ndarray,
     return permute_rows(out, aux["srev"], aux["srev"])
 
 
+def _atom_band_kernel(ra_ref, msg_hbm, w_hbm, dst_hbm,
+                      out_ref,
+                      msg_win, w_win, dst_win, sems, *,
+                      nblocks,
+                      precision=jax.lax.Precision.HIGHEST,
+                      w_exact=False):
+    """One atom tile of the readout: out[a] = sum_c w[c][dst(c)==a] msg[c].
+
+    The incoming bonds of a TILE_A-atom range are contiguous in sorted
+    order, so the scatter-shaped segment sum becomes another banded
+    one-hot matmul on the MXU. Window DMAs are double-buffered as in
+    _band_kernel."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    j = pl.program_id(0)
+    slot = jax.lax.rem(j, 2)
+
+    def copies(idx, sl):
+        start = pl.multiple_of(ra_ref[idx], 128)
+        row = pl.multiple_of(start // 128, 1)
+        return (
+            pltpu.make_async_copy(msg_hbm.at[pl.ds(start, EXT_A), :],
+                                  msg_win.at[sl], sems.at[sl, 0]),
+            pltpu.make_async_copy(w_hbm.at[pl.ds(row, EXT_A // 128), :],
+                                  w_win.at[sl], sems.at[sl, 1]),
+            pltpu.make_async_copy(dst_hbm.at[pl.ds(row, EXT_A // 128), :],
+                                  dst_win.at[sl], sems.at[sl, 2]),
+        )
+
+    @pl.when(j == 0)
+    def _():
+        for c in copies(0, 0):
+            c.start()
+
+    @pl.when(j + 1 < nblocks)
+    def _():
+        for c in copies(j + 1, jax.lax.rem(j + 1, 2)):
+            c.start()
+
+    for c in copies(j, slot):
+        c.wait()
+
+    # row atom ids for this tile (exact in f32 up to 2^24 atoms)
+    aid = (j * TILE_A
+           + jax.lax.broadcasted_iota(jnp.int32, (TILE_A, 1), 0)
+           ).astype(jnp.float32)
+    dst_w = dst_win[slot].reshape(1, EXT_A)
+    w = w_win[slot].reshape(1, EXT_A)
+    q = jnp.where(aid == dst_w, w, 0.0)
+    out_ref[:, :] = _dot_band(q, msg_win[slot], precision, w_exact)
+
+
+def _atom_band_apply(msg_sorted, w_sorted, dst_sorted, ra, num_atoms,
+                     precision=jax.lax.Precision.HIGHEST,
+                     w_exact: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Hp = msg_sorted.shape
+    nblocks = num_atoms // TILE_A
+    w2 = w_sorted.reshape(B // 128, 128)
+    d2 = dst_sorted.astype(jnp.float32).reshape(B // 128, 128)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),               # msg HBM
+            pl.BlockSpec(memory_space=pl.ANY),               # w HBM
+            pl.BlockSpec(memory_space=pl.ANY),               # dst HBM
+        ],
+        out_specs=pl.BlockSpec((TILE_A, Hp), lambda j, ra: (j, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, EXT_A, Hp), jnp.float32),
+            pltpu.VMEM((2, EXT_A // 128, 128), jnp.float32),
+            pltpu.VMEM((2, EXT_A // 128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    fn = pl.pallas_call(
+        functools.partial(_atom_band_kernel, precision=precision,
+                          nblocks=nblocks, w_exact=w_exact),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_atoms, Hp), jnp.float32),
+    )
+    return fn(ra, msg_sorted, w2, d2)
+
+
 def atom_readout_sorted(msg_sorted: jnp.ndarray, aux: dict,
-                        num_atoms: int, out_dim: int) -> jnp.ndarray:
-    """Final weighted incoming-bond aggregation from sorted messages."""
+                        num_atoms: int, out_dim: int,
+                        precision=jax.lax.Precision.HIGHEST,
+                        w_exact: bool = False) -> jnp.ndarray:
+    """Final weighted incoming-bond aggregation from sorted messages.
+
+    Uses the banded MXU readout kernel when the host published atom-tile
+    windows ("ra" in aux); otherwise the XLA segment sum. The VJP of the
+    kernel path is the weighted row-gather d_msg = w * g[dst] — no
+    scatter in either direction."""
+    if "ra" in aux:
+        w_sorted, dst_sorted, ra = (aux["w_sorted"], aux["dst_sorted"],
+                                    aux["ra"])
+
+        @jax.custom_vjp
+        def op(m):
+            return _atom_band_apply(m, w_sorted, dst_sorted, ra, num_atoms,
+                                    precision, w_exact)
+
+        def fwd(m):
+            return _atom_band_apply(m, w_sorted, dst_sorted, ra, num_atoms,
+                                    precision, w_exact), None
+
+        def bwd(_, g):
+            return (w_sorted[:, None] * g[dst_sorted],)
+
+        op.defvjp(fwd, bwd)
+        return op(msg_sorted)[:, :out_dim]
     agg = jax.ops.segment_sum(
         msg_sorted * aux["w_sorted"][:, None], aux["dst_sorted"],
         num_segments=num_atoms, indices_are_sorted=False)

@@ -34,8 +34,10 @@ def batch():
 
 
 def _aux_arrays(gb):
-    aux = build_sorted_aux(gb.b2dst, gb.b2revb, gb.w_bonds)
-    return {k: jnp.asarray(getattr(aux, k)) for k in aux._fields}
+    aux = build_sorted_aux(gb.b2dst, gb.b2revb, gb.w_bonds,
+                           num_atoms=gb.f_atoms.shape[0])
+    return {k: jnp.asarray(getattr(aux, k)) for k in aux._fields
+            if getattr(aux, k) is not None}
 
 
 class TestPermuteRows:
@@ -262,3 +264,46 @@ class TestBandPrecision:
         p_x = dict(gb.arrays(pallas=True))
         out = apply_encoder(params, p_x, cfg)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestAtomBandReadout:
+    """The banded MXU atom readout (ops/pallas_mpnn._atom_band_kernel) vs
+    the XLA segment-sum fallback (same function without 'ra')."""
+
+    def test_kernel_matches_segment_sum(self, interpret_mode, batch):
+        from polymer_chemprop_tpu.ops.pallas_mpnn import atom_readout_sorted
+        gb = batch
+        aux = _aux_arrays(gb)
+        assert "ra" in aux, "fixture envelope must enable the readout kernel"
+        A = gb.f_atoms.shape[0]
+        B = gb.f_bonds.shape[0]
+        rng = np.random.default_rng(3)
+        msg = jnp.asarray(rng.normal(size=(B, 128)).astype(np.float32))
+        aux_fallback = {k: v for k, v in aux.items() if k != "ra"}
+        out_k = atom_readout_sorted(msg, aux, A, 100)
+        out_s = atom_readout_sorted(msg, aux_fallback, A, 100)
+        np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_s),
+                                   rtol=1e-4, atol=1e-5)
+
+        def loss_k(m):
+            return (atom_readout_sorted(m, aux, A, 100) ** 2).sum()
+
+        def loss_s(m):
+            return (atom_readout_sorted(m, aux_fallback, A, 100) ** 2).sum()
+
+        g_k = jax.grad(loss_k)(msg)
+        g_s = jax.grad(loss_s)(msg)
+        np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_s),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_ra_omitted_when_bound_violated(self):
+        """Batches whose atom envelope is not a TILE_A multiple (or whose
+        bond windows exceed EXT_A) must publish no 'ra' and fall back."""
+        from polymer_chemprop_tpu.ops.pallas_mpnn import build_sorted_aux
+        gb = mol2graph(["CCO", "c1ccccc1"], pad_atoms=64, pad_bonds=1024,
+                       pad_mols=2)
+        aux = build_sorted_aux(gb.b2dst, gb.b2revb, gb.w_bonds,
+                               num_atoms=gb.f_atoms.shape[0])
+        assert aux.ra is None
+        d = gb.arrays(pallas=True)
+        assert "ra" not in d["pallas_aux"]
