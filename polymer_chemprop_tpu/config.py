@@ -141,7 +141,9 @@ class TrainConfig:
     num_devices: Optional[int] = None        # data-parallel shards (None = all)
     param_dtype: str = "float32"
     band_precision: str = "high"  # Pallas MXU precision: high|highest|default
-    use_pallas: bool = False                 # fused band kernel for message passing
+    use_pallas: Optional[bool] = None        # fused band kernel for message
+    # passing: None = auto (on whenever a TPU backend is attached; the
+    # loader falls back to the XLA segment-sum path on CPU)
     use_native_featurizer: bool = False      # C++ host featurization
     profile_dir: Optional[str] = None        # jax.profiler trace output
     tensorboard: bool = False                # write TensorBoard event files
@@ -288,7 +290,14 @@ def _add_field_args(parser: argparse.ArgumentParser, cls) -> None:
         if f.default_factory is not dataclasses.MISSING:  # type: ignore[misc]
             default = f.default_factory()  # type: ignore[misc]
         ftype = f.type if isinstance(f.type, str) else str(f.type)
-        if "bool" in ftype:
+        if "Optional[bool]" in ftype:
+            # tri-state: --flag -> True, --no_flag -> False, absent -> None
+            # (None = auto-resolve at runtime, e.g. use_pallas on TPU)
+            parser.add_argument(name, dest=f.name, action="store_true",
+                                default=default)
+            parser.add_argument("--no_" + f.name, dest=f.name,
+                                action="store_false")
+        elif "bool" in ftype:
             if default:
                 parser.add_argument("--no_" + f.name, dest=f.name,
                                     action="store_false", default=True)

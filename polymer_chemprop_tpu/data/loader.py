@@ -58,7 +58,7 @@ class MoleculeDataLoader:
                  pad_bonds: Optional[int] = None,
                  align: int = 256,
                  use_native: Optional[bool] = None,
-                 use_pallas: bool = False):
+                 use_pallas: "bool | None" = False):
         self.dataset = dataset
         self.config = config
         self.batch_size = batch_size
@@ -87,13 +87,16 @@ class MoleculeDataLoader:
         self.use_native = use_native
         # Pallas band kernel needs TILE_B-multiple, >= EXT bond envelopes,
         # and a TPU backend (CPU would need interpreter mode)
-        if use_pallas:
+        if use_pallas or use_pallas is None:
             import jax
             if jax.default_backend() not in ("tpu", "axon"):
-                import warnings
-                warnings.warn("use_pallas requires a TPU backend; falling "
-                              "back to the XLA segment-sum path")
+                if use_pallas:  # explicit request on a non-TPU backend
+                    import warnings
+                    warnings.warn("use_pallas requires a TPU backend; "
+                                  "falling back to the XLA segment-sum path")
                 use_pallas = False
+            else:
+                use_pallas = True  # None = auto: on for TPU backends
         self.use_pallas = use_pallas
         if use_pallas:
             from ..ops.pallas_mpnn import EXT, TILE_B

@@ -113,7 +113,8 @@ def make_predictions(args: PredictConfig,
     embed_step = make_embed_step(model_cfg) if args.save_graph_embeddings else None
 
     loader = MoleculeDataLoader(test_data, fcfg, batch_size=args.batch_size,
-                                num_workers=args.num_workers)
+                                num_workers=args.num_workers,
+                                use_pallas=False if tcfg.atom_messages else None)
 
     sum_preds = None
     sq_preds = None

@@ -47,7 +47,8 @@ def molecule_fingerprint(args: FingerprintConfig) -> np.ndarray:
     model_cfg = build_model_config(tcfg, _num_tasks(tcfg),
                                    features_size=test_data.features_size())
     loader = MoleculeDataLoader(test_data, fcfg, batch_size=args.batch_size,
-                                num_workers=args.num_workers)
+                                num_workers=args.num_workers,
+                                use_pallas=False if tcfg.atom_messages else None)
 
     all_fps = []
     for ckpt in ckpts:
