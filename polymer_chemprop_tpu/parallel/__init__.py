@@ -13,6 +13,8 @@ All green-field TPU design — the reference is strictly single-device
 """
 
 from .dp import make_dp_train_step, shard_batch, stack_device_batches
+from .multihost import (global_batch_from_local, initialize_multihost,
+                        make_hybrid_mesh, process_batch_indices)
 from .mesh import make_mesh
 from .gspmd import graph_shardings, make_gspmd_train_step
 from .partition import (build_edge_shards, build_edge_shards_halo,
@@ -20,6 +22,8 @@ from .partition import (build_edge_shards, build_edge_shards_halo,
                         make_edge_parallel_forward_halo)
 
 __all__ = ["build_edge_shards", "build_edge_shards_halo",
+           "global_batch_from_local", "initialize_multihost",
+           "make_hybrid_mesh", "process_batch_indices",
            "make_edge_parallel_forward_halo", "graph_shardings", "make_dp_train_step", "make_gspmd_train_step",
            "make_edge_parallel_forward", "make_mesh", "shard_batch",
            "stack_device_batches"]
