@@ -141,6 +141,9 @@ class TrainConfig:
     num_devices: Optional[int] = None        # data-parallel shards (None = all)
     param_dtype: str = "float32"
     band_precision: str = "high"  # Pallas MXU precision: high|highest|default
+    data_parallel: Optional[bool] = None     # shard each batch over local
+    # devices with psum gradient reduction: None = auto (on for multi-device
+    # TPU backends), --data_parallel / --no_data_parallel to force
     use_pallas: Optional[bool] = None        # fused band kernel for message
     # passing: None = auto (on whenever a TPU backend is attached; the
     # loader falls back to the XLA segment-sum path on CPU)

@@ -47,6 +47,7 @@ def make_dp_train_step(cfg: ModelConfig,
     def local_loss_terms(params, batch, rng):
         preds = apply_model(params, batch["graphs"], cfg,
                             features=batch.get("features"),
+                            atom_descriptors=batch.get("atom_descriptors"),
                             dropout_key=rng, deterministic=False)
         targets, mask = batch["targets"], batch["mask"]
         if cfg.dataset_type == "multiclass":
@@ -88,9 +89,10 @@ def make_dp_train_step(cfg: ModelConfig,
     @jax.jit
     def train_step(params, opt_state, batch, rngs):
         loss, grads = smapped(params, batch, rngs)
+        gnorm = optax.global_norm(grads)
         updates, new_opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
-        return new_params, new_opt_state, loss
+        return new_params, new_opt_state, loss, gnorm
 
     return train_step
 

@@ -264,6 +264,27 @@ def run_training(cfg: TrainConfig,
         scaler = None
         _normalize_spectra_targets(train_data, val_data, test_data, cfg)
 
+    # ---- data parallelism over local devices (green-field: the reference
+    # is single-device, SURVEY.md §2.9). The global batch is split into
+    # per-device micro-batches with a shared envelope; gradients psum over
+    # the mesh with an exact global masked loss (parallel/dp.py).
+    import math as _math
+    n_dev = jax.device_count()
+    dp_enabled = cfg.data_parallel
+    if dp_enabled is None:  # auto: on for multi-device TPU backends
+        dp_enabled = jax.default_backend() in ("tpu", "axon") and n_dev > 1
+    dp_enabled = bool(dp_enabled) and n_dev > 1
+    if dp_enabled and (cfg.dataset_type == "spectra"
+                       or cfg.alternative_loss_function):
+        info("data_parallel does not support spectra/alternative losses "
+             "yet; training on a single device")
+        dp_enabled = False
+    train_batch_size = cfg.batch_size
+    if dp_enabled:
+        train_batch_size = max(1, _math.ceil(cfg.batch_size / n_dev))
+        info(f"Data-parallel training over {n_dev} devices "
+             f"(micro-batch {train_batch_size})")
+
     # ---- loaders ----------------------------------------------------------
     set_cache_graph(len(data) <= cfg.cache_cutoff and not cfg.no_cache_mol)
     loader_kw = dict(batch_size=cfg.batch_size, num_workers=cfg.num_workers,
@@ -272,7 +293,8 @@ def run_training(cfg: TrainConfig,
                      use_pallas=False if cfg.atom_messages else cfg.use_pallas)
     train_loader = MoleculeDataLoader(
         train_data, fcfg, shuffle=True, seed=cfg.seed,
-        class_balance=cfg.class_balance, **loader_kw)
+        class_balance=cfg.class_balance,
+        **dict(loader_kw, batch_size=train_batch_size))
     val_loader = MoleculeDataLoader(val_data, fcfg, **loader_kw)
     test_loader = MoleculeDataLoader(test_data, fcfg, **loader_kw)
     # unshuffled train loader for per-epoch train-set evaluation
@@ -289,6 +311,8 @@ def run_training(cfg: TrainConfig,
 
     save_dir = cfg.save_dir
     steps_per_epoch = max(1, len(train_loader))
+    if dp_enabled:
+        steps_per_epoch = max(1, _math.ceil(len(train_loader) / n_dev))
 
     # ---- ensemble loop (reference run_training.py:208-436) ----------------
     best_params_all = []
@@ -345,6 +369,17 @@ def run_training(cfg: TrainConfig,
             model_cfg, tx, target_weights,
             cfg.alternative_loss_function,
             cfg.spectra_target_floor if cfg.dataset_type == "spectra" else None)
+        if dp_enabled:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel import (make_dp_train_step, make_mesh,
+                                    shard_batch, stack_device_batches)
+            dp_mesh = make_mesh(n_dev, ("dp",))
+            dp_step = make_dp_train_step(model_cfg, tx, dp_mesh, "dp",
+                                         target_weights)
+            dp_shard = NamedSharding(dp_mesh, P("dp"))
+            dp_replicate = NamedSharding(dp_mesh, P())
+            params = jax.device_put(params, dp_replicate)
+            opt_state = jax.device_put(opt_state, dp_replicate)
 
         # per-epoch CSV metric log (fork addition, run_training.py:212-231:
         # per-metric train/val averages + per-task columns)
@@ -371,7 +406,7 @@ def run_training(cfg: TrainConfig,
 
         best_score = float("inf") if cfg.minimize_score else -float("inf")
         best_epoch = 0
-        best_params = params
+        best_params = jax.device_get(params) if dp_enabled else params
 
         # TensorBoard scalars (reference run_training.py:233-236,393-402;
         # train.py:91-111 logs loss/pnorm/gnorm/lr) — best-effort import
@@ -393,26 +428,59 @@ def run_training(cfg: TrainConfig,
             losses = []
             gnorms = []
             t_epoch = time.perf_counter()
-            for batch in train_loader:
-                key, sub = jax.random.split(key)
-                params, opt_state, loss, gnorm = train_step(
-                    params, opt_state, batch_pytree(batch), sub)
-                losses.append(float(loss))
-                gnorms.append(float(gnorm))
+            if dp_enabled:
+                group: List[Dict] = []
+
+                def dp_flush():
+                    nonlocal params, opt_state, key
+                    # ragged tail: pad with fully-masked copies of the last
+                    # micro-batch (mask/weights zero -> no loss contribution;
+                    # the global mask denominator is psum'd, so scores are
+                    # unchanged)
+                    while len(group) < n_dev:
+                        group.append(_masked_out_copy(group[-1]))
+                    key, sub = jax.random.split(key)
+                    sharded = shard_batch(stack_device_batches(group),
+                                          dp_mesh, "dp")
+                    rngs = jax.device_put(
+                        np.asarray(jax.random.split(sub, n_dev)), dp_shard)
+                    p2, o2, loss, gnorm = dp_step(params, opt_state,
+                                                  sharded, rngs)
+                    params, opt_state = p2, o2
+                    losses.append(float(loss))
+                    gnorms.append(float(gnorm))
+                    group.clear()
+
+                for batch in train_loader:
+                    group.append(batch_pytree(batch))
+                    if len(group) == n_dev:
+                        dp_flush()
+                if group:
+                    dp_flush()
+            else:
+                for batch in train_loader:
+                    key, sub = jax.random.split(key)
+                    params, opt_state, loss, gnorm = train_step(
+                        params, opt_state, batch_pytree(batch), sub)
+                    losses.append(float(loss))
+                    gnorms.append(float(gnorm))
             epoch_s = time.perf_counter() - t_epoch
             if profiling:
                 jax.block_until_ready(params)
                 jax.profiler.stop_trace()
                 profiling = False
-            val_scores = evaluate(params, predict_step, val_loader, num_tasks,
-                                  cfg.metrics, cfg.dataset_type, scaler)
-            train_scores = evaluate(params, predict_step, train_eval_loader,
-                                    num_tasks, cfg.metrics, cfg.dataset_type,
+            eval_params = jax.device_get(params) if dp_enabled else params
+            val_scores = evaluate(eval_params, predict_step, val_loader,
+                                  num_tasks, cfg.metrics, cfg.dataset_type,
+                                  scaler)
+            train_scores = evaluate(eval_params, predict_step,
+                                    train_eval_loader, num_tasks,
+                                    cfg.metrics, cfg.dataset_type,
                                     scaler) if csv_path else None
             avg_val = float(np.nanmean(val_scores[cfg.metric]))
             mean_loss = float(np.mean(losses)) if losses else float("nan")
             from ..models import compute_pnorm
-            pnorm = compute_pnorm(params)
+            pnorm = compute_pnorm(eval_params)
             mean_gnorm = float(np.mean(gnorms)) if gnorms else float("nan")
             debug(f"Epoch {epoch}: train loss = {mean_loss:.6f}, "
                   f"val {cfg.metric} = {avg_val:.6f}, "
@@ -447,7 +515,7 @@ def run_training(cfg: TrainConfig,
                 else (avg_val > best_score)
             if improved or epoch == start_epoch:
                 best_score, best_epoch = avg_val, epoch
-                best_params = params
+                best_params = eval_params
                 if model_dir:
                     save_checkpoint(
                         os.path.join(model_dir, "best_model.ckpt"), params,
@@ -489,6 +557,16 @@ def run_training(cfg: TrainConfig,
             json.dump(ensemble_scores, f, indent=4, sort_keys=True)
 
     return ensemble_scores
+
+
+def _masked_out_copy(batch_dict: Dict) -> Dict:
+    """Copy of a batch pytree with mask and weights zeroed — used to pad
+    the last data-parallel device group; contributes nothing to the psum'd
+    loss numerator or denominator."""
+    out = dict(batch_dict)
+    out["mask"] = np.zeros_like(np.asarray(batch_dict["mask"]))
+    out["weights"] = np.zeros_like(np.asarray(batch_dict["weights"]))
+    return out
 
 
 def _normalize_spectra_targets(train_data, val_data, test_data,

@@ -89,7 +89,7 @@ rngs = jax.device_put(
     np.asarray(jax.random.split(jax.random.PRNGKey(0), 8)),
     NamedSharding(mesh, P("dp")))
 for i in range(2):
-    params, opt_state, loss = step(params, opt_state, gbatch, rngs)
+    params, opt_state, loss, _g = step(params, opt_state, gbatch, rngs)
     print(f"LOSS {i} {float(loss):.10f}", flush=True)
 """
 
