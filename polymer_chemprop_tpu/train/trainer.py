@@ -447,8 +447,8 @@ def run_training(cfg: TrainConfig,
                     p2, o2, loss, gnorm = dp_step(params, opt_state,
                                                   sharded, rngs)
                     params, opt_state = p2, o2
-                    losses.append(float(loss))
-                    gnorms.append(float(gnorm))
+                    losses.append(loss)
+                    gnorms.append(gnorm)
                     group.clear()
 
                 for batch in train_loader:
@@ -462,8 +462,15 @@ def run_training(cfg: TrainConfig,
                     key, sub = jax.random.split(key)
                     params, opt_state, loss, gnorm = train_step(
                         params, opt_state, batch_pytree(batch), sub)
-                    losses.append(float(loss))
-                    gnorms.append(float(gnorm))
+                    # defer D2H: a per-step scalar readback costs a full
+                    # tunnel round-trip (~30 ms on axon) — fetch the whole
+                    # epoch's scalars in ONE stacked transfer below
+                    losses.append(loss)
+                    gnorms.append(gnorm)
+            if losses:
+                fetched = np.asarray(jnp.stack(losses + gnorms))
+                losses = fetched[:len(losses)].tolist()
+                gnorms = fetched[len(gnorms):].tolist()
             epoch_s = time.perf_counter() - t_epoch
             if profiling:
                 jax.block_until_ready(params)
