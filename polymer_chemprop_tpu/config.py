@@ -272,11 +272,15 @@ def find_checkpoints(checkpoint_dir: Optional[str] = None,
         found = []
         for root, _, files in os.walk(checkpoint_dir):
             for fname in files:
-                if fname.endswith(ext):
+                # .pt: reference torch checkpoints, importable transparently
+                # (utils/torch_import.py; reference walks for .pt the same
+                # way, args.py:19-59)
+                if fname.endswith(ext) or fname.endswith(".pt"):
                     found.append(os.path.join(root, fname))
         if len(found) == 0:
             raise ValueError(f'Failed to find any checkpoints with extension '
-                             f'"{ext}" in directory "{checkpoint_dir}"')
+                             f'"{ext}" or ".pt" in directory '
+                             f'"{checkpoint_dir}"')
         return sorted(found)
     return []
 

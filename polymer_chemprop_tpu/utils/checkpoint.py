@@ -101,12 +101,30 @@ def save_checkpoint(path: str,
 
 
 def load_checkpoint(path: str) -> Tuple[Any, dict, Dict[str, Optional[StandardScaler]], Optional[int]]:
-    """Read params, config dict, scalers, epoch from a .ckpt file."""
-    with zipfile.ZipFile(path) as zf:
-        meta = json.loads(zf.read("meta.json"))
-        import io
-        npz = np.load(io.BytesIO(zf.read("params.npz")))
-        params = _unflatten({k: npz[k] for k in npz.files})
+    """Read params, config dict, scalers, epoch from a checkpoint.
+
+    Native ``.ckpt`` files are read directly; anything else (including
+    every reference torch ``.pt`` shape) is dispatched to
+    ``torch_import.import_reference_checkpoint``, so all checkpoint
+    consumers accept reference checkpoints transparently."""
+    native = False
+    try:
+        with zipfile.ZipFile(path) as zf:
+            if "meta.json" in zf.namelist():
+                native = True
+                meta = json.loads(zf.read("meta.json"))
+                import io
+                npz = np.load(io.BytesIO(zf.read("params.npz")))
+                params = _unflatten({k: npz[k] for k in npz.files})
+    except zipfile.BadZipFile:
+        pass  # legacy torch pickle (pre-1.6 format)
+    if not native:
+        from .torch_import import import_reference_checkpoint
+        params, config, scaler_dicts, epoch = \
+            import_reference_checkpoint(path)
+        scalers = {k: StandardScaler.from_dict(v)
+                   for k, v in scaler_dicts.items()}
+        return params, config, scalers, epoch
     scalers = {k: StandardScaler.from_dict(v)
                for k, v in meta.get("scalers", {}).items()}
     return params, meta["config"], scalers, meta.get("epoch")

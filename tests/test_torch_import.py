@@ -1,0 +1,208 @@
+"""Reference (torch .pt) checkpoint interop: import all three reference
+checkpoint shapes (inference / weights-only / SSL model_state_dict,
+reference utils.py:47-73, 94-95; ssl_two_stage_V5_C.py:1031-1035),
+transparent dispatch through utils.checkpoint.load_checkpoint, prediction
+parity against an independent oracle using the imported weights, and the
+export round trip."""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+
+from polymer_chemprop_tpu.config import PredictConfig, TrainConfig
+from polymer_chemprop_tpu.features import FeaturizationConfig, mol2graph
+from polymer_chemprop_tpu.models import ModelConfig, init_model
+from polymer_chemprop_tpu.train.make_predictions import make_predictions
+from polymer_chemprop_tpu.train.trainer import _load_frzn_into, build_model_config
+from polymer_chemprop_tpu.utils.checkpoint import load_checkpoint
+from polymer_chemprop_tpu.utils.torch_import import (
+    export_reference_checkpoint,
+    import_reference_checkpoint,
+    state_dict_to_params,
+)
+
+from test_encoder import reference_forward
+
+ATOM_FDIM, BOND_FDIM = 133, 147
+HIDDEN = 16
+SMILES = [["CCO"], ["c1ccccc1"], ["CC(C)=CCCC(C)=CC(=O)"], ["CCN"]]
+
+
+def _reference_state_dict(hidden=HIDDEN, ffn_dims=((HIDDEN, HIDDEN),
+                                                   (HIDDEN, 1)),
+                          n_enc=1, seed=0):
+    """A state dict with the reference's exact parameter naming
+    (mpn.py:48-64, model.py:79-100, utils.py key layout)."""
+    g = torch.Generator().manual_seed(seed)
+
+    def rnd(*shape):
+        return torch.randn(*shape, generator=g) * 0.2
+
+    sd = {}
+    for i in range(n_enc):
+        p = f"encoder.encoder.{i}."
+        sd[p + "W_i.weight"] = rnd(hidden, BOND_FDIM)
+        sd[p + "W_h.weight"] = rnd(hidden, hidden)
+        sd[p + "W_o.weight"] = rnd(hidden, ATOM_FDIM + hidden)
+        sd[p + "W_o.bias"] = rnd(hidden)
+        sd[p + "cached_zero_vector"] = torch.zeros(hidden)
+    for k, (i, o) in enumerate(ffn_dims):
+        sd[f"ffn.{3 * k + 1}.weight"] = rnd(o, i)
+        sd[f"ffn.{3 * k + 1}.bias"] = rnd(o)
+    return sd
+
+
+def _reference_args(**over):
+    args = {
+        "dataset_type": "regression", "hidden_size": HIDDEN, "depth": 3,
+        "dropout": 0.0, "activation": "ReLU", "aggregation": "mean",
+        "aggregation_norm": 100, "bias": False, "undirected": False,
+        "atom_messages": False, "ffn_num_layers": 2,
+        "ffn_hidden_size": HIDDEN, "number_of_molecules": 1,
+        "polymer": False, "reaction": False, "explicit_h": False,
+        "adding_h": False, "task_names": ["target"],
+        "data_path": "/nonexistent/train.csv", "batch_size": 50,
+        "no_features_scaling": False, "epochs": 10, "seed": 0,
+    }
+    args.update(over)
+    return args
+
+
+class TestImport:
+    def test_state_dict_conversion_shapes(self):
+        sd = _reference_state_dict()
+        params = state_dict_to_params(sd)
+        enc = params["encoders"][0]
+        # torch (out, in) -> ours (in, out)
+        assert enc["W_i"]["w"].shape == (BOND_FDIM, HIDDEN)
+        assert enc["W_h"]["w"].shape == (HIDDEN, HIDDEN)
+        assert enc["W_o"]["w"].shape == (ATOM_FDIM + HIDDEN, HIDDEN)
+        assert enc["W_o"]["b"].shape == (HIDDEN,)
+        assert "cached_zero_vector" not in enc
+        assert [l["w"].shape for l in params["ffn"]] == [
+            (HIDDEN, HIDDEN), (HIDDEN, 1)]
+        np.testing.assert_allclose(
+            params["encoders"][0]["W_i"]["w"],
+            sd["encoder.encoder.0.W_i.weight"].numpy().T)
+
+    def test_legacy_unindexed_encoder_names(self):
+        # reference utils.py:109-113 renames encoder.encoder.W_* -> .0.W_*
+        sd = {k.replace("encoder.encoder.0.", "encoder.encoder."): v
+              for k, v in _reference_state_dict().items()}
+        params = state_dict_to_params(sd)
+        assert len(params["encoders"]) == 1
+        assert params["encoders"][0]["W_i"]["w"].shape == (BOND_FDIM, HIDDEN)
+
+    def test_ssl_model_state_dict(self, tmp_path):
+        # SSL script naming (ssl_two_stage_V5_C.py:155-161) inside the
+        # {'model_state_dict': ...} wrapper, plus heads that must be skipped
+        g = torch.Generator().manual_seed(1)
+        sd = {
+            "W_initial.weight": torch.randn(HIDDEN, BOND_FDIM, generator=g),
+            "W_message.weight": torch.randn(HIDDEN, HIDDEN, generator=g),
+            "W_message.bias": torch.randn(HIDDEN, generator=g),
+            "W_node.weight": torch.randn(HIDDEN, ATOM_FDIM + HIDDEN,
+                                         generator=g),
+            "W_node.bias": torch.randn(HIDDEN, generator=g),
+            "node_head.0.weight": torch.randn(4, HIDDEN, generator=g),
+        }
+        path = str(tmp_path / "ssl.pt")
+        torch.save({"model_state_dict": sd, "epoch": 7}, path)
+        params, cfg, scalers, epoch = import_reference_checkpoint(path)
+        assert cfg is None and scalers == {} and epoch == 7
+        enc = params["encoders"][0]
+        assert set(enc) == {"W_i", "W_h", "W_o"}
+        assert enc["W_h"]["b"].shape == (HIDDEN,)
+        assert "ffn" not in params
+
+    def test_frzn_merge_from_pt(self, tmp_path):
+        # --checkpoint_frzn pointing at a reference weights-only .pt
+        sd = _reference_state_dict(seed=3)
+        path = str(tmp_path / "frzn.pt")
+        torch.save({"state_dict": sd}, path)
+        tcfg = TrainConfig(dataset_type="regression", hidden_size=HIDDEN,
+                           ffn_hidden_size=HIDDEN, checkpoint_frzn=path)
+        mcfg = build_model_config(tcfg, num_tasks=1)
+        params = init_model(jax.random.PRNGKey(0), mcfg)
+        merged = _load_frzn_into(params, path, tcfg)
+        np.testing.assert_allclose(
+            np.asarray(merged["encoders"][0]["W_i"]["w"]),
+            sd["encoder.encoder.0.W_i.weight"].numpy().T, rtol=1e-6)
+        # FFN untouched (frzn_ffn_layers == 0)
+        np.testing.assert_allclose(np.asarray(merged["ffn"][0]["w"]),
+                                   np.asarray(params["ffn"][0]["w"]))
+
+
+class TestEndToEnd:
+    def test_predict_from_reference_checkpoint(self, tmp_path):
+        """make_predictions driven directly by a reference .pt file must
+        reproduce the oracle forward with the imported weights, including
+        the imported target scaler."""
+        sd = _reference_state_dict()
+        means, stds = [1.5], [2.0]
+        path = str(tmp_path / "best_model_full.pt")
+        torch.save({
+            "args": _reference_args(),
+            "state_dict": sd,
+            "data_scaler": {"means": means, "stds": stds},
+            "features_scaler": None,
+            "atom_descriptor_scaler": None,
+            "bond_feature_scaler": None,
+        }, path)
+
+        preds = np.asarray(make_predictions(
+            PredictConfig(checkpoint_path=path,
+                          preds_path=str(tmp_path / "p.csv")),
+            smiles=SMILES), float)
+
+        # oracle: dense-gather reference math + FFN + inverse scaling
+        params, cfg_dict, scalers, _ = load_checkpoint(path)
+        gb = mol2graph([s[0] for s in SMILES], FeaturizationConfig())
+        emb = reference_forward(params["encoders"][0], gb, depth=3)
+        emb = emb[:len(SMILES)]
+        f0, f1 = params["ffn"]
+        out = np.maximum(emb @ f0["w"] + f0["b"], 0) @ f1["w"] + f1["b"]
+        expected = out * stds[0] + means[0]
+        np.testing.assert_allclose(preds, expected, rtol=2e-4, atol=2e-4)
+
+    def test_checkpoint_dir_walk_finds_pt(self, tmp_path):
+        sd = _reference_state_dict()
+        d = tmp_path / "fold_0"
+        d.mkdir()
+        torch.save({"args": _reference_args(), "state_dict": sd,
+                    "data_scaler": None, "features_scaler": None},
+                   str(d / "model.pt"))
+        preds = make_predictions(
+            PredictConfig(checkpoint_dir=str(tmp_path),
+                          preds_path=str(tmp_path / "p.csv")),
+            smiles=SMILES[:2])
+        assert np.isfinite(np.asarray(preds, float)).all()
+
+
+class TestExport:
+    def test_export_import_roundtrip(self, tmp_path):
+        tcfg = TrainConfig(dataset_type="regression", hidden_size=HIDDEN,
+                           ffn_hidden_size=HIDDEN)
+        mcfg = build_model_config(tcfg, num_tasks=2)
+        params = init_model(jax.random.PRNGKey(42), mcfg)
+        path = str(tmp_path / "exported.pt")
+        export_reference_checkpoint(path, jax.tree_util.tree_map(
+            np.asarray, params), tcfg.to_dict())
+
+        raw = torch.load(path, weights_only=False)
+        assert "encoder.encoder.0.W_i.weight" in raw["state_dict"]
+        assert raw["state_dict"]["encoder.encoder.0.W_i.weight"].shape == \
+            (HIDDEN, BOND_FDIM)
+        assert "ffn.1.weight" in raw["state_dict"]
+        assert "ffn.4.weight" in raw["state_dict"]
+
+        params2, cfg2, _, _ = load_checkpoint(path)
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(params2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6)
+        assert cfg2["hidden_size"] == HIDDEN
