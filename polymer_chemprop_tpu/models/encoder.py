@@ -146,8 +146,19 @@ def apply_encoder(params: Dict,
         fuse_wh = not cfg.bias and cdt is None
         # pallas batches carry f_bonds already in dst-sorted order (the
         # host permutes at featurization time), so there is no per-step
-        # natural->sorted gather
-        inputs = pad_lane(linear(params["W_i"], f_bonds, cdt))
+        # natural->sorted gather. The whole depth loop runs at the
+        # lane-padded width Hp: padding W_i's columns keeps the padded
+        # message columns identically zero (every supported activation
+        # maps 0 -> 0 and the fused kernel zero-pads W_h), so no per-layer
+        # slice/re-pad copies are needed — the readout slices once.
+        Hp = ((H + 127) // 128) * 128
+        wi = params["W_i"]
+        if Hp != H:
+            wi = dict(wi)
+            wi["w"] = jnp.pad(wi["w"], ((0, 0), (0, Hp - H)))
+            if "b" in wi:
+                wi["b"] = jnp.pad(wi["b"], (0, Hp - H))
+        inputs = linear(wi, f_bonds, cdt)
         message = act(inputs)
         for _ in range(cfg.depth - 1):
             if cfg.undirected:
@@ -157,14 +168,14 @@ def apply_encoder(params: Dict,
                 from ..ops.pallas_mpnn import band_matmul_step_sorted
                 message = band_matmul_step_sorted(
                     message, params["W_h"]["w"], aux, prec,
-                    cfg.unit_bond_weights)[:, :H]
+                    cfg.unit_bond_weights)
+                message = act(inputs + message)
             else:
                 message = band_message_step_sorted(message, aux, prec,
                                                    cfg.unit_bond_weights)
                 message = linear(params["W_h"], message[:, :H], cdt)
-            message = act(inputs[:, :H] + message)
+                message = pad_lane(act(inputs[:, :H] + message))
             message = dropout(message, cfg.dropout, next(keys), deterministic)
-            message = pad_lane(message)
         a_message = atom_readout_sorted(message, aux, num_atoms,
                                         cfg.hidden_size, prec,
                                         cfg.unit_bond_weights)
