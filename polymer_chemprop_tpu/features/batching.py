@@ -51,21 +51,25 @@ class GraphBatch:
     def n_mols(self) -> int:
         return self.degree_of_polym.shape[0]
 
-    def arrays(self, pallas: bool = False) -> dict:
+    def arrays(self, pallas: bool = False,
+               band_tile: Optional[int] = None) -> dict:
         """The device-transferable arrays (used as a jit input pytree).
 
         With ``pallas=True``, attaches the sorted-band auxiliary index
         arrays consumed by ops/pallas_mpnn.py (the encoder switches to the
         fused MXU band kernel when the ``pallas_aux`` key is present), and
         ``f_bonds`` is emitted in dst-SORTED order (the host permute is
-        free here and removes a 2x-B-row gather per training step)."""
+        free here and removes a 2x-B-row gather per training step).
+        ``band_tile`` overrides the band-kernel tile size (512 or 1024;
+        the default is 512, see ops/pallas_mpnn._EXT_FOR)."""
         d = {k: getattr(self, k) for k in (
             "f_atoms", "f_bonds", "w_atoms", "w_bonds",
             "b2a", "b2dst", "b2revb", "a2mol", "degree_of_polym", "mol_mask")}
         if pallas:
-            from ..ops.pallas_mpnn import build_sorted_aux
+            from ..ops.pallas_mpnn import TILE_B, build_sorted_aux
             aux = build_sorted_aux(self.b2dst, self.b2revb, self.w_bonds,
-                                   num_atoms=self.f_atoms.shape[0])
+                                   num_atoms=self.f_atoms.shape[0],
+                                   tile_b=band_tile or TILE_B)
             d["pallas_aux"] = {k: getattr(aux, k) for k in aux._fields
                                if getattr(aux, k) is not None}
             d["f_bonds"] = self.f_bonds[aux.perm]

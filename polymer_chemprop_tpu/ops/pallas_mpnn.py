@@ -36,11 +36,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-TILE_B = 512     # bonds per output tile
+TILE_B = 512     # bonds per output tile (default)
 # Extended window: must cover TILE_B + left alignment slack (<=127) + one
 # max in-degree run on each side (molecular in-degree <= ~6). 768 = 6 lanes
 # of headroom; the window-invariant test guards the bound.
 EXT = 768
+# Supported tile sizes and their windows. Larger tiles amortize the
+# alignment slack: the band matmul does EXT/TILE x the minimal FLOPs
+# (1.5x at 512/768, 1.25x at 1024/1280) at the cost of more VMEM.
+_EXT_FOR = {512: 768, 1024: 1280}
 LANE = 128
 # Atom-readout band kernel: TILE_A atoms per output tile; their incoming
 # bonds (contiguous in sorted order) must fit an EXT_A window (~2 bonds per
@@ -82,11 +86,16 @@ class SortedBondAux(NamedTuple):
 
 def build_sorted_aux(b2dst: np.ndarray, b2revb: np.ndarray,
                      w_bonds: np.ndarray,
-                     num_atoms: "int | None" = None) -> SortedBondAux:
-    """Precompute sorted-band indices for one GraphBatch (cache per batch)."""
+                     num_atoms: "int | None" = None,
+                     tile_b: int = TILE_B) -> SortedBondAux:
+    """Precompute sorted-band indices for one GraphBatch (cache per batch).
+
+    ``tile_b`` picks the band-kernel tile size (512 or 1024); the kernels
+    infer it back from ``len(rs)`` so no extra plumbing is needed."""
+    ext = _EXT_FOR[tile_b]
     B = int(b2dst.shape[0])
-    assert B % TILE_B == 0, f"pad_bonds must be a multiple of {TILE_B}"
-    assert B >= EXT, f"pad_bonds must be at least {EXT}"
+    assert B % tile_b == 0, f"pad_bonds must be a multiple of {tile_b}"
+    assert B >= ext, f"pad_bonds must be at least {ext}"
     # Sort padding bonds (dst == 0: slot 0 + batch padding) LAST via a
     # sentinel key: the padding run can exceed the window headroom, and its
     # outputs are never consumed, so it must not sit inside real tiles'
@@ -112,20 +121,31 @@ def build_sorted_aux(b2dst: np.ndarray, b2revb: np.ndarray,
     srev = rank[rev_eff[perm]].astype(np.int32)
     dst_sorted = b2dst[perm].astype(np.int32)
     w_sorted = w_bonds[perm].astype(np.float32)
-    nblocks = B // TILE_B
+    nblocks = B // tile_b
     rs = np.empty(nblocks, np.int32)
     for j in range(nblocks):
-        lo_key = sorted_key[j * TILE_B]
+        lo_key = sorted_key[j * tile_b]
         start = int(np.searchsorted(sorted_key, lo_key, side="left"))
         # Mosaic requires dynamic HBM slice starts aligned to the tiling;
         # we align to a full 128-lane row so the (B/128, 128)-packed weight
         # and dst windows slice cleanly. Rounding down only widens the
-        # window left; EXT leaves 512-TILE_B slack so the right edge still
-        # covers every same-dst peer (in-degree << slack).
+        # window left; ext leaves (ext - tile_b) slack so the right edge
+        # still covers every same-dst peer (in-degree << slack).
         start &= ~127
-        rs[j] = min(max(start, 0), B - EXT)
+        rs[j] = min(max(start, 0), B - ext)
     # atom-tile windows for the band-matmul readout: the incoming bonds of
     # atoms [t*TILE_A, (t+1)*TILE_A) are contiguous in sorted order
+    # window-coverage invariant: every real bond's same-destination run
+    # must fit its tile's [rs, rs+ext) window (guards both tile sizes;
+    # sentinel/padding rows are never consumed so they are exempt)
+    pad_start = int(np.searchsorted(sorted_key, np.int64(1) << 30, "left"))
+    for j in range(nblocks):
+        last_real = min((j + 1) * tile_b, pad_start) - 1
+        if last_real < j * tile_b:
+            continue
+        hi = int(np.searchsorted(sorted_key, sorted_key[last_real], "right"))
+        assert hi - rs[j] <= ext, (
+            f"band window overflow: tile {j} needs {hi - rs[j]} > {ext}")
     ra = None
     if (num_atoms is not None and num_atoms % TILE_A == 0 and B >= EXT_A):
         n_at = num_atoms // TILE_A
@@ -212,7 +232,7 @@ def _band_matmul_kernel(rs_ref, dst_tile_ref, msg_tile_ref, wh_ref,
                         msg_hbm, w_hbm, dst_hbm,
                         out_ref, z_ref,
                         msg_win, w_win, dst_win, sems, *,
-                        nblocks,
+                        nblocks, ext=EXT,
                         precision=jax.lax.Precision.HIGHEST,
                         w_exact=False):
     """One bond tile with the message-update matmul fused:
@@ -238,11 +258,11 @@ def _band_matmul_kernel(rs_ref, dst_tile_ref, msg_tile_ref, wh_ref,
         start = pl.multiple_of(rs_ref[idx], 128)
         row = pl.multiple_of(start // 128, 1)
         return (
-            pltpu.make_async_copy(msg_hbm.at[pl.ds(start, EXT), :],
+            pltpu.make_async_copy(msg_hbm.at[pl.ds(start, ext), :],
                                   msg_win.at[sl], sems.at[sl, 0]),
-            pltpu.make_async_copy(w_hbm.at[pl.ds(row, EXT // 128), :],
+            pltpu.make_async_copy(w_hbm.at[pl.ds(row, ext // 128), :],
                                   w_win.at[sl], sems.at[sl, 1]),
-            pltpu.make_async_copy(dst_hbm.at[pl.ds(row, EXT // 128), :],
+            pltpu.make_async_copy(dst_hbm.at[pl.ds(row, ext // 128), :],
                                   dst_win.at[sl], sems.at[sl, 2]),
         )
 
@@ -260,8 +280,8 @@ def _band_matmul_kernel(rs_ref, dst_tile_ref, msg_tile_ref, wh_ref,
         c.wait()
 
     dst_tile = dst_tile_ref[:, 0:1]
-    dst_w = dst_win[slot].reshape(1, EXT)
-    w = w_win[slot].reshape(1, EXT)
+    dst_w = dst_win[slot].reshape(1, ext)
+    w = w_win[slot].reshape(1, ext)
     q = jnp.where(dst_tile == dst_w, w, 0.0)
     z = _dot_band(q, msg_win[slot], precision, w_exact) - msg_tile_ref[:, :]
     z_ref[:, :] = z
@@ -272,7 +292,7 @@ def _band_kernel(rs_ref, dst_tile_ref, msg_tile_ref,
                  msg_hbm, w_hbm, dst_hbm,
                  out_ref,
                  msg_win, w_win, dst_win, sems, *,
-                 nblocks,
+                 nblocks, ext=EXT,
                  precision=jax.lax.Precision.HIGHEST,
                  w_exact=False):
     """One bond tile: out = Q @ msg_window - msg_tile.
@@ -292,12 +312,12 @@ def _band_kernel(rs_ref, dst_tile_ref, msg_tile_ref,
         start = pl.multiple_of(rs_ref[idx], 128)
         row = pl.multiple_of(start // 128, 1)
         return (
-            pltpu.make_async_copy(msg_hbm.at[pl.ds(start, EXT), :],
+            pltpu.make_async_copy(msg_hbm.at[pl.ds(start, ext), :],
                                   msg_win.at[sl], sems.at[sl, 0]),
-            # w/dst are packed (B/128, 128); the window is EXT/128 rows
-            pltpu.make_async_copy(w_hbm.at[pl.ds(row, EXT // 128), :],
+            # w/dst are packed (B/128, 128); the window is ext/128 rows
+            pltpu.make_async_copy(w_hbm.at[pl.ds(row, ext // 128), :],
                                   w_win.at[sl], sems.at[sl, 1]),
-            pltpu.make_async_copy(dst_hbm.at[pl.ds(row, EXT // 128), :],
+            pltpu.make_async_copy(dst_hbm.at[pl.ds(row, ext // 128), :],
                                   dst_win.at[sl], sems.at[sl, 2]),
         )
 
@@ -314,9 +334,9 @@ def _band_kernel(rs_ref, dst_tile_ref, msg_tile_ref,
     for c in copies(j, slot):
         c.wait()
 
-    dst_tile = dst_tile_ref[:, 0:1]                    # (TILE_B, 1)
-    dst_w = dst_win[slot].reshape(1, EXT)              # (1, EXT)
-    w = w_win[slot].reshape(1, EXT)                    # (1, EXT)
+    dst_tile = dst_tile_ref[:, 0:1]                    # (tile_b, 1)
+    dst_w = dst_win[slot].reshape(1, ext)              # (1, ext)
+    w = w_win[slot].reshape(1, ext)                    # (1, ext)
     # banded same-destination one-hot, weighted
     q = jnp.where(dst_tile == dst_w, w, 0.0)
     # precision: the MXU's default single-pass bf16 f32 emulation loses
@@ -339,11 +359,13 @@ def _band_apply(msg_sorted: jnp.ndarray, w_sorted: jnp.ndarray,
     from jax.experimental.pallas import tpu as pltpu
 
     B, Hp = msg_sorted.shape
-    nblocks = B // TILE_B
+    nblocks = int(rs.shape[0])
+    tile_b = B // nblocks          # aux builder's tile choice travels in rs
+    ext = _EXT_FOR[tile_b]
     # pack per-bond scalars into full 128-lane rows for clean DMA slicing
     w2 = w_sorted.reshape(B // 128, 128)
     d2 = dst_sorted.astype(jnp.float32).reshape(B // 128, 128)
-    # tile-side dst ids lane-broadcast so the block shape is (TILE_B, 128)
+    # tile-side dst ids lane-broadcast so the block shape is (tile_b, 128)
     d_bcast = jnp.broadcast_to(dst_sorted.astype(jnp.float32)[:, None],
                                (B, LANE))
 
@@ -351,23 +373,23 @@ def _band_apply(msg_sorted: jnp.ndarray, w_sorted: jnp.ndarray,
         num_scalar_prefetch=1,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((TILE_B, LANE), lambda j, rs: (j, 0)),  # dst tile
-            pl.BlockSpec((TILE_B, Hp), lambda j, rs: (j, 0)),   # msg tile
+            pl.BlockSpec((tile_b, LANE), lambda j, rs: (j, 0)),  # dst tile
+            pl.BlockSpec((tile_b, Hp), lambda j, rs: (j, 0)),   # msg tile
             pl.BlockSpec(memory_space=pl.ANY),               # msg HBM
             pl.BlockSpec(memory_space=pl.ANY),               # w HBM
             pl.BlockSpec(memory_space=pl.ANY),               # dst HBM
         ],
-        out_specs=pl.BlockSpec((TILE_B, Hp), lambda j, rs: (j, 0)),
+        out_specs=pl.BlockSpec((tile_b, Hp), lambda j, rs: (j, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, EXT, Hp), jnp.float32),
-            pltpu.VMEM((2, EXT // 128, 128), jnp.float32),
-            pltpu.VMEM((2, EXT // 128, 128), jnp.float32),
+            pltpu.VMEM((2, ext, Hp), jnp.float32),
+            pltpu.VMEM((2, ext // 128, 128), jnp.float32),
+            pltpu.VMEM((2, ext // 128, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     fn = pl.pallas_call(
         functools.partial(_band_kernel, precision=precision,
-                          nblocks=nblocks, w_exact=w_exact),
+                          nblocks=nblocks, ext=ext, w_exact=w_exact),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hp), jnp.float32),
     )
@@ -437,7 +459,9 @@ def _band_matmul_apply(msg_sorted, w_sorted, dst_sorted, rs, wh_padded,
     from jax.experimental.pallas import tpu as pltpu
 
     B, Hp = msg_sorted.shape
-    nblocks = B // TILE_B
+    nblocks = int(rs.shape[0])
+    tile_b = B // nblocks          # aux builder's tile choice travels in rs
+    ext = _EXT_FOR[tile_b]
     w2 = w_sorted.reshape(B // 128, 128)
     d2 = dst_sorted.astype(jnp.float32).reshape(B // 128, 128)
     d_bcast = jnp.broadcast_to(dst_sorted.astype(jnp.float32)[:, None],
@@ -447,25 +471,25 @@ def _band_matmul_apply(msg_sorted, w_sorted, dst_sorted, rs, wh_padded,
         num_scalar_prefetch=1,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((TILE_B, LANE), lambda j, rs: (j, 0)),   # dst tile
-            pl.BlockSpec((TILE_B, Hp), lambda j, rs: (j, 0)),     # msg tile
+            pl.BlockSpec((tile_b, LANE), lambda j, rs: (j, 0)),   # dst tile
+            pl.BlockSpec((tile_b, Hp), lambda j, rs: (j, 0)),     # msg tile
             pl.BlockSpec((Hp, Hp), lambda j, rs: (0, 0)),         # W_h
             pl.BlockSpec(memory_space=pl.ANY),                    # msg HBM
             pl.BlockSpec(memory_space=pl.ANY),                    # w HBM
             pl.BlockSpec(memory_space=pl.ANY),                    # dst HBM
         ],
-        out_specs=(pl.BlockSpec((TILE_B, Hp), lambda j, rs: (j, 0)),
-                   pl.BlockSpec((TILE_B, Hp), lambda j, rs: (j, 0))),
+        out_specs=(pl.BlockSpec((tile_b, Hp), lambda j, rs: (j, 0)),
+                   pl.BlockSpec((tile_b, Hp), lambda j, rs: (j, 0))),
         scratch_shapes=[
-            pltpu.VMEM((2, EXT, Hp), jnp.float32),
-            pltpu.VMEM((2, EXT // 128, 128), jnp.float32),
-            pltpu.VMEM((2, EXT // 128, 128), jnp.float32),
+            pltpu.VMEM((2, ext, Hp), jnp.float32),
+            pltpu.VMEM((2, ext // 128, 128), jnp.float32),
+            pltpu.VMEM((2, ext // 128, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     fn = pl.pallas_call(
         functools.partial(_band_matmul_kernel, precision=precision,
-                          nblocks=nblocks, w_exact=w_exact),
+                          nblocks=nblocks, ext=ext, w_exact=w_exact),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((B, Hp), jnp.float32),
                    jax.ShapeDtypeStruct((B, Hp), jnp.float32)),

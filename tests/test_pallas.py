@@ -120,6 +120,46 @@ class TestBandKernel:
             assert peers.max() < aux.rs[j] + EXT, \
                 f"window overflow in tile {j}"
 
+    def test_large_tile_window_invariant(self, batch):
+        """tile_b=1024 (window 1280): same coverage invariant."""
+        gb = batch
+        aux = build_sorted_aux(gb.b2dst, gb.b2revb, gb.w_bonds, tile_b=1024)
+        B = gb.f_bonds.shape[0]
+        assert len(aux.rs) == B // 1024
+        for j in range(B // 1024):
+            tile = slice(j * 1024, (j + 1) * 1024)
+            dsts = {d for d in aux.dst_sorted[tile].tolist() if d > 0}
+            if not dsts:
+                continue
+            peers = np.nonzero(np.isin(aux.dst_sorted, list(dsts)))[0]
+            assert peers.min() >= aux.rs[j]
+            assert peers.max() < aux.rs[j] + 1280, \
+                f"window overflow in tile {j}"
+
+    def test_encoder_large_tile_matches_xla(self, interpret_mode, batch):
+        """Full encoder with 1024-bond band tiles must match the XLA path
+        (forward + gradients), like the 512-tile default."""
+        from polymer_chemprop_tpu.models import EncoderConfig, apply_encoder, init_encoder
+        gb = batch
+        cfg = EncoderConfig(atom_fdim=133, bond_fdim=147, hidden_size=24,
+                            depth=3)
+        params = init_encoder(jax.random.PRNGKey(2), cfg)
+        a_x = {k: jnp.asarray(v) for k, v in gb.arrays().items()}
+        a_p = jax.tree_util.tree_map(jnp.asarray,
+                                     gb.arrays(pallas=True, band_tile=1024))
+        out_x = np.asarray(apply_encoder(params, a_x, cfg))
+        out_p = np.asarray(apply_encoder(params, a_p, cfg))
+        np.testing.assert_allclose(out_p, out_x, rtol=1e-4, atol=1e-5)
+
+        g_x = jax.grad(lambda p: (apply_encoder(p, a_x, cfg) ** 2).sum())(
+            params)
+        g_p = jax.grad(lambda p: (apply_encoder(p, a_p, cfg) ** 2).sum())(
+            params)
+        for a, b in zip(jax.tree_util.tree_leaves(g_x),
+                        jax.tree_util.tree_leaves(g_p)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-3, atol=1e-4)
+
 
 class TestSortedResidentEncoder:
     def test_encoder_matches_xla_path(self, interpret_mode, batch):
