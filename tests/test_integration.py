@@ -516,7 +516,10 @@ class TestGoldenScores:
                                                     "regression.npz")],
                         no_features_scaling=True)
         mean, _ = cross_validate(cfg)
-        # measured 0.8729 (+8.1%, ~1 fold-sigma); budget 15%
+        # measured 0.8729 at init-seed 0 (+8.1%) — the worst of a 5-seed
+        # init sweep {0.873, 0.797, 0.841, 0.842, 0.808}; mean 0.832
+        # (+3.0%), seed 1 beats the reference (docs/parity.md). Budget 15%
+        # to keep the pinned seed deterministic.
         assert abs(mean - 0.807828) / 0.807828 < 0.15
 
     def test_svm_golden(self, tmp_path):
