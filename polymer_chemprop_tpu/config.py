@@ -269,14 +269,25 @@ def find_checkpoints(checkpoint_dir: Optional[str] = None,
     if checkpoint_paths is not None:
         return checkpoint_paths
     if checkpoint_dir is not None:
-        found = []
+        native, torch_pt = [], []
         for root, _, files in os.walk(checkpoint_dir):
             for fname in files:
+                if fname.endswith(ext):
+                    native.append(os.path.join(root, fname))
                 # .pt: reference torch checkpoints, importable transparently
                 # (utils/torch_import.py; reference walks for .pt the same
                 # way, args.py:19-59)
-                if fname.endswith(ext) or fname.endswith(".pt"):
-                    found.append(os.path.join(root, fname))
+                elif fname.endswith(".pt"):
+                    torch_pt.append(os.path.join(root, fname))
+        # native checkpoints take precedence; in a reference directory,
+        # prefer best_model_full.pt (the only shape carrying args +
+        # scalers, reference run_training.py:424-435) over per-epoch
+        # resume files so the walk does not ensemble stale/argless weights
+        found = native
+        if not found:
+            best = [p for p in torch_pt
+                    if os.path.basename(p) == "best_model_full.pt"]
+            found = best or torch_pt
         if len(found) == 0:
             raise ValueError(f'Failed to find any checkpoints with extension '
                              f'"{ext}" or ".pt" in directory '

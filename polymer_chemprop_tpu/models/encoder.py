@@ -175,7 +175,13 @@ def apply_encoder(params: Dict,
                                                    cfg.unit_bond_weights)
                 message = linear(params["W_h"], message[:, :H], cdt)
                 message = pad_lane(act(inputs[:, :H] + message))
-            message = dropout(message, cfg.dropout, next(keys), deterministic)
+            # draw the dropout mask at the real width (B, H) so seeded
+            # trajectories are identical to the XLA path (and to pre-
+            # lane-padding runs); inactive dropout skips the slice/re-pad
+            key_l = next(keys)
+            if not deterministic and cfg.dropout > 0:
+                message = pad_lane(dropout(message[:, :H], cfg.dropout,
+                                           key_l, deterministic))
         a_message = atom_readout_sorted(message, aux, num_atoms,
                                         cfg.hidden_size, prec,
                                         cfg.unit_bond_weights)

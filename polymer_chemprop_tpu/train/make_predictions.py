@@ -27,6 +27,12 @@ from .trainer import build_model_config
 
 def load_model(ckpt_path: str):
     params, config_dict, scalers, _ = load_checkpoint(ckpt_path)
+    if config_dict is None:
+        raise ValueError(
+            f"{ckpt_path} is a weights-only checkpoint (no training args) "
+            "— it can seed --checkpoint_frzn or warm starts, but "
+            "prediction needs a full checkpoint (reference "
+            "best_model_full.pt or a native .ckpt).")
     tcfg = TrainConfig.from_dict(config_dict)
     return params, tcfg, scalers
 

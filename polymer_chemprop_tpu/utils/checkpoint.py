@@ -107,24 +107,27 @@ def load_checkpoint(path: str) -> Tuple[Any, dict, Dict[str, Optional[StandardSc
     every reference torch ``.pt`` shape) is dispatched to
     ``torch_import.import_reference_checkpoint``, so all checkpoint
     consumers accept reference checkpoints transparently."""
-    native = False
     try:
-        with zipfile.ZipFile(path) as zf:
-            if "meta.json" in zf.namelist():
-                native = True
-                meta = json.loads(zf.read("meta.json"))
-                import io
-                npz = np.load(io.BytesIO(zf.read("params.npz")))
-                params = _unflatten({k: npz[k] for k in npz.files})
+        zf = zipfile.ZipFile(path)
     except zipfile.BadZipFile:
-        pass  # legacy torch pickle (pre-1.6 format)
-    if not native:
+        zf = None  # legacy torch pickle (pre-1.6 format)
+    if zf is None or "meta.json" not in zf.namelist():
+        # torch>=1.6 .pt files are zips too (data.pkl entries) — anything
+        # without our meta.json goes through the reference importer
+        if zf is not None:
+            zf.close()
         from .torch_import import import_reference_checkpoint
         params, config, scaler_dicts, epoch = \
             import_reference_checkpoint(path)
         scalers = {k: StandardScaler.from_dict(v)
                    for k, v in scaler_dicts.items()}
         return params, config, scalers, epoch
+    with zf:
+        # a corrupt native checkpoint raises here, deliberately
+        meta = json.loads(zf.read("meta.json"))
+        import io
+        npz = np.load(io.BytesIO(zf.read("params.npz")))
+        params = _unflatten({k: npz[k] for k in npz.files})
     scalers = {k: StandardScaler.from_dict(v)
                for k, v in meta.get("scalers", {}).items()}
     return params, meta["config"], scalers, meta.get("epoch")
@@ -132,8 +135,14 @@ def load_checkpoint(path: str) -> Tuple[Any, dict, Dict[str, Optional[StandardSc
 
 def load_opt_state(path: str, opt_state_template):
     """Restore optimizer state into the structure of a freshly-initialized
-    state (full-resume path, reference run_training.py:241-263)."""
-    with zipfile.ZipFile(path) as zf:
+    state (full-resume path, reference run_training.py:241-263). Returns
+    None (fresh optimizer) for checkpoints without optimizer state,
+    including imported torch .pt files."""
+    try:
+        zf = zipfile.ZipFile(path)
+    except zipfile.BadZipFile:
+        return None  # legacy torch pickle: no optax state to restore
+    with zf:
         if "opt.npz" not in zf.namelist():
             return None
         import io

@@ -66,37 +66,31 @@ def state_dict_to_params(sd: Dict[str, Any]) -> Dict[str, Any]:
     (utils.py:116-130)."""
     encoders: Dict[int, Dict[str, Dict[str, np.ndarray]]] = {}
     ffn: Dict[int, Dict[str, np.ndarray]] = {}
+
+    def put(slot: Dict[str, np.ndarray], kind: str, value) -> None:
+        arr = _to_np(value)
+        if kind == "weight":
+            slot["w"] = arr.T.copy()
+        else:
+            slot["b"] = arr
+
     for key, value in sd.items():
         m = _ENC_RE.match(key)
         if m:
             idx = int(m.group(1)) if m.group(1) is not None else 0
             name = "W_d" if m.group(2) == "atom_descriptors_layer" \
                 else m.group(2)
-            arr = _to_np(value)
-            slot = encoders.setdefault(idx, {}).setdefault(name, {})
-            if m.group(3) == "weight":
-                slot["w"] = arr.T.copy()
-            else:
-                slot["b"] = arr
+            put(encoders.setdefault(idx, {}).setdefault(name, {}),
+                m.group(3), value)
             continue
         m = _FFN_RE.match(key)
         if m:
-            slot = ffn.setdefault(int(m.group(1)), {})
-            arr = _to_np(value)
-            if m.group(2) == "weight":
-                slot["w"] = arr.T.copy()
-            else:
-                slot["b"] = arr
+            put(ffn.setdefault(int(m.group(1)), {}), m.group(2), value)
             continue
         m = _SSL_RE.match(key)
         if m:
-            name = _SSL_NAME_MAP[m.group(1)]
-            arr = _to_np(value)
-            slot = encoders.setdefault(0, {}).setdefault(name, {})
-            if m.group(2) == "weight":
-                slot["w"] = arr.T.copy()
-            else:
-                slot["b"] = arr
+            put(encoders.setdefault(0, {}).setdefault(
+                _SSL_NAME_MAP[m.group(1)], {}), m.group(2), value)
     params: Dict[str, Any] = {}
     if encoders:
         params["encoders"] = [encoders[i] for i in sorted(encoders)]
@@ -164,9 +158,16 @@ def import_reference_checkpoint(path: str) -> Tuple[
         # reference checkpoints carry the resolved task names
         # (cross_validate.py:45); expose them as target_columns so
         # prediction-time task counting needs no access to the original
-        # training CSV
+        # training CSV. Some tap versions omit the task_names property from
+        # as_dict() — fall back to the task count implied by the FFN output
+        # shape (numbered names) rather than silently predicting one task.
         tasks = config_dict.get("task_names") or config_dict.get(
             "_task_names")
+        if not tasks and params.get("ffn"):
+            out = int(params["ffn"][-1]["w"].shape[1])
+            if config_dict.get("dataset_type") == "multiclass":
+                out //= int(config_dict.get("multiclass_num_classes", 3))
+            tasks = [f"task_{i}" for i in range(out)]
         if tasks and not config_dict.get("target_columns"):
             config_dict["target_columns"] = list(tasks)
     scalers = {k: state.get(k) for k in

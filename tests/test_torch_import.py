@@ -182,6 +182,62 @@ class TestEndToEnd:
             smiles=SMILES[:2])
         assert np.isfinite(np.asarray(preds, float)).all()
 
+    def test_walk_prefers_best_model_full(self, tmp_path):
+        """A reference fold dir holds best_model_full.pt (args + best
+        weights) next to per-epoch resume files (model_state_dict, no
+        args, reference run_training.py:404-421); the walk must use only
+        the former."""
+        from polymer_chemprop_tpu.config import find_checkpoints
+        d = tmp_path / "fold_0"
+        d.mkdir()
+        torch.save({"model_state_dict": _reference_state_dict(seed=9),
+                    "epoch": 3}, str(d / "model.pt"))
+        torch.save({"model_state_dict": _reference_state_dict(seed=9),
+                    "epoch": 3}, str(d / "best_resume_checkpoint.pt"))
+        torch.save({"args": _reference_args(),
+                    "state_dict": _reference_state_dict(),
+                    "data_scaler": None},
+                   str(d / "best_model_full.pt"))
+        found = find_checkpoints(checkpoint_dir=str(tmp_path))
+        assert [os.path.basename(p) for p in found] == ["best_model_full.pt"]
+        preds = make_predictions(
+            PredictConfig(checkpoint_dir=str(tmp_path),
+                          preds_path=str(tmp_path / "p.csv")),
+            smiles=SMILES[:2])
+        assert np.isfinite(np.asarray(preds, float)).all()
+
+    def test_weights_only_predict_clear_error(self, tmp_path):
+        path = str(tmp_path / "ssl.pt")
+        torch.save({"state_dict": _reference_state_dict()}, path)
+        with pytest.raises(ValueError, match="weights-only"):
+            make_predictions(
+                PredictConfig(checkpoint_path=path,
+                              preds_path=str(tmp_path / "p.csv")),
+                smiles=SMILES[:2])
+
+    def test_opt_state_none_for_pt(self, tmp_path):
+        from polymer_chemprop_tpu.utils.checkpoint import load_opt_state
+        path = str(tmp_path / "legacy.pt")
+        torch.save({"state_dict": _reference_state_dict()}, path,
+                   _use_new_zipfile_serialization=False)
+        assert load_opt_state(path, {"dummy": np.zeros(1)}) is None
+
+    def test_task_count_fallback_from_ffn_shape(self, tmp_path):
+        """args dicts from tap versions that drop the task_names property
+        must still predict the full multi-task width."""
+        args = _reference_args()
+        del args["task_names"]
+        path = str(tmp_path / "best_model_full.pt")
+        torch.save({"args": args,
+                    "state_dict": _reference_state_dict(
+                        ffn_dims=((HIDDEN, HIDDEN), (HIDDEN, 3))),
+                    "data_scaler": None}, path)
+        preds = np.asarray(make_predictions(
+            PredictConfig(checkpoint_path=path,
+                          preds_path=str(tmp_path / "p.csv")),
+            smiles=SMILES[:2]), float)
+        assert preds.shape == (2, 3)
+
 
 class TestExport:
     def test_export_import_roundtrip(self, tmp_path):
