@@ -91,15 +91,21 @@ def make_predictions(args: PredictConfig,
     fcfg = tcfg.featurization()
     update_prediction_args(args, tcfg)
 
+    # Load WITHOUT dropping invalid SMILES: every input row appears in the
+    # output CSV, with 'Invalid SMILES' placeholders for unparseable ones
+    # (reference make_predictions.py:66-73, 216-221).
+    from ..data.csv_io import _parseable
     if smiles is not None:
         from ..data import get_data_from_smiles
-        test_data = get_data_from_smiles(
-            smiles, fcfg, features_generators=tcfg.features_generator)
+        full_data = get_data_from_smiles(
+            smiles, fcfg, skip_invalid_smiles=False,
+            features_generators=tcfg.features_generator)
         full_rows = [{"smiles": ".".join(s)} for s in smiles]
     else:
-        test_data = get_data(args.test_path, args.smiles_columns,
+        full_data = get_data(args.test_path, args.smiles_columns,
                              target_columns=[], number_of_molecules=args.number_of_molecules,
                              config=fcfg,
+                             skip_invalid_smiles=False,
                              features_path=args.features_path,
                              features_generators=args.features_generator or
                              tcfg.features_generator,
@@ -110,7 +116,18 @@ def make_predictions(args: PredictConfig,
                              phase_features_path=args.phase_features_path
                              or tcfg.phase_features_path,
                              store_row=True)
-        full_rows = [d.row for d in test_data]
+        full_rows = [d.row for d in full_data]
+    full_to_valid = {}
+    valid_points = []
+    for i, d in enumerate(full_data):
+        if _parseable(d.smiles, fcfg):
+            full_to_valid[i] = len(valid_points)
+            valid_points.append(d)
+    from ..data import MoleculeDataset
+    test_data = MoleculeDataset(valid_points)
+    if len(test_data) < len(full_data):
+        print(f"Warning: {len(full_data) - len(test_data)} SMILES are "
+              "invalid; their rows get 'Invalid SMILES' predictions.")
 
     num_tasks = _num_tasks(tcfg)
     model_cfg = build_model_config(tcfg, num_tasks,
@@ -177,7 +194,7 @@ def make_predictions(args: PredictConfig,
     if args.preds_path:
         _write_preds(args, tcfg, full_rows, avg_preds, var_preds,
                      individual if args.individual_ensemble_predictions else [],
-                     num_tasks)
+                     num_tasks, full_to_valid)
     return avg_preds.tolist()
 
 
@@ -194,8 +211,11 @@ def _num_tasks(tcfg: TrainConfig) -> int:
 
 
 def _write_preds(args: PredictConfig, tcfg: TrainConfig, rows, avg_preds,
-                 var_preds, individual, num_tasks) -> None:
+                 var_preds, individual, num_tasks,
+                 full_to_valid=None) -> None:
     os.makedirs(os.path.dirname(args.preds_path) or ".", exist_ok=True)
+    if full_to_valid is None:
+        full_to_valid = {i: i for i in range(len(rows))}
     task_names = tcfg.target_columns or [f"task_{i}" for i in range(num_tasks)]
     multiclass = tcfg.dataset_type == "multiclass"
     with open(args.preds_path, "w", newline="") as f:
@@ -217,16 +237,23 @@ def _write_preds(args: PredictConfig, tcfg: TrainConfig, rows, avg_preds,
                 vals = [row[c] for c in base_cols if c in row]
             else:
                 vals = list(row.values()) if row else [""]
+            v = full_to_valid.get(i)
+            if v is None:
+                # unparseable input row: preserved with placeholders
+                # (reference make_predictions.py:216-221)
+                n_pred = len(header) - len(base_cols)
+                w.writerow(vals + ["Invalid SMILES"] * n_pred)
+                continue
             if multiclass:
-                preds_row = [list(np.argmax(avg_preds[i], axis=-1))] \
-                    if avg_preds.ndim == 3 else list(avg_preds[i])
+                preds_row = [list(np.argmax(avg_preds[v], axis=-1))] \
+                    if avg_preds.ndim == 3 else list(avg_preds[v])
             else:
-                preds_row = list(avg_preds[i])
+                preds_row = list(avg_preds[v])
             out = vals + preds_row
             if var_preds is not None:
-                out += list(var_preds[i])
+                out += list(var_preds[v])
             for ind in individual:
-                out += list(ind[i])
+                out += list(ind[v])
             w.writerow(out)
 
 

@@ -170,6 +170,27 @@ class TestPredictRoundTrip:
         preds = make_predictions(pargs)
         assert len(preds) == 1 and np.isfinite(preds[0][0])
 
+    def test_invalid_smiles_rows_preserved(self, tmp_path):
+        """Unparseable input rows stay in the output CSV with
+        'Invalid SMILES' placeholders (reference make_predictions.py:66-73,
+        216-221); returned predictions cover only the valid rows."""
+        import csv as _csv
+        cfg = train_cfg(str(tmp_path), epochs=2)
+        cross_validate(cfg)
+        test_csv = tmp_path / "t.csv"
+        test_csv.write_text("smiles\nCCO\nnot_a_smiles((\nc1ccccc1\n")
+        pargs = PredictConfig(test_path=str(test_csv),
+                              preds_path=str(tmp_path / "p.csv"),
+                              checkpoint_dir=str(tmp_path))
+        preds = make_predictions(pargs)
+        assert len(preds) == 2  # valid rows only
+        with open(tmp_path / "p.csv") as f:
+            rows = list(_csv.reader(f))
+        assert len(rows) == 4  # header + all 3 input rows
+        assert rows[2][0] == "not_a_smiles((" and \
+            rows[2][1] == "Invalid SMILES"
+        assert float(rows[1][1]) == pytest.approx(preds[0][0], rel=1e-6)
+
     def test_graph_embeddings_export(self, tmp_path):
         cfg = train_cfg(str(tmp_path), epochs=2)
         cross_validate(cfg)
@@ -461,10 +482,11 @@ class TestGoldenScores:
         assert abs(mean - 1.237620) / 1.237620 < DELTA
 
     def test_classification_golden(self, tmp_path):
-        # Known deviation (docs/parity.md): the 12-task AUC is dominated by
-        # single-positive task rankings; prediction quality matches the
-        # reference (round-trip MSE golden +1.4%) but the rank statistic
-        # sits ~6% low. Budget 10% here and track the true gap in parity.md.
+        # The 12-task AUC is dominated by single-positive task rankings
+        # (docs/parity.md): 5-seed init sweep {0.642, 0.666, 0.658, 0.652,
+        # 0.694} puts us at -4.2% in expectation (inside the band; seed 4
+        # beats the reference). Budget 10% to keep the pinned seed
+        # deterministic.
         cfg = train_cfg(str(tmp_path),
                         data_path=os.path.join(DATA, "classification.csv"),
                         dataset_type="classification", epochs=10, num_folds=3)
@@ -505,9 +527,11 @@ class TestGoldenScores:
         cfg = train_cfg(str(tmp_path), epochs=10, num_folds=3,
                         features_generator=["morgan"])
         mean, _ = cross_validate(cfg)
-        # measured 2.1983 (+20%): morgan degrades both frameworks
-        # (reference 1.24->1.83); scaler/concat/dropout placement verified
-        # equal — budget 25% and track in docs/parity.md
+        # measured 2.1983 at init-seed 0 (+20%); 5-seed sweep mean 2.155
+        # (+17% in expectation, fold-std ±0.21, best seed +3.3%): morgan
+        # degrades both frameworks (reference 1.24->1.83);
+        # scaler/concat/dropout placement verified equal — budget 25% and
+        # track in docs/parity.md
         assert abs(mean - 1.834947) / 1.834947 < 0.25
 
     def test_regression_rdkit_golden(self, tmp_path):
@@ -643,9 +667,10 @@ class TestGoldenScores:
                         features_generator=["morgan"],
                         epochs=10, num_folds=3)
         mean, _ = cross_validate(cfg)
-        # measured 3.0785 (+8.2%): morgan degrades both frameworks
-        # (reference 2.02->2.85, ours 2.06->3.08); budget 15% here and
-        # track the gap in docs/parity.md
+        # measured 3.0785 at init-seed 0 (+8.2%) — the worst of a 5-seed
+        # init sweep {3.079, 2.709, 2.962, 2.910, 2.735}; mean 2.879
+        # (+1.1%), two seeds beat the reference (docs/parity.md). Budget
+        # 15% to keep the pinned seed deterministic.
         assert abs(mean - 2.846405) / 2.846405 < 0.15
 
     def test_spectra_golden(self, tmp_path):
