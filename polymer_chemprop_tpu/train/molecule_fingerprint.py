@@ -37,13 +37,25 @@ def molecule_fingerprint(args: FingerprintConfig) -> np.ndarray:
 
     params0, tcfg, _ = load_model(ckpts[0])
     fcfg = tcfg.featurization()
-    test_data = get_data(args.test_path, args.smiles_columns, target_columns=[],
+    # keep unparseable rows so the output preserves every input row with
+    # 'Invalid SMILES' placeholders (reference molecule_fingerprint.py:44-60)
+    from ..data import MoleculeDataset
+    from ..data.csv_io import _parseable
+    full_data = get_data(args.test_path, args.smiles_columns, target_columns=[],
                          number_of_molecules=args.number_of_molecules,
                          config=fcfg,
+                         skip_invalid_smiles=False,
                          features_path=args.features_path,
                          features_generators=args.features_generator or
                          tcfg.features_generator,
                          store_row=True)
+    full_to_valid = {}
+    valid_points = []
+    for i, d in enumerate(full_data):
+        if _parseable(d.smiles, fcfg):
+            full_to_valid[i] = len(valid_points)
+            valid_points.append(d)
+    test_data = MoleculeDataset(valid_points)
     model_cfg = build_model_config(tcfg, _num_tasks(tcfg),
                                    features_size=test_data.features_size())
     loader = MoleculeDataLoader(test_data, fcfg, batch_size=args.batch_size,
@@ -86,8 +98,11 @@ def molecule_fingerprint(args: FingerprintConfig) -> np.ndarray:
         with open(args.preds_path, "w", newline="") as f:
             w = csv.writer(f)
             w.writerow(["smiles"] + [f"fp_{i}" for i in range(stacked.shape[1])])
-            for d, fp in zip(test_data, stacked):
-                w.writerow([".".join(d.smiles)] + list(fp))
+            for i, d in enumerate(full_data):
+                v = full_to_valid.get(i)
+                row = list(stacked[v]) if v is not None \
+                    else ["Invalid SMILES"] * stacked.shape[1]
+                w.writerow([".".join(d.smiles)] + row)
     return stacked
 
 
