@@ -224,8 +224,13 @@ def _write_preds(args: PredictConfig, tcfg: TrainConfig, rows, avg_preds,
             # keep only the SMILES column(s) (reference PredictArgs flag)
             keep = tcfg.smiles_columns or base_cols[:tcfg.number_of_molecules]
             base_cols = [c for c in base_cols if c in keep] or base_cols[:1]
+        # spectra ensembles report ONE round-robin-SID column, not
+        # per-task variances (reference make_predictions.py:249-253)
+        spectra_unc = var_preds is not None and tcfg.dataset_type == "spectra"
         header = list(base_cols) + list(task_names)
-        if var_preds is not None:
+        if spectra_unc:
+            header += ["epi_unc"]
+        elif var_preds is not None:
             header += [f"{t}_epi_unc" for t in task_names]
         if individual:
             for i in range(len(individual)):
@@ -250,7 +255,9 @@ def _write_preds(args: PredictConfig, tcfg: TrainConfig, rows, avg_preds,
             else:
                 preds_row = list(avg_preds[v])
             out = vals + preds_row
-            if var_preds is not None:
+            if spectra_unc:
+                out += [var_preds[v][0]]
+            elif var_preds is not None:
                 out += list(var_preds[v])
             for ind in individual:
                 out += list(ind[v])

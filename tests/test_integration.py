@@ -417,6 +417,29 @@ class TestSpectra:
         mean, _ = cross_validate(cfg)
         assert np.isfinite(mean) and mean >= 0
 
+    def test_spectra_ensemble_roundrobin_unc_column(self, tmp_path):
+        """Spectra ensembles write ONE round-robin-SID 'epi_unc' column,
+        not per-task variances (reference make_predictions.py:198-199,
+        249-253)."""
+        cfg = train_cfg(str(tmp_path),
+                        data_path=os.path.join(DATA, "spectra.csv"),
+                        dataset_type="spectra", epochs=2, ensemble_size=2,
+                        split_type="random_with_repeated_smiles")
+        cross_validate(cfg)
+        smiles_csv = tmp_path / "s.csv"
+        with open(os.path.join(DATA, "spectra.csv")) as f:
+            lines = f.read().splitlines()
+        smiles_csv.write_text("smiles\n" + "\n".join(
+            l.split(",")[0] for l in lines[1:4]) + "\n")
+        pargs = PredictConfig(test_path=str(smiles_csv),
+                              preds_path=str(tmp_path / "p.csv"),
+                              checkpoint_dir=str(tmp_path),
+                              ensemble_variance=True)
+        make_predictions(pargs)
+        header = open(tmp_path / "p.csv").readline().strip().split(",")
+        assert header.count("epi_unc") == 1
+        assert not any(h.endswith("_epi_unc") for h in header)
+
     def test_spectra_with_phase_mask(self, tmp_path):
         cfg = train_cfg(str(tmp_path),
                         data_path=os.path.join(DATA, "spectra.csv"),
