@@ -111,6 +111,37 @@ def _trainable_mask(params, cfg: TrainConfig):
     return mask
 
 
+def _merge_matching(params, loaded):
+    """Shape-checked partial parameter load (reference utils.py:116-130):
+    take every leaf from ``loaded`` whose path and shape match ``params``;
+    keep the fresh initialization elsewhere. Returns (merged, used,
+    skipped) where skipped counts fresh leaves not overwritten."""
+    used = skipped = 0
+
+    def merge(dst, src):
+        nonlocal used, skipped
+        if isinstance(dst, dict):
+            return {k: merge(dst[k], src[k]) if isinstance(src, dict)
+                    and k in src else _skip(dst[k]) for k in dst}
+        if isinstance(dst, list):
+            src_l = src if isinstance(src, list) else []
+            return [merge(d, src_l[i]) if i < len(src_l) else _skip(d)
+                    for i, d in enumerate(dst)]
+        if src is not None and not isinstance(src, (dict, list)) \
+                and np.shape(src) == np.shape(dst):
+            used += 1
+            return np.asarray(src)
+        skipped += 1
+        return dst
+
+    def _skip(leaf):
+        nonlocal skipped
+        skipped += len(jax.tree_util.tree_leaves(leaf))
+        return leaf
+
+    return merge(params, loaded), used, skipped
+
+
 def _load_frzn_into(params, frzn_path: str, cfg: TrainConfig):
     """Overwrite encoder (+ optionally first FFN layers) weights from an
     SSL/teacher checkpoint (reference utils.py:172-261 load_frzn_model)."""
@@ -325,11 +356,17 @@ def run_training(cfg: TrainConfig,
         key, init_key = jax.random.split(key)
         params = init_model(init_key, model_cfg)
         # warm-start from existing checkpoints (reference run_training loads
-        # args.checkpoint_paths[model_idx] as the initial weights)
+        # args.checkpoint_paths[model_idx] as the initial weights). Like the
+        # reference's shape-checked partial load (utils.py:116-130), only
+        # matching-shape parameters are taken; everything else keeps its
+        # fresh initialization — so reference .pt files (possibly partial,
+        # possibly differently sized) warm-start safely.
         if cfg.checkpoint_paths:
             warm = cfg.checkpoint_paths[model_idx % len(cfg.checkpoint_paths)]
-            params, _, _, _ = load_checkpoint(warm)
-            info(f"Warm-started model {model_idx} from {warm}")
+            loaded, _, _, _ = load_checkpoint(warm)
+            params, n_used, n_skipped = _merge_matching(params, loaded)
+            info(f"Warm-started model {model_idx} from {warm} "
+                 f"({n_used} parameters loaded, {n_skipped} kept fresh)")
         info(f"Number of parameters = {param_count(params):,}")
 
         schedule = build_schedule(
@@ -469,8 +506,9 @@ def run_training(cfg: TrainConfig,
                     gnorms.append(gnorm)
             if losses:
                 fetched = np.asarray(jnp.stack(losses + gnorms))
-                losses = fetched[:len(losses)].tolist()
-                gnorms = fetched[len(gnorms):].tolist()
+                n_l = len(losses)
+                losses = fetched[:n_l].tolist()
+                gnorms = fetched[n_l:].tolist()
             epoch_s = time.perf_counter() - t_epoch
             if profiling:
                 jax.block_until_ready(params)

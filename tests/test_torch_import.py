@@ -239,6 +239,39 @@ class TestEndToEnd:
         assert preds.shape == (2, 3)
 
 
+class TestWarmStart:
+    def test_merge_matching_partial(self):
+        from polymer_chemprop_tpu.train.trainer import _merge_matching
+        dst = {"encoders": [{"W_i": {"w": np.zeros((10, 4))},
+                             "W_h": {"w": np.zeros((4, 4))}}],
+               "ffn": [{"w": np.zeros((4, 1)), "b": np.zeros(1)}]}
+        src = {"encoders": [{"W_i": {"w": np.ones((10, 4))},
+                             "W_h": {"w": np.ones((8, 8))}}]}  # wrong shape
+        merged, used, skipped = _merge_matching(dst, src)
+        assert used == 1 and skipped == 3
+        np.testing.assert_array_equal(merged["encoders"][0]["W_i"]["w"], 1.0)
+        np.testing.assert_array_equal(merged["encoders"][0]["W_h"]["w"], 0.0)
+        np.testing.assert_array_equal(merged["ffn"][0]["w"], 0.0)
+
+    def test_train_warm_start_from_mismatched_pt(self, tmp_path):
+        """--checkpoint_paths with a reference .pt of a different hidden
+        size must warm-start what fits and train the rest fresh
+        (reference utils.py:116-130 partial load)."""
+        from polymer_chemprop_tpu.train.cross_validate import cross_validate
+        warm = str(tmp_path / "w.pt")
+        torch.save({"state_dict": _reference_state_dict(hidden=8,
+                    ffn_dims=((8, 8), (8, 1)))}, warm)
+        cfg = TrainConfig(
+            data_path=os.path.join(os.path.dirname(__file__), "data",
+                                   "regression.csv"),
+            dataset_type="regression", epochs=1, num_folds=1,
+            max_data_size=40, hidden_size=HIDDEN, ffn_hidden_size=HIDDEN,
+            checkpoint_paths=[warm], save_dir=str(tmp_path / "run"),
+            quiet=True)
+        mean, _ = cross_validate(cfg)
+        assert np.isfinite(mean)
+
+
 class TestExport:
     def test_export_import_roundtrip(self, tmp_path):
         tcfg = TrainConfig(dataset_type="regression", hidden_size=HIDDEN,
