@@ -89,6 +89,23 @@ class TestImport:
             params["encoders"][0]["W_i"]["w"],
             sd["encoder.encoder.0.W_i.weight"].numpy().T)
 
+    def test_multi_molecule_encoders(self, tmp_path):
+        """number_of_molecules=2 checkpoints: one encoder per position
+        (reference mpn.py:204-208), FFN input 2*hidden."""
+        sd = _reference_state_dict(n_enc=2,
+                                   ffn_dims=((2 * HIDDEN, HIDDEN),
+                                             (HIDDEN, 1)))
+        path = str(tmp_path / "two.pt")
+        torch.save({"args": _reference_args(number_of_molecules=2),
+                    "state_dict": sd, "data_scaler": None}, path)
+        params, cfg, _, _ = import_reference_checkpoint(path)
+        assert len(params["encoders"]) == 2
+        np.testing.assert_allclose(
+            params["encoders"][1]["W_h"]["w"],
+            sd["encoder.encoder.1.W_h.weight"].numpy().T)
+        assert params["ffn"][0]["w"].shape == (2 * HIDDEN, HIDDEN)
+        assert cfg["number_of_molecules"] == 2
+
     def test_legacy_unindexed_encoder_names(self):
         # reference utils.py:109-113 renames encoder.encoder.W_* -> .0.W_*
         sd = {k.replace("encoder.encoder.0.", "encoder.encoder."): v
