@@ -160,16 +160,21 @@ def apply_encoder(params: Dict,
                 wi["b"] = jnp.pad(wi["b"], (0, Hp - H))
         inputs = linear(wi, f_bonds, cdt)
         message = act(inputs)
+        # the layer's act(inputs + ·[srev]) epilogue fuses into the band
+        # kernel as act(inputs[srev] + ·)[srev] (srev is an involution);
+        # the srev-permuted residual is loop-invariant, computed once
+        act_name = cfg.activation.lower()
+        if fuse_wh and cfg.depth > 1:
+            from ..ops.pallas_mpnn import band_matmul_act_step_sorted
+            inputs_srev = permute_rows(inputs, aux["srev"], aux["srev"])
         for _ in range(cfg.depth - 1):
             if cfg.undirected:
                 message = (message + permute_rows(message, aux["srev"],
                                                   aux["srev"])) / 2
             if fuse_wh:
-                from ..ops.pallas_mpnn import band_matmul_step_sorted
-                message = band_matmul_step_sorted(
-                    message, params["W_h"]["w"], aux, prec,
-                    cfg.unit_bond_weights)
-                message = act(inputs + message)
+                message = band_matmul_act_step_sorted(
+                    message, params["W_h"]["w"], inputs_srev, aux,
+                    act_name, prec, cfg.unit_bond_weights)
             else:
                 message = band_message_step_sorted(message, aux, prec,
                                                    cfg.unit_bond_weights)

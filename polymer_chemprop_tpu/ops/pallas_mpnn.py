@@ -228,6 +228,39 @@ def _dot_band(a, b, precision, a_exact: bool = False):
                                preferred_element_type=jnp.float32,
                                precision=precision)
 
+# activations supported inside the fused kernel epilogue, with their
+# derivatives expressible from the OUTPUT value a (so the backward needs
+# no extra saved pre-activation): see _act_grad_from_output
+_ACT_FNS = {
+    "relu": lambda x: jnp.maximum(x, 0.0),
+    "leakyrelu": lambda x: jnp.where(x > 0, x, 0.1 * x),
+    "prelu": lambda x: jnp.where(x > 0, x, 0.25 * x),
+    "tanh": jnp.tanh,
+    "elu": lambda x: jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0),
+    "selu": jax.nn.selu,
+}
+_SELU_L = 1.0507009873554805
+_SELU_AL = 1.6732632423543772 * _SELU_L
+
+
+def _act_grad_from_output(name: str, a: jnp.ndarray) -> jnp.ndarray:
+    """d act/d pre as a function of the activation OUTPUT a (all supported
+    activations are monotone through 0, so sign(a) == sign(pre))."""
+    if name == "relu":
+        return (a > 0).astype(a.dtype)
+    if name == "leakyrelu":
+        return jnp.where(a > 0, 1.0, 0.1)
+    if name == "prelu":
+        return jnp.where(a > 0, 1.0, 0.25)
+    if name == "tanh":
+        return 1.0 - a * a
+    if name == "elu":
+        return jnp.where(a > 0, 1.0, a + 1.0)
+    if name == "selu":
+        return jnp.where(a > 0, _SELU_L, a + _SELU_AL)
+    raise ValueError(name)
+
+
 def _band_matmul_kernel(rs_ref, dst_tile_ref, msg_tile_ref, wh_ref,
                         msg_hbm, w_hbm, dst_hbm,
                         out_ref, z_ref,
@@ -544,6 +577,166 @@ def band_matmul_step_sorted(msg_sorted: jnp.ndarray, wh: jnp.ndarray,
 
     op.defvjp(fwd, bwd)
     out = op(msg_sorted, wh)
+    return permute_rows(out, aux["srev"], aux["srev"])
+
+
+def _band_matmul_act_kernel(rs_ref, dst_tile_ref, msg_tile_ref, wh_ref,
+                            inp_tile_ref,
+                            msg_hbm, w_hbm, dst_hbm,
+                            out_ref, z_ref,
+                            msg_win, w_win, dst_win, sems, *,
+                            nblocks, ext=EXT, act="relu",
+                            precision=jax.lax.Precision.HIGHEST,
+                            w_exact=False):
+    """_band_matmul_kernel with the layer epilogue fused as well:
+    out = act(inputs_tile + (Q @ msg_window - msg_tile) @ W_h).
+
+    The residual/activation elementwise pass otherwise costs a full extra
+    read+write of the (B, Hp) message array through HBM per layer.
+    ``inputs_tile`` must be pre-permuted by srev by the caller so that the
+    subsequent srev gather of the output reproduces
+    act(inputs + z_wh[srev]) (srev is an involution)."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    j = pl.program_id(0)
+    slot = jax.lax.rem(j, 2)
+
+    def copies(idx, sl):
+        start = pl.multiple_of(rs_ref[idx], 128)
+        row = pl.multiple_of(start // 128, 1)
+        return (
+            pltpu.make_async_copy(msg_hbm.at[pl.ds(start, ext), :],
+                                  msg_win.at[sl], sems.at[sl, 0]),
+            pltpu.make_async_copy(w_hbm.at[pl.ds(row, ext // 128), :],
+                                  w_win.at[sl], sems.at[sl, 1]),
+            pltpu.make_async_copy(dst_hbm.at[pl.ds(row, ext // 128), :],
+                                  dst_win.at[sl], sems.at[sl, 2]),
+        )
+
+    @pl.when(j == 0)
+    def _():
+        for c in copies(0, 0):
+            c.start()
+
+    @pl.when(j + 1 < nblocks)
+    def _():
+        for c in copies(j + 1, jax.lax.rem(j + 1, 2)):
+            c.start()
+
+    for c in copies(j, slot):
+        c.wait()
+
+    dst_tile = dst_tile_ref[:, 0:1]
+    dst_w = dst_win[slot].reshape(1, ext)
+    w = w_win[slot].reshape(1, ext)
+    q = jnp.where(dst_tile == dst_w, w, 0.0)
+    z = _dot_band(q, msg_win[slot], precision, w_exact) - msg_tile_ref[:, :]
+    z_ref[:, :] = z
+    pre = _dot_band(z, wh_ref[:, :], precision) + inp_tile_ref[:, :]
+    out_ref[:, :] = _ACT_FNS[act](pre)
+
+
+def _band_matmul_act_apply(msg_sorted, w_sorted, dst_sorted, rs, wh_padded,
+                           inp_srev, act,
+                           precision=jax.lax.Precision.HIGHEST,
+                           w_exact=False):
+    """(act(inp_srev + (S msg - msg) @ W), S msg - msg) via the fused
+    kernel with the activation epilogue."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Hp = msg_sorted.shape
+    nblocks = int(rs.shape[0])
+    tile_b = B // nblocks
+    ext = _EXT_FOR[tile_b]
+    w2 = w_sorted.reshape(B // 128, 128)
+    d2 = dst_sorted.astype(jnp.float32).reshape(B // 128, 128)
+    d_bcast = jnp.broadcast_to(dst_sorted.astype(jnp.float32)[:, None],
+                               (B, LANE))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((tile_b, LANE), lambda j, rs: (j, 0)),   # dst tile
+            pl.BlockSpec((tile_b, Hp), lambda j, rs: (j, 0)),     # msg tile
+            pl.BlockSpec((Hp, Hp), lambda j, rs: (0, 0)),         # W_h
+            pl.BlockSpec((tile_b, Hp), lambda j, rs: (j, 0)),     # inputs
+            pl.BlockSpec(memory_space=pl.ANY),                    # msg HBM
+            pl.BlockSpec(memory_space=pl.ANY),                    # w HBM
+            pl.BlockSpec(memory_space=pl.ANY),                    # dst HBM
+        ],
+        out_specs=(pl.BlockSpec((tile_b, Hp), lambda j, rs: (j, 0)),
+                   pl.BlockSpec((tile_b, Hp), lambda j, rs: (j, 0))),
+        scratch_shapes=[
+            pltpu.VMEM((2, ext, Hp), jnp.float32),
+            pltpu.VMEM((2, ext // 128, 128), jnp.float32),
+            pltpu.VMEM((2, ext // 128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    fn = pl.pallas_call(
+        functools.partial(_band_matmul_act_kernel, precision=precision,
+                          nblocks=nblocks, ext=ext, act=act,
+                          w_exact=w_exact),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((B, Hp), jnp.float32),
+                   jax.ShapeDtypeStruct((B, Hp), jnp.float32)),
+    )
+    return fn(rs, d_bcast, msg_sorted, wh_padded, inp_srev,
+              msg_sorted, w2, d2)
+
+
+def band_matmul_act_step_sorted(msg_sorted: jnp.ndarray, wh: jnp.ndarray,
+                                inp_srev: jnp.ndarray, aux: dict,
+                                act: str,
+                                precision=jax.lax.Precision.HIGHEST,
+                                w_exact: bool = False) -> jnp.ndarray:
+    """Whole wD-MPNN layer in one fused kernel + one gather:
+
+        act(inputs + ((S m - m) @ W_h)[srev])
+      = act(inp_srev + (S m - m) @ W_h)[srev]      (srev is an involution)
+
+    Returns the NEW message in sorted order. The backward pass derives the
+    activation derivative from the saved output (all supported
+    activations are monotone through zero), so it needs no extra
+    residuals beyond (z, out)."""
+    B, Hp = msg_sorted.shape
+    w_sorted = aux["w_sorted"]
+    dst_sorted = aux["dst_sorted"]
+    rs = aux["rs"]
+
+    def pad_w(w):
+        return jnp.zeros((Hp, Hp), jnp.float32) \
+            .at[:w.shape[0], :w.shape[1]].set(w)
+
+    @jax.custom_vjp
+    def op(m, w, inp):
+        return _band_matmul_act_apply(m, w_sorted, dst_sorted, rs, pad_w(w),
+                                      inp, act, precision, w_exact)[0]
+
+    def fwd(m, w, inp):
+        out, z = _band_matmul_act_apply(m, w_sorted, dst_sorted, rs,
+                                        pad_w(w), inp, act, precision,
+                                        w_exact)
+        return out, (z, w, out)
+
+    def bwd(res, g):
+        z, w, a = res
+        g_pre = g * _act_grad_from_output(act, a)
+        ones = jnp.ones_like(w_sorted)
+        dw = (z.T @ g_pre)[:w.shape[0], :w.shape[1]]
+        gw = g_pre[:, :w.shape[1]] @ w.T
+        gw = jnp.pad(gw, ((0, 0), (0, Hp - w.shape[0]))) \
+            if w.shape[0] != Hp else gw
+        kg_minus_g = _band_apply(gw, ones, dst_sorted, rs, precision, True)
+        dm = w_sorted[:, None] * (kg_minus_g + gw) - gw
+        return dm, dw, g_pre
+
+    op.defvjp(fwd, bwd)
+    out = op(msg_sorted, wh, inp_srev)
     return permute_rows(out, aux["srev"], aux["srev"])
 
 

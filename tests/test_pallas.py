@@ -189,6 +189,33 @@ class TestSortedResidentEncoder:
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-3, atol=1e-4)
 
+    @pytest.mark.parametrize("act", ["relu", "leakyrelu", "prelu", "tanh",
+                                     "elu", "selu"])
+    def test_act_fused_epilogue_all_activations(self, interpret_mode, batch,
+                                                act):
+        """The fused act(inputs + z@W_h) epilogue and its
+        derivative-from-output backward must match the XLA path for every
+        supported activation."""
+        from polymer_chemprop_tpu.models import EncoderConfig, apply_encoder, init_encoder
+        gb = batch
+        cfg = EncoderConfig(atom_fdim=133, bond_fdim=147, hidden_size=16,
+                            depth=3, activation=act)
+        params = init_encoder(jax.random.PRNGKey(3), cfg)
+        a_x = {k: jnp.asarray(v) for k, v in gb.arrays().items()}
+        a_p = jax.tree_util.tree_map(jnp.asarray, gb.arrays(pallas=True))
+        np.testing.assert_allclose(
+            np.asarray(apply_encoder(params, a_p, cfg)),
+            np.asarray(apply_encoder(params, a_x, cfg)),
+            rtol=1e-4, atol=1e-5)
+        g_x = jax.grad(lambda p: (apply_encoder(p, a_x, cfg) ** 2).sum())(
+            params)
+        g_p = jax.grad(lambda p: (apply_encoder(p, a_p, cfg) ** 2).sum())(
+            params)
+        for a, b in zip(jax.tree_util.tree_leaves(g_x),
+                        jax.tree_util.tree_leaves(g_p)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-3, atol=1e-4)
+
     def test_undirected_mode(self, interpret_mode, batch):
         from polymer_chemprop_tpu.models import EncoderConfig, apply_encoder, init_encoder
         gb = batch
