@@ -380,6 +380,98 @@ def _band_kernel(rs_ref, dst_tile_ref, msg_tile_ref,
     out_ref[:, :] = acc - msg_tile_ref[:, :]
 
 
+def _band_bwd_kernel(rs_ref, dst_tile_ref, g_tile_ref, wrow_tile_ref,
+                     g_hbm, dst_hbm,
+                     out_ref,
+                     g_win, dst_win, sems, *,
+                     nblocks, ext=EXT,
+                     precision=jax.lax.Precision.HIGHEST):
+    """One tile of the band VJP: dm = w ∘ (K @ g_window) − g_tile, with
+    K the UNIT same-destination band (K = band of ones). Equivalent to
+    w∘(band1(g)+g)−g but with the row scaling fused (no separate
+    elementwise pass) and no weight-window DMA at all — the unit Q is
+    built from the dst comparison alone, and unit weights are bf16-exact
+    so the matmul runs in the exact 2-pass mode."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    j = pl.program_id(0)
+    slot = jax.lax.rem(j, 2)
+
+    def copies(idx, sl):
+        start = pl.multiple_of(rs_ref[idx], 128)
+        row = pl.multiple_of(start // 128, 1)
+        return (
+            pltpu.make_async_copy(g_hbm.at[pl.ds(start, ext), :],
+                                  g_win.at[sl], sems.at[sl, 0]),
+            pltpu.make_async_copy(dst_hbm.at[pl.ds(row, ext // 128), :],
+                                  dst_win.at[sl], sems.at[sl, 1]),
+        )
+
+    @pl.when(j == 0)
+    def _():
+        for c in copies(0, 0):
+            c.start()
+
+    @pl.when(j + 1 < nblocks)
+    def _():
+        for c in copies(j + 1, jax.lax.rem(j + 1, 2)):
+            c.start()
+
+    for c in copies(j, slot):
+        c.wait()
+
+    dst_tile = dst_tile_ref[:, 0:1]
+    dst_w = dst_win[slot].reshape(1, ext)
+    q = jnp.where(dst_tile == dst_w, 1.0, 0.0)
+    acc = _dot_band(q, g_win[slot], precision, True)
+    out_ref[:, :] = wrow_tile_ref[:, 0:1] * acc - g_tile_ref[:, :]
+
+
+def _band_bwd_apply(g_sorted: jnp.ndarray, w_sorted: jnp.ndarray,
+                    dst_sorted: jnp.ndarray, rs: jnp.ndarray,
+                    precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """dm = w ∘ (K g) − g — the shared VJP of every band op w.r.t. its
+    message input (S^T g − g with S^T g = w∘(K g))."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Hp = g_sorted.shape
+    nblocks = int(rs.shape[0])
+    tile_b = B // nblocks
+    ext = _EXT_FOR[tile_b]
+    d2 = dst_sorted.astype(jnp.float32).reshape(B // 128, 128)
+    d_bcast = jnp.broadcast_to(dst_sorted.astype(jnp.float32)[:, None],
+                               (B, LANE))
+    w_bcast = jnp.broadcast_to(w_sorted[:, None], (B, LANE))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((tile_b, LANE), lambda j, rs: (j, 0)),  # dst tile
+            pl.BlockSpec((tile_b, Hp), lambda j, rs: (j, 0)),    # g tile
+            pl.BlockSpec((tile_b, LANE), lambda j, rs: (j, 0)),  # w rows
+            pl.BlockSpec(memory_space=pl.ANY),                   # g HBM
+            pl.BlockSpec(memory_space=pl.ANY),                   # dst HBM
+        ],
+        out_specs=pl.BlockSpec((tile_b, Hp), lambda j, rs: (j, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, ext, Hp), jnp.float32),
+            pltpu.VMEM((2, ext // 128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    fn = pl.pallas_call(
+        functools.partial(_band_bwd_kernel, precision=precision,
+                          nblocks=nblocks, ext=ext),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hp), jnp.float32),
+    )
+    return fn(rs, d_bcast, g_sorted, w_bcast, g_sorted, d2)
+
+
 def _band_apply(msg_sorted: jnp.ndarray, w_sorted: jnp.ndarray,
                 dst_sorted: jnp.ndarray, rs: jnp.ndarray,
                 precision=jax.lax.Precision.HIGHEST,
@@ -447,10 +539,7 @@ def _band_op(msg_sorted, w_sorted, dst_sorted, rs,
                            w_exact), None
 
     def bwd(_, g):
-        ones = jnp.ones_like(w_sorted)
-        # unit weights are always bf16-exact -> 2-pass, exactly
-        kg_minus_g = _band_apply(g, ones, dst_sorted, rs, precision, True)
-        return (w_sorted[:, None] * (kg_minus_g + g) - g,)
+        return (_band_bwd_apply(g, w_sorted, dst_sorted, rs, precision),)
 
     op.defvjp(fwd, bwd)
     return op(msg_sorted)
@@ -565,14 +654,11 @@ def band_matmul_step_sorted(msg_sorted: jnp.ndarray, wh: jnp.ndarray,
         z, w = res
         # z = S m - m (saved by the forward kernel);  out = z @ Wp
         # dW = z^T g (sliced to w's shape); dm = (S^T - I)(g @ Wp^T)
-        ones = jnp.ones_like(w_sorted)
         dw = (z.T @ g)[:w.shape[0], :w.shape[1]]
         gw = g[:, :w.shape[1]] @ w.T  # (B, H_in)
         gw = jnp.pad(gw, ((0, 0), (0, Hp - w.shape[0]))) \
             if w.shape[0] != Hp else gw
-        # unit weights are always bf16-exact -> 2-pass, exactly
-        kg_minus_g = _band_apply(gw, ones, dst_sorted, rs, precision, True)
-        dm = w_sorted[:, None] * (kg_minus_g + gw) - gw
+        dm = _band_bwd_apply(gw, w_sorted, dst_sorted, rs, precision)
         return dm, dw
 
     op.defvjp(fwd, bwd)
@@ -726,13 +812,11 @@ def band_matmul_act_step_sorted(msg_sorted: jnp.ndarray, wh: jnp.ndarray,
     def bwd(res, g):
         z, w, a = res
         g_pre = g * _act_grad_from_output(act, a)
-        ones = jnp.ones_like(w_sorted)
         dw = (z.T @ g_pre)[:w.shape[0], :w.shape[1]]
         gw = g_pre[:, :w.shape[1]] @ w.T
         gw = jnp.pad(gw, ((0, 0), (0, Hp - w.shape[0]))) \
             if w.shape[0] != Hp else gw
-        kg_minus_g = _band_apply(gw, ones, dst_sorted, rs, precision, True)
-        dm = w_sorted[:, None] * (kg_minus_g + gw) - gw
+        dm = _band_bwd_apply(gw, w_sorted, dst_sorted, rs, precision)
         return dm, dw, g_pre
 
     op.defvjp(fwd, bwd)
