@@ -81,6 +81,20 @@ def _parseable(smiles: List[str], config: FeaturizationConfig) -> bool:
     return True
 
 
+def partition_valid(full_data, config: FeaturizationConfig):
+    """Split a dataset loaded with skip_invalid_smiles=False into the
+    valid subset plus a full→valid index map (reference
+    make_predictions.py:66-73 'Validating SMILES' step)."""
+    from .datapoint import MoleculeDataset
+    full_to_valid = {}
+    valid_points = []
+    for i, d in enumerate(full_data):
+        if _parseable(d.smiles, config):
+            full_to_valid[i] = len(valid_points)
+            valid_points.append(d)
+    return full_to_valid, MoleculeDataset(valid_points)
+
+
 def get_data(path: str,
              smiles_columns: Optional[Sequence[str]] = None,
              target_columns: Optional[Sequence[str]] = None,

@@ -30,13 +30,16 @@ class ChempropModel:
         self.property_index = property_id - 1
 
     def __call__(self, smiles: List[List[str]]) -> List[float]:
-        preds = make_predictions(
+        preds, idx_map = make_predictions(
             PredictConfig(checkpoint_dir=self.args.checkpoint_dir,
                           checkpoint_path=self.args.checkpoint_path,
                           checkpoint_paths=self.args.checkpoint_paths,
                           batch_size=self.args.batch_size),
-            smiles=smiles)
-        return [p[self.property_index] for p in preds]
+            smiles=smiles, return_index_map=True)
+        # an extracted fragment that fails to parse scores -inf so MCTS
+        # never selects it as a rationale (keeps list alignment intact)
+        return [preds[idx_map[i]][self.property_index] if i in idx_map
+                else float("-inf") for i in range(len(smiles))]
 
 
 class MCTSNode:

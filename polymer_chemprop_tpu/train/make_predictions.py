@@ -76,8 +76,14 @@ def update_prediction_args(args: PredictConfig, tcfg: TrainConfig) -> None:
 
 
 def make_predictions(args: PredictConfig,
-                     smiles: Optional[List[List[str]]] = None) -> List[List]:
-    """(reference make_predictions.py:271-300)."""
+                     smiles: Optional[List[List[str]]] = None,
+                     return_index_map: bool = False) -> List[List]:
+    """(reference make_predictions.py:271-300).
+
+    Returns predictions for the VALID input rows only (reference
+    semantics); with ``return_index_map=True`` additionally returns the
+    full→valid index dict so callers presenting per-input-row results
+    (web GUI, interpret) can align them."""
     ckpts = find_checkpoints(args.checkpoint_dir, args.checkpoint_path,
                              args.checkpoint_paths)
     # prefer best_model checkpoints when a directory was walked
@@ -94,7 +100,6 @@ def make_predictions(args: PredictConfig,
     # Load WITHOUT dropping invalid SMILES: every input row appears in the
     # output CSV, with 'Invalid SMILES' placeholders for unparseable ones
     # (reference make_predictions.py:66-73, 216-221).
-    from ..data.csv_io import _parseable
     if smiles is not None:
         from ..data import get_data_from_smiles
         full_data = get_data_from_smiles(
@@ -117,19 +122,22 @@ def make_predictions(args: PredictConfig,
                              or tcfg.phase_features_path,
                              store_row=True)
         full_rows = [d.row for d in full_data]
-    full_to_valid = {}
-    valid_points = []
-    for i, d in enumerate(full_data):
-        if _parseable(d.smiles, fcfg):
-            full_to_valid[i] = len(valid_points)
-            valid_points.append(d)
-    from ..data import MoleculeDataset
-    test_data = MoleculeDataset(valid_points)
+    from ..data.csv_io import partition_valid
+    full_to_valid, test_data = partition_valid(full_data, fcfg)
     if len(test_data) < len(full_data):
         print(f"Warning: {len(full_data) - len(test_data)} SMILES are "
               "invalid; their rows get 'Invalid SMILES' predictions.")
 
     num_tasks = _num_tasks(tcfg)
+    if len(test_data) == 0:
+        # every input row is unparseable: write the all-placeholder CSV
+        # and return [None]*N (reference make_predictions.py:295-297)
+        if args.preds_path:
+            _write_preds(args, tcfg, full_rows,
+                         np.zeros((0, num_tasks)), None, [], num_tasks, {})
+        result = [None] * len(full_data)
+        return (result, {}) if return_index_map else result
+
     model_cfg = build_model_config(tcfg, num_tasks,
                                    features_size=test_data.features_size())
     predict_step = make_predict_step(model_cfg)
@@ -195,7 +203,8 @@ def make_predictions(args: PredictConfig,
         _write_preds(args, tcfg, full_rows, avg_preds, var_preds,
                      individual if args.individual_ensemble_predictions else [],
                      num_tasks, full_to_valid)
-    return avg_preds.tolist()
+    result = avg_preds.tolist()
+    return (result, full_to_valid) if return_index_map else result
 
 
 def _num_tasks(tcfg: TrainConfig) -> int:

@@ -39,8 +39,7 @@ def molecule_fingerprint(args: FingerprintConfig) -> np.ndarray:
     fcfg = tcfg.featurization()
     # keep unparseable rows so the output preserves every input row with
     # 'Invalid SMILES' placeholders (reference molecule_fingerprint.py:44-60)
-    from ..data import MoleculeDataset
-    from ..data.csv_io import _parseable
+    from ..data.csv_io import partition_valid
     full_data = get_data(args.test_path, args.smiles_columns, target_columns=[],
                          number_of_molecules=args.number_of_molecules,
                          config=fcfg,
@@ -49,15 +48,23 @@ def molecule_fingerprint(args: FingerprintConfig) -> np.ndarray:
                          features_generators=args.features_generator or
                          tcfg.features_generator,
                          store_row=True)
-    full_to_valid = {}
-    valid_points = []
-    for i, d in enumerate(full_data):
-        if _parseable(d.smiles, fcfg):
-            full_to_valid[i] = len(valid_points)
-            valid_points.append(d)
-    test_data = MoleculeDataset(valid_points)
+    full_to_valid, test_data = partition_valid(full_data, fcfg)
     model_cfg = build_model_config(tcfg, _num_tasks(tcfg),
                                    features_size=test_data.features_size())
+    if len(test_data) == 0:
+        # all rows unparseable: placeholder CSV at the fingerprint width
+        width = (model_cfg.ffn_hidden_size if args.fingerprint_type ==
+                 "last_FFN" else model_cfg.first_linear_dim) * len(ckpts)
+        if args.preds_path:
+            os.makedirs(os.path.dirname(args.preds_path) or ".",
+                        exist_ok=True)
+            with open(args.preds_path, "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(["smiles"] + [f"fp_{i}" for i in range(width)])
+                for d in full_data:
+                    w.writerow([".".join(d.smiles)] +
+                               ["Invalid SMILES"] * width)
+        return np.zeros((0, width))
     loader = MoleculeDataLoader(test_data, fcfg, batch_size=args.batch_size,
                                 num_workers=args.num_workers,
                                 use_pallas=False if tcfg.atom_messages else None)

@@ -84,9 +84,13 @@ class AppState:
         from ..config import PredictConfig
         from ..train.make_predictions import make_predictions
         smiles = [[s.strip()] for s in smiles_text.splitlines() if s.strip()]
-        preds = make_predictions(
-            PredictConfig(checkpoint_dir=ck["save_dir"]), smiles=smiles)
-        return [s[0] for s in smiles], preds
+        preds, idx_map = make_predictions(
+            PredictConfig(checkpoint_dir=ck["save_dir"]), smiles=smiles,
+            return_index_map=True)
+        # align per-input rows: unparseable SMILES show a placeholder
+        rows = [preds[idx_map[i]] if i in idx_map else ["Invalid SMILES"]
+                for i in range(len(smiles))]
+        return [s[0] for s in smiles], rows
 
 
 def make_handler(state: AppState):

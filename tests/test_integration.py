@@ -191,6 +191,44 @@ class TestPredictRoundTrip:
             rows[2][1] == "Invalid SMILES"
         assert float(rows[1][1]) == pytest.approx(preds[0][0], rel=1e-6)
 
+    def test_all_invalid_smiles(self, tmp_path):
+        """A file of only unparseable rows returns [None]*N and writes the
+        all-placeholder CSV (reference make_predictions.py:295-297 returns
+        early); fingerprint ditto."""
+        import csv as _csv
+        from polymer_chemprop_tpu.train.molecule_fingerprint import (
+            FingerprintConfig,
+            molecule_fingerprint,
+        )
+        cfg = train_cfg(str(tmp_path), epochs=2)
+        cross_validate(cfg)
+        test_csv = tmp_path / "t.csv"
+        test_csv.write_text("smiles\nbad((\nworse))\n")
+        preds = make_predictions(
+            PredictConfig(test_path=str(test_csv),
+                          preds_path=str(tmp_path / "p.csv"),
+                          checkpoint_dir=str(tmp_path)))
+        assert preds == [None, None]
+        with open(tmp_path / "p.csv") as f:
+            rows = list(_csv.reader(f))
+        assert len(rows) == 3 and rows[1][1] == "Invalid SMILES"
+        fps = molecule_fingerprint(FingerprintConfig(
+            test_path=str(test_csv), preds_path=str(tmp_path / "fp.csv"),
+            checkpoint_dir=str(tmp_path)))
+        assert fps.shape[0] == 0
+        with open(tmp_path / "fp.csv") as f:
+            rows = list(_csv.reader(f))
+        assert len(rows) == 3 and rows[1][1] == "Invalid SMILES"
+
+    def test_predict_index_map(self, tmp_path):
+        cfg = train_cfg(str(tmp_path), epochs=2)
+        cross_validate(cfg)
+        preds, idx = make_predictions(
+            PredictConfig(preds_path="", checkpoint_dir=str(tmp_path)),
+            smiles=[["CCO"], ["bad(("], ["c1ccccc1"]],
+            return_index_map=True)
+        assert idx == {0: 0, 2: 1} and len(preds) == 2
+
     def test_graph_embeddings_export(self, tmp_path):
         cfg = train_cfg(str(tmp_path), epochs=2)
         cross_validate(cfg)
