@@ -36,13 +36,18 @@ def make_dp_train_step(cfg: ModelConfig,
                        tx: optax.GradientTransformation,
                        mesh: Mesh,
                        axis: str = "dp",
-                       target_weights: Optional[jnp.ndarray] = None) -> Callable:
+                       target_weights: Optional[jnp.ndarray] = None,
+                       alternative_loss_function: Optional[str] = None,
+                       spectra_target_floor: Optional[float] = None) -> Callable:
     """Build the jitted multi-device training step.
 
     batch pytree leaves are (D, ...) host arrays sharded on the leading axis;
     rng is a (D, 2) stacked key array (one dropout stream per shard).
+    Spectra losses (SID / Wasserstein) normalize within each molecule's
+    spectrum — row-local, so the exact-global-masked-loss scheme below
+    holds for them unchanged.
     """
-    elementwise = get_loss_fn(cfg.dataset_type)
+    elementwise = get_loss_fn(cfg.dataset_type, alternative_loss_function)
 
     def local_loss_terms(params, batch, rng):
         preds = apply_model(params, batch["graphs"], cfg,
@@ -54,7 +59,7 @@ def make_dp_train_step(cfg: ModelConfig,
             preds3 = preds.reshape(preds.shape[0], -1, cfg.multiclass_num_classes)
             elem = elementwise(preds3, targets)
         elif cfg.dataset_type == "spectra":
-            elem = elementwise(preds, targets, mask)
+            elem = elementwise(preds, targets, mask, spectra_target_floor)
         else:
             elem = elementwise(preds, targets)
         x = elem * mask * batch["weights"]

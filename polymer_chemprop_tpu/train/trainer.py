@@ -305,11 +305,6 @@ def run_training(cfg: TrainConfig,
     if dp_enabled is None:  # auto: on for multi-device TPU backends
         dp_enabled = jax.default_backend() in ("tpu", "axon") and n_dev > 1
     dp_enabled = bool(dp_enabled) and n_dev > 1
-    if dp_enabled and (cfg.dataset_type == "spectra"
-                       or cfg.alternative_loss_function):
-        info("data_parallel does not support spectra/alternative losses "
-             "yet; training on a single device")
-        dp_enabled = False
     train_batch_size = cfg.batch_size
     if dp_enabled:
         train_batch_size = max(1, _math.ceil(cfg.batch_size / n_dev))
@@ -411,8 +406,11 @@ def run_training(cfg: TrainConfig,
             from ..parallel import (make_dp_train_step, make_mesh,
                                     shard_batch, stack_device_batches)
             dp_mesh = make_mesh(n_dev, ("dp",))
-            dp_step = make_dp_train_step(model_cfg, tx, dp_mesh, "dp",
-                                         target_weights)
+            dp_step = make_dp_train_step(
+                model_cfg, tx, dp_mesh, "dp", target_weights,
+                cfg.alternative_loss_function,
+                cfg.spectra_target_floor
+                if cfg.dataset_type == "spectra" else None)
             dp_shard = NamedSharding(dp_mesh, P("dp"))
             dp_replicate = NamedSharding(dp_mesh, P())
             params = jax.device_put(params, dp_replicate)

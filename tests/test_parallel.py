@@ -81,6 +81,55 @@ def test_dp_matches_single_device(setup):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_dp_spectra_matches_single_device():
+    """Spectra SID loss under DP == single-device on the union batch (the
+    loss normalizes within each molecule's spectrum — row-local, so the
+    exact-global-masked-loss scheme holds unchanged)."""
+    enc = EncoderConfig(atom_fdim=133, bond_fdim=147, hidden_size=16,
+                        depth=2)
+    cfg = ModelConfig(encoder=enc, dataset_type="spectra", num_tasks=6,
+                      ffn_hidden_size=16)
+    params = init_model(jax.random.PRNGKey(1), cfg)
+    n_dev = 4
+    mesh = make_mesh(n_dev, ("dp",))
+    tx = build_optimizer("sgd", lambda step: 0.1)
+
+    rng = np.random.default_rng(0)
+    shard_smiles = [["CCO", "c1ccccc1"], ["CC", "CCC"],
+                    ["CCN", "c1ccncc1"], ["CO", "CCCl"]]
+
+    def spec_batch(smiles):
+        b = _mini_batch(smiles, [0.0] * len(smiles))
+        t = rng.uniform(0.01, 1.0, size=(len(smiles), 6)).astype(np.float32)
+        t /= t.sum(axis=1, keepdims=True)
+        b["targets"] = t
+        b["mask"] = np.ones_like(t)
+        b["weights"] = np.ones_like(t)
+        return b
+
+    batches = [spec_batch(s) for s in shard_smiles]
+    sharded = shard_batch(stack_device_batches(batches), mesh, "dp")
+    step = make_dp_train_step(cfg, tx, mesh, "dp",
+                              spectra_target_floor=1e-8)
+    rngs = jnp.asarray(jax.random.split(jax.random.PRNGKey(0), n_dev))
+    dp_params, _, dp_loss, _ = step(params, tx.init(params), sharded, rngs)
+
+    union = spec_batch([s for sh in shard_smiles for s in sh])
+    # targets must equal the shard concatenation exactly
+    union["targets"] = np.concatenate([b["targets"] for b in batches])
+    union["mask"] = np.ones_like(union["targets"])
+    union["weights"] = np.ones_like(union["targets"])
+    sstep = make_train_step(cfg, tx, None, None, 1e-8)
+    sp, _, sloss, _ = sstep(params, tx.init(params), union,
+                            jax.random.PRNGKey(0))
+
+    assert abs(float(dp_loss) - float(sloss)) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(dp_params),
+                    jax.tree_util.tree_leaves(sp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_edge_partition_matches_single_device(setup):
     """Edge-sharded forward (pair-aligned bond shards + per-layer psum of
     atom partials) must equal the single-device encoder exactly."""
