@@ -11,6 +11,7 @@ preserving input rows.
 from __future__ import annotations
 
 import csv
+import functools
 import os
 from typing import List, Optional
 
@@ -25,8 +26,19 @@ from .step import make_embed_step, make_predict_step
 from .trainer import build_model_config
 
 
-def load_model(ckpt_path: str):
+@functools.lru_cache(maxsize=16)
+def _load_model_cached(ckpt_path: str, mtime: float):
     params, config_dict, scalers, _ = load_checkpoint(ckpt_path)
+    return params, config_dict, scalers
+
+
+def load_model(ckpt_path: str):
+    """Cached checkpoint read (keyed on path + mtime): repeated ensemble
+    prediction calls — MCTS interpret scores thousands of fragment
+    batches — skip re-reading the same files. Params are treated as
+    immutable by all consumers (functional updates only)."""
+    params, config_dict, scalers = _load_model_cached(
+        ckpt_path, os.path.getmtime(ckpt_path))
     if config_dict is None:
         raise ValueError(
             f"{ckpt_path} is a weights-only checkpoint (no training args) "

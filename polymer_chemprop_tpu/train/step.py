@@ -9,6 +9,7 @@ with the LR schedule folded in as a function of the optax step count.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Dict, Optional
 
 import jax
@@ -79,7 +80,11 @@ def make_train_step(cfg: ModelConfig,
     return train_step
 
 
+@functools.lru_cache(maxsize=32)
 def make_predict_step(cfg: ModelConfig) -> Callable:
+    """ModelConfig is hashable, so repeated calls (e.g. MCTS interpret
+    scoring thousands of fragment batches) reuse one jitted function and
+    its compilation cache instead of re-tracing per call."""
     @jax.jit
     def predict_step(params, batch):
         preds = apply_model(params, batch["graphs"], cfg,
@@ -91,6 +96,7 @@ def make_predict_step(cfg: ModelConfig) -> Callable:
     return predict_step
 
 
+@functools.lru_cache(maxsize=32)
 def make_embed_step(cfg: ModelConfig) -> Callable:
     """Forward returning (postprocessed preds, graph embeddings) — the fork's
     return_embeddings path (reference model.py:152-194, predict.py:41-66)."""
