@@ -116,6 +116,7 @@ struct Atom {
   int chiral = 0;      // 0 none, 1 @@ (CW), 2 @ (CCW)
   int isotope = 0;
   int explicit_h = -1; // -1: implicit model
+  int map = -1;        // SMILES atom map [X:n]; -1 = none (polymer R tags)
   int num_h = 0;
   bool in_ring = false;
   int hyb = 3;         // index into [SP, SP2, SP3, SP3D, SP3D2]; -1 unknown
@@ -228,7 +229,11 @@ Atom parse_bracket(const std::string& body) {
   }
   if (i < n && body[i] == ':') {
     i++;
-    while (i < n && isdigit(body[i])) i++;  // atom map ignored (std mode)
+    int map = 0;
+    bool has = false;
+    while (i < n && isdigit(body[i])) { map = map * 10 + (body[i++] - '0'); has = true; }
+    // mirror chem/smiles.py:328-343: a map of 0 is treated as "no map"
+    if (has && map != 0) a.map = map;
   }
   if (i != n) throw ParseError{};
   return a;
@@ -937,6 +942,10 @@ struct PackedGraph {
   std::vector<float> f_atoms;   // n_atoms * 133
   std::vector<float> f_bonds;   // n_bonds * 147
   std::vector<int> b2a, b2dst, b2revb;
+  // polymer mode: per-atom stoichiometry weights, per-bond stochastic
+  // weights, 1+log10(Xn); empty w vectors = all-unit (standard mode)
+  std::vector<float> w_atoms, w_bonds;
+  float degree_of_polym = 1.f;
   bool valid = false;
 };
 
@@ -993,6 +1002,275 @@ PackedGraph featurize_one(const std::string& smiles) {
   return g;
 }
 
+// ------------------------------------------------------- polymer featurizer
+// Mirrors features/featurization.py MolGraph._build_polymer (which itself
+// mirrors reference featurization.py:489-637): wD-MPNN copolymer ensemble
+// strings "monA.monB|w1|w2|<i-j:wij:wji...~Xn".
+
+std::vector<std::string> split_str(const std::string& s, char sep) {
+  std::vector<std::string> out;
+  size_t start = 0;
+  while (true) {
+    size_t p = s.find(sep, start);
+    if (p == std::string::npos) { out.push_back(s.substr(start)); break; }
+    out.push_back(s.substr(start, p - start));
+    start = p + 1;
+  }
+  return out;
+}
+
+double parse_float_strict(const std::string& s) {
+  if (s.empty()) throw ParseError{};
+  char* end = nullptr;
+  double v = strtod(s.c_str(), &end);
+  if (end != s.c_str() + s.size()) throw ParseError{};
+  return v;
+}
+
+struct PolymerRule {
+  std::string r1, r2;  // R-tag indices as written (string compare, like the
+                       // Python f"*{r1}" lookup)
+  double w12, w21;
+};
+
+// parse_polymer_rules (featurization.py:187-222): '<'-split rule tokens,
+// optional '~Xn' on the last one. The reference's Σ-weights validation never
+// fires (and ours is a warning), so it is skipped here.
+void parse_polymer_rules(std::vector<std::string> rules,
+                         std::vector<PolymerRule>* out, double* dop) {
+  double xn = 1.0;
+  if (!rules.empty()) {
+    auto t = rules.back().find('~');
+    if (t != std::string::npos) {
+      xn = parse_float_strict(rules.back().substr(t + 1));
+      rules.back() = rules.back().substr(0, t);
+    }
+  }
+  if (xn <= 0.0) throw ParseError{};  // Python math.log10 raises
+  for (const auto& rule : rules) {
+    if (rule.empty()) continue;
+    auto parts = split_str(rule, ':');
+    if (parts.size() != 3) throw ParseError{};
+    auto idx = split_str(parts[0], '-');
+    if (idx.size() != 2) throw ParseError{};
+    PolymerRule r;
+    r.r1 = idx[0];
+    r.r2 = idx[1];
+    r.w12 = parse_float_strict(parts[1]);
+    r.w21 = parse_float_strict(parts[2]);
+    out->push_back(r);
+  }
+  *dop = 1.0 + std::log10(xn);
+}
+
+// make_polymer_mol (chem featurization.py:50-77 / reference rdkit.py:21-51):
+// parse+perceive each '.'-fragment, stamp per-atom w_frag, combine, and
+// re-perceive the combined molecule.
+Mol make_polymer_mol(const std::string& frags_smiles,
+                     const std::vector<double>& weights,
+                     std::vector<double>* w_frag) {
+  auto frags = split_str(frags_smiles, '.');
+  if (frags.size() != weights.size()) throw ParseError{};
+  Mol combined;
+  for (size_t fi = 0; fi < frags.size(); fi++) {
+    SemOrder sem;
+    Mol f = parse_smiles_raw(frags[fi], &sem);
+    normalize_chirality(f, sem);
+    if (!perceive(f)) throw ParseError{};  // strict fragment parse
+    int off = (int)combined.atoms.size();
+    for (const Atom& a : f.atoms) {
+      Atom na;
+      na.z = a.z;
+      na.charge = a.charge;
+      na.aromatic = a.aromatic;   // fragment perception travels, like the
+      na.chiral = a.chiral;       // Python Atom copy in make_polymer_mol
+      na.isotope = a.isotope;
+      na.explicit_h = a.explicit_h;
+      na.map = a.map;
+      combined.add_atom(na);
+      w_frag->push_back(weights[fi]);
+    }
+    for (const Bond& b : f.bonds)
+      combined.add_bond(b.a1 + off, b.a2 + off, b.order, b.aromatic,
+                        b.direction);
+  }
+  if (!perceive(combined)) throw ParseError{};
+  return combined;
+}
+
+std::string r_tag_of(const Atom& a) {
+  return a.map >= 0 ? "*" + std::to_string(a.map) : "*";
+}
+
+// _synthetic_bond_features (features/featurization.py:134-158): features of
+// a stochastic inter-monomer bond as if added between two monomer copies —
+// never in a ring, no stereo, not aromatic; conjugation by the pair-marking
+// rule on the pruned mol.
+void synthetic_bond_features(const Mol& m, int a1, int a2, int order,
+                             float* out) {
+  bool conj;
+  auto has_multiple = [&](int a) {
+    for (int bi : m.adj[a]) {
+      int o = m.bonds[bi].order;
+      if (o == ORDER_DOUBLE || o == ORDER_TRIPLE || o == ORDER_AROMATIC ||
+          m.bonds[bi].aromatic)
+        return true;
+    }
+    return false;
+  };
+  if (order == ORDER_DOUBLE || order == ORDER_TRIPLE) {
+    conj = false;
+    for (int nb : {a1, a2})
+      for (int bi : m.adj[nb])
+        if (pi_center(m, m.other(bi, nb))) { conj = true; break; }
+  } else {
+    conj = (has_multiple(a1) && pi_center(m, a2)) ||
+           (has_multiple(a2) && pi_center(m, a1));
+  }
+  float* p = out;
+  *p++ = 0.f;
+  *p++ = (order == ORDER_SINGLE) ? 1.f : 0.f;
+  *p++ = (order == ORDER_DOUBLE) ? 1.f : 0.f;
+  *p++ = (order == ORDER_TRIPLE) ? 1.f : 0.f;
+  *p++ = (order == ORDER_AROMATIC) ? 1.f : 0.f;
+  *p++ = conj ? 1.f : 0.f;
+  *p++ = 0.f;          // never in a ring
+  onek(0, 6, p);       // STEREONONE
+}
+
+PackedGraph featurize_polymer_one(const std::string& input) {
+  PackedGraph g;
+  try {
+    auto fields = split_str(input, '|');
+    std::vector<double> weights;
+    for (size_t i = 1; i + 1 < fields.size(); i++)
+      weights.push_back(parse_float_strict(fields[i]));
+    auto lt_parts = split_str(input, '<');
+    std::vector<std::string> rules(lt_parts.begin() + 1, lt_parts.end());
+    std::vector<PolymerRule> pinfo;
+    double dop = 1.0;
+    parse_polymer_rules(rules, &pinfo, &dop);
+
+    std::vector<double> w_frag;
+    Mol m = make_polymer_mol(fields[0], weights, &w_frag);
+
+    // tag_atoms_in_repeating_unit (featurization.py:165-184): wildcard ->
+    // its single neighbour; R-tag -> attachment bond order. Later entries
+    // overwrite earlier ones (Python dict semantics).
+    std::map<std::string, int> neighbor_map;
+    std::map<std::string, int> r_bond_types;
+    int n_all = (int)m.atoms.size();
+    for (int a = 0; a < n_all; a++) {
+      if (m.atoms[a].z != 0) continue;
+      if (m.adj[a].size() != 1) throw ParseError{};  // Python assert
+      std::string tag = r_tag_of(m.atoms[a]);
+      neighbor_map[tag] = m.other(m.adj[a][0], a);
+      r_bond_types[tag] = m.bonds[m.adj[a][0]].order;
+    }
+
+    // atom features computed WITH wildcards attached (correct saturation,
+    // reference featurization.py:504-507); core atoms only, original order
+    std::vector<int> core_remap(n_all, -1);
+    int n_core = 0;
+    for (int a = 0; a < n_all; a++)
+      if (m.atoms[a].z != 0) core_remap[a] = n_core++;
+    g.n_atoms = n_core;
+    g.f_atoms.resize((size_t)n_core * ATOM_FDIM);
+    g.w_atoms.resize(n_core);
+    for (int a = 0; a < n_all; a++) {
+      if (core_remap[a] < 0) continue;
+      atom_features(m, a, &g.f_atoms[(size_t)core_remap[a] * ATOM_FDIM]);
+      g.w_atoms[core_remap[a]] = (float)w_frag[a];
+    }
+
+    // attachment atoms in post-pruning indices
+    std::map<std::string, int> attach;
+    for (auto& kv : neighbor_map) attach[kv.first] = core_remap[kv.second];
+
+    // remove wildcards (remove_wildcard_atoms, featurization.py:225-233)
+    // and re-perceive the pruned molecule
+    Mol pm;
+    for (int a = 0; a < n_all; a++)
+      if (core_remap[a] >= 0) {
+        Atom na;
+        const Atom& o = m.atoms[a];
+        na.z = o.z; na.charge = o.charge; na.aromatic = o.aromatic;
+        na.chiral = o.chiral; na.isotope = o.isotope;
+        na.explicit_h = o.explicit_h; na.map = o.map;
+        pm.add_atom(na);
+      }
+    for (const Bond& b : m.bonds)
+      if (core_remap[b.a1] >= 0 && core_remap[b.a2] >= 0)
+        pm.add_bond(core_remap[b.a1], core_remap[b.a2], b.order, b.aromatic,
+                    b.direction);
+    if (!perceive(pm)) throw ParseError{};
+
+    // intra-monomer bonds (unit weights) in sorted (min,max) order,
+    // then stochastic inter-monomer bonds with directed weights
+    int n_intra = (int)pm.bonds.size();
+    g.n_bonds = 2 * (n_intra + (int)pinfo.size());
+    g.f_bonds.resize((size_t)g.n_bonds * (ATOM_FDIM + BOND_FDIM));
+    g.b2a.resize(g.n_bonds);
+    g.b2dst.resize(g.n_bonds);
+    g.b2revb.resize(g.n_bonds);
+    g.w_bonds.resize(g.n_bonds);
+    std::vector<int> order_idx(pm.bonds.size());
+    for (size_t i = 0; i < pm.bonds.size(); i++) order_idx[i] = (int)i;
+    std::sort(order_idx.begin(), order_idx.end(), [&](int x, int y) {
+      int x1 = std::min(pm.bonds[x].a1, pm.bonds[x].a2);
+      int x2 = std::max(pm.bonds[x].a1, pm.bonds[x].a2);
+      int y1 = std::min(pm.bonds[y].a1, pm.bonds[y].a2);
+      int y2 = std::max(pm.bonds[y].a1, pm.bonds[y].a2);
+      return x1 != y1 ? x1 < y1 : x2 < y2;
+    });
+    int bid = 0;
+    float fb[BOND_FDIM];
+    auto emit_pair = [&](int a1, int a2, const float* fbond, float w12,
+                         float w21) {
+      for (int dir = 0; dir < 2; dir++) {
+        int src = dir == 0 ? a1 : a2;
+        float* row = &g.f_bonds[(size_t)bid * (ATOM_FDIM + BOND_FDIM)];
+        std::memcpy(row, &g.f_atoms[(size_t)src * ATOM_FDIM],
+                    ATOM_FDIM * sizeof(float));
+        std::memcpy(row + ATOM_FDIM, fbond, BOND_FDIM * sizeof(float));
+        g.b2a[bid] = src;
+        g.b2dst[bid] = dir == 0 ? a2 : a1;
+        g.b2revb[bid] = dir == 0 ? bid + 1 : bid - 1;
+        g.w_bonds[bid] = dir == 0 ? w12 : w21;
+        bid++;
+      }
+    };
+    for (int bi : order_idx) {
+      int a1 = std::min(pm.bonds[bi].a1, pm.bonds[bi].a2);
+      int a2 = std::max(pm.bonds[bi].a1, pm.bonds[bi].a2);
+      bond_features(pm, bi, fb);
+      emit_pair(a1, a2, fb, 1.f, 1.f);
+    }
+    for (const auto& r : pinfo) {
+      // Python scans all atoms; the LAST atom carrying the tag wins.
+      // attach holds exactly that (map overwrite), but mirror the miss
+      // behaviour: unknown tag -> error (featurization.py:381-384).
+      auto i1 = attach.find("*" + r.r1);
+      auto i2 = attach.find("*" + r.r2);
+      if (i1 == attach.end() || i1->second < 0 ||
+          i2 == attach.end() || i2->second < 0)
+        throw ParseError{};
+      auto o1 = r_bond_types.find("*" + r.r1);
+      auto o2 = r_bond_types.find("*" + r.r2);
+      if (o1 == r_bond_types.end() || o2 == r_bond_types.end() ||
+          o1->second != o2->second)
+        throw ParseError{};
+      synthetic_bond_features(pm, i1->second, i2->second, o1->second, fb);
+      emit_pair(i1->second, i2->second, fb, (float)r.w12, (float)r.w21);
+    }
+    g.degree_of_polym = (float)dop;
+    g.valid = true;
+  } catch (...) {
+    return PackedGraph{};
+  }
+  return g;
+}
+
 }  // namespace
 
 // -------------------------------------------------------------------- C API
@@ -1009,13 +1287,14 @@ extern "C" {
 //         w_atoms (pad_atoms), w_bonds (pad_bonds),
 //         b2a/b2dst/b2revb (pad_bonds, int32), a2mol (pad_atoms, int32)
 // counts_out: [n_atoms_real, n_bonds_real]
-int pcp_featurize_batch(const char** smiles, int n,
-                        int pad_atoms, int pad_bonds,
-                        float* f_atoms, float* f_bonds,
-                        float* w_atoms, float* w_bonds,
-                        int* b2a, int* b2dst, int* b2revb, int* a2mol,
-                        unsigned char* valid_out, int* counts_out,
-                        int n_threads) {
+int pcp_featurize_batch_impl(const char** smiles, int n,
+                             int pad_atoms, int pad_bonds,
+                             float* f_atoms, float* f_bonds,
+                             float* w_atoms, float* w_bonds,
+                             int* b2a, int* b2dst, int* b2revb, int* a2mol,
+                             float* dop_out,
+                             unsigned char* valid_out, int* counts_out,
+                             int n_threads, bool polymer) {
   std::vector<PackedGraph> graphs(n);
   if (n_threads < 1) n_threads = 1;
   std::vector<std::thread> pool;
@@ -1024,7 +1303,8 @@ int pcp_featurize_batch(const char** smiles, int n,
     while (true) {
       int i = next_idx.fetch_add(1);
       if (i >= n) break;
-      graphs[i] = featurize_one(smiles[i]);
+      graphs[i] = polymer ? featurize_polymer_one(smiles[i])
+                          : featurize_one(smiles[i]);
     }
   };
   for (int t = 0; t < n_threads - 1; t++) pool.emplace_back(worker);
@@ -1045,6 +1325,7 @@ int pcp_featurize_batch(const char** smiles, int n,
   for (int i = 0; i < n; i++) {
     const PackedGraph& g = graphs[i];
     valid_out[i] = g.valid ? 1 : 0;
+    if (dop_out) dop_out[i] = g.valid ? g.degree_of_polym : 1.f;
     if (!g.valid) continue;
     if (ai + g.n_atoms > pad_atoms || bi + g.n_bonds > pad_bonds) return -1;
     std::memcpy(&f_atoms[(size_t)ai * ATOM_FDIM], g.f_atoms.data(),
@@ -1052,11 +1333,11 @@ int pcp_featurize_batch(const char** smiles, int n,
     std::memcpy(&f_bonds[(size_t)bi * (ATOM_FDIM + BOND_FDIM)],
                 g.f_bonds.data(), g.f_bonds.size() * sizeof(float));
     for (int a = 0; a < g.n_atoms; a++) {
-      w_atoms[ai + a] = 1.f;
+      w_atoms[ai + a] = g.w_atoms.empty() ? 1.f : g.w_atoms[a];
       a2mol[ai + a] = i;
     }
     for (int b = 0; b < g.n_bonds; b++) {
-      w_bonds[bi + b] = 1.f;
+      w_bonds[bi + b] = g.w_bonds.empty() ? 1.f : g.w_bonds[b];
       b2a[bi + b] = g.b2a[b] + ai;
       b2dst[bi + b] = g.b2dst[b] + ai;
       b2revb[bi + b] = g.b2revb[b] + bi;
@@ -1069,16 +1350,47 @@ int pcp_featurize_batch(const char** smiles, int n,
   return 0;
 }
 
+int pcp_featurize_batch(const char** smiles, int n,
+                        int pad_atoms, int pad_bonds,
+                        float* f_atoms, float* f_bonds,
+                        float* w_atoms, float* w_bonds,
+                        int* b2a, int* b2dst, int* b2revb, int* a2mol,
+                        unsigned char* valid_out, int* counts_out,
+                        int n_threads) {
+  return pcp_featurize_batch_impl(smiles, n, pad_atoms, pad_bonds, f_atoms,
+                                  f_bonds, w_atoms, w_bonds, b2a, b2dst,
+                                  b2revb, a2mol, nullptr, valid_out,
+                                  counts_out, n_threads, false);
+}
+
+// Polymer-mode batch featurization: input strings are wD-MPNN copolymer
+// ensembles "monA.monB|w1|w2|<1-2:w12:w21...~Xn"; additionally writes the
+// per-molecule degree-of-polymerization factor 1+log10(Xn).
+int pcp_featurize_polymer_batch(const char** smiles, int n,
+                                int pad_atoms, int pad_bonds,
+                                float* f_atoms, float* f_bonds,
+                                float* w_atoms, float* w_bonds,
+                                int* b2a, int* b2dst, int* b2revb, int* a2mol,
+                                float* dop_out,
+                                unsigned char* valid_out, int* counts_out,
+                                int n_threads) {
+  return pcp_featurize_batch_impl(smiles, n, pad_atoms, pad_bonds, f_atoms,
+                                  f_bonds, w_atoms, w_bonds, b2a, b2dst,
+                                  b2revb, a2mol, dop_out, valid_out,
+                                  counts_out, n_threads, true);
+}
+
 // Count atoms/bonds per molecule without packing (for envelope sizing).
-int pcp_count(const char** smiles, int n, int* atoms_out, int* bonds_out,
-              int n_threads) {
+int pcp_count_impl(const char** smiles, int n, int* atoms_out, int* bonds_out,
+                   int n_threads, bool polymer) {
   std::vector<std::thread> pool;
   std::atomic<int> next_idx{0};
   auto worker = [&]() {
     while (true) {
       int i = next_idx.fetch_add(1);
       if (i >= n) break;
-      PackedGraph g = featurize_one(smiles[i]);
+      PackedGraph g = polymer ? featurize_polymer_one(smiles[i])
+                              : featurize_one(smiles[i]);
       atoms_out[i] = g.valid ? g.n_atoms : -1;
       bonds_out[i] = g.valid ? g.n_bonds : -1;
     }
@@ -1088,6 +1400,16 @@ int pcp_count(const char** smiles, int n, int* atoms_out, int* bonds_out,
   worker();
   for (auto& t : pool) t.join();
   return 0;
+}
+
+int pcp_count(const char** smiles, int n, int* atoms_out, int* bonds_out,
+              int n_threads) {
+  return pcp_count_impl(smiles, n, atoms_out, bonds_out, n_threads, false);
+}
+
+int pcp_count_polymer(const char** smiles, int n, int* atoms_out,
+                      int* bonds_out, int n_threads) {
+  return pcp_count_impl(smiles, n, atoms_out, bonds_out, n_threads, true);
 }
 
 }  // extern "C"

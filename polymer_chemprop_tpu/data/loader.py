@@ -71,19 +71,24 @@ class MoleculeDataLoader:
         self._align = align
         self._length: Optional[int] = None
         self.number_of_molecules = (len(dataset[0].smiles) if len(dataset) else 1)
-        # native C++ featurization: standard single-molecule datapoints only
-        # (polymer/reaction/extra-features stay on the Python path)
+        # native C++ featurization: standard and polymer single-molecule
+        # datapoints (reaction/extra-features stay on the Python path)
         if use_native is None:
             use_native = False
+        self._native_polymer = False
         if use_native:
-            from ..native_ext import available
-            simple = (not config.polymer and not config.reaction
+            from ..native_ext import available, polymer_available
+            simple = (not config.reaction
                       and not config.explicit_h and not config.adding_h
                       and self.number_of_molecules == 1
                       and (len(dataset) == 0 or
                            (dataset[0].atom_features is None and
                             dataset[0].bond_features is None)))
-            use_native = available() and simple
+            if config.polymer:
+                use_native = polymer_available() and simple
+                self._native_polymer = use_native
+            else:
+                use_native = available() and simple
         self.use_native = use_native
         # Pallas band kernel needs TILE_B-multiple, >= EXT bond envelopes,
         # and a TPU backend (CPU would need interpreter mode)
@@ -153,7 +158,8 @@ class MoleculeDataLoader:
             if self.use_native:
                 from ..native_ext import count_native
                 a, b = count_native([d.smiles[0] for d in self.dataset],
-                                    n_threads=self.num_workers)
+                                    n_threads=self.num_workers,
+                                    polymer=self._native_polymer)
                 counts = list(zip(np.maximum(a, 0).tolist(),
                                   np.maximum(b, 0).tolist()))
             else:
@@ -182,7 +188,8 @@ class MoleculeDataLoader:
             gb, _ = featurize_batch_native(
                 [p.smiles[0] for p in points],
                 pad_atoms=self._pad_atoms, pad_bonds=self._pad_bonds,
-                pad_mols=self.batch_size, n_threads=self.num_workers)
+                pad_mols=self.batch_size, n_threads=self.num_workers,
+                polymer=self._native_polymer)
             graph_arrays.append(gb.arrays(pallas=self.use_pallas))
         else:
             for pos in range(n_pos):

@@ -2,9 +2,10 @@
 
 Loads ``native/libpcp_native.so`` (built with ``make -C native``) and
 exposes :func:`featurize_batch_native`, a drop-in producer of GraphBatch
-arrays for standard (non-polymer, non-reaction) molecules. Falls back
-gracefully when the library is absent: ``available()`` gates usage and the
-loader keeps the Python path as default.
+arrays for standard molecules and (with ``polymer=True``) wD-MPNN polymer
+ensemble strings. Falls back gracefully when the library is absent:
+``available()``/``polymer_available()`` gate usage and the loader keeps
+the Python path as default.
 """
 
 from __future__ import annotations
@@ -44,12 +45,27 @@ def _load():
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ctypes.c_int,
     ]
+    # polymer entry points are absent from pre-polymer builds of the .so;
+    # gate on them so a stale library falls back to the Python path
+    if hasattr(lib, "pcp_featurize_polymer_batch"):
+        lib.pcp_featurize_polymer_batch.restype = ctypes.c_int
+        lib.pcp_featurize_polymer_batch.argtypes = (
+            lib.pcp_featurize_batch.argtypes[:12]
+            + [ctypes.POINTER(ctypes.c_float)]
+            + lib.pcp_featurize_batch.argtypes[12:])
+        lib.pcp_count_polymer.restype = ctypes.c_int
+        lib.pcp_count_polymer.argtypes = lib.pcp_count.argtypes
     _LIB = lib
     return lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def polymer_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "pcp_featurize_polymer_batch")
 
 
 def _c_strings(smiles: List[str]):
@@ -59,29 +75,34 @@ def _c_strings(smiles: List[str]):
     return arr, keep
 
 
-def count_native(smiles: List[str], n_threads: int = 4
+def count_native(smiles: List[str], n_threads: int = 4, polymer: bool = False
                  ) -> Tuple[np.ndarray, np.ndarray]:
     """Per-molecule (n_atoms, n_bonds) counts; -1 marks invalid SMILES."""
     lib = _load()
     arr, keep = _c_strings(smiles)
     atoms = np.zeros(len(smiles), np.int32)
     bonds = np.zeros(len(smiles), np.int32)
-    lib.pcp_count(arr, len(smiles),
-                  atoms.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-                  bonds.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-                  n_threads)
+    fn = lib.pcp_count_polymer if polymer else lib.pcp_count
+    fn(arr, len(smiles),
+       atoms.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+       bonds.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+       n_threads)
     return atoms, bonds
 
 
 def featurize_batch_native(smiles: List[str], pad_atoms: int, pad_bonds: int,
                            pad_mols: Optional[int] = None,
-                           n_threads: int = 4):
-    """SMILES list -> GraphBatch (standard molecules only)."""
+                           n_threads: int = 4, polymer: bool = False):
+    """SMILES list -> GraphBatch (standard molecules, or wD-MPNN polymer
+    ensemble strings with polymer=True)."""
     from .features.batching import GraphBatch
 
     lib = _load()
     if lib is None:
         raise RuntimeError("native library not built (make -C native)")
+    if polymer and not hasattr(lib, "pcp_featurize_polymer_batch"):
+        raise RuntimeError("native library predates polymer support "
+                           "(rebuild with make -C native)")
     n = len(smiles)
     M = pad_mols or n
     f_atoms = np.zeros((pad_atoms, 133), np.float32)
@@ -95,7 +116,7 @@ def featurize_batch_native(smiles: List[str], pad_atoms: int, pad_bonds: int,
     valid = np.zeros(n, np.uint8)
     counts = np.zeros(2, np.int32)
     arr, keep = _c_strings(smiles)
-    rc = lib.pcp_featurize_batch(
+    common = [
         arr, n, pad_atoms, pad_bonds,
         f_atoms.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         f_bonds.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -105,12 +126,23 @@ def featurize_batch_native(smiles: List[str], pad_atoms: int, pad_bonds: int,
         b2dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         b2revb.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         a2mol.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    ]
+    tail = [
         valid.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        n_threads)
+        n_threads,
+    ]
+    degree_of_polym = np.ones(M, np.float32)
+    if polymer:
+        dop = np.ones(n, np.float32)
+        rc = lib.pcp_featurize_polymer_batch(
+            *common, dop.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            *tail)
+        degree_of_polym[:n] = dop
+    else:
+        rc = lib.pcp_featurize_batch(*common, *tail)
     if rc != 0:
         raise ValueError("batch exceeds padding envelope (native)")
-    degree_of_polym = np.ones(M, np.float32)
     mol_mask = np.zeros(M, np.float32)
     mol_mask[:n] = valid[:n].astype(np.float32)
     return GraphBatch(

@@ -75,3 +75,112 @@ def test_loader_native_path():
         for k in bp.graph_arrays[0]:
             np.testing.assert_allclose(bn.graph_arrays[0][k],
                                        bp.graph_arrays[0][k], atol=1e-5)
+
+
+# ---------------------------------------------------------------- polymer
+
+POLY_CFG = FeaturizationConfig(polymer=True)
+
+MONOMERS = [
+    "[*:1]CC[*:2]", "[*:1]c1ccc([*:2])cc1", "[*:1]CO[*:2]",
+    "[*:1]C(C)C[*:2]", "[*:1]c1ccc([*:2])cc1C", "[*:1]CC(=O)O[*:2]",
+    "[*:1]c1ccc(nc1)[*:2]", "[*:1]C=CC[*:2]", "[*:1]CC(F)(F)[*:2]",
+    "[*:1]C[C@@H](C)O[*:2]", "[*:1]c1ccsc1[*:2]", "[*:1]CN(C)C(=O)[*:2]",
+    "[*:1]CC([O-])=O.[Na+][*:2]".replace(".[Na+][*:2]", "[*:2]"),
+]
+
+
+def _copolymer_corpus():
+    """Deterministic copolymer ensemble strings over diverse monomers."""
+    import itertools
+    out = []
+    for i, (m1, m2) in enumerate(itertools.combinations(MONOMERS, 2)):
+        m2r = m2.replace("[*:1]", "[*:3]").replace("[*:2]", "[*:4]")
+        frac = 0.25 + 0.5 * ((i % 3) / 2.0)
+        xn = "" if i % 2 else "~%d" % (10 + i)
+        out.append(
+            f"{m1}.{m2r}|{frac}|{1 - frac}|"
+            f"<1-3:0.375:0.375<1-4:0.375:0.375<2-3:0.375:0.375"
+            f"<2-4:0.375:0.375{xn}")
+    # homopolymers (single monomer, self-connection)
+    for m in MONOMERS[:4]:
+        out.append(f"{m}|1.0|<1-2:0.5:0.5~25")
+    return out
+
+
+@pytest.mark.skipif(not getattr(native_ext, "polymer_available", lambda: False)(),
+                    reason="native polymer support not built")
+class TestPolymerNative:
+    def _assert_identical(self, polys, pad_atoms=4096, pad_bonds=8192):
+        gb_n, valid = native_ext.featurize_batch_native(
+            polys, pad_atoms=pad_atoms, pad_bonds=pad_bonds, polymer=True)
+        assert valid.all()
+        gb_p = mol2graph(polys, POLY_CFG, pad_atoms=pad_atoms,
+                         pad_bonds=pad_bonds, pad_mols=len(polys))
+        for k in ("f_atoms", "f_bonds", "w_atoms", "w_bonds",
+                  "b2a", "b2dst", "b2revb", "a2mol", "degree_of_polym"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(gb_n, k), dtype=float),
+                np.asarray(getattr(gb_p, k), dtype=float),
+                atol=1e-5, err_msg=f"array {k} differs")
+        assert gb_n.n_atoms_real == gb_p.n_atoms_real
+        assert gb_n.n_bonds_real == gb_p.n_bonds_real
+
+    def test_exact_parity_copolymer_corpus(self):
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # stochastic-weight-sum warnings
+            self._assert_identical(_copolymer_corpus())
+
+    def test_double_bond_attachment(self):
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            self._assert_identical(
+                ["[*:1]=CC=[*:2]|1.0|<1-2:0.5:0.5~5",
+                 "[*:1]=Cc1ccc(C=[*:2])cc1|1.0|<1-2:1.0:1.0"])
+
+    def test_invalid_polymer_strings_flagged(self):
+        bad = [
+            "[*:1]CC[*:2]|1.0|<1-2:0.5",          # rule needs 3 fields
+            "[*:1]CC[*:2]|1.0|<1-9:0.5:0.5",      # unknown R tag
+            "[*:1]CC[*:2]|1.0|0.5|<1-2:0.5:0.5",  # weight count mismatch
+            "[*:1]=CC[*:2]|1.0|<1-2:0.5:0.5",     # mismatched bond orders
+            "not_a_polymer",                      # no weights at all
+            "[*:1]CC[*:2]|1.0|<1-2:0.5:0.5~0",    # Xn <= 0 (log10 domain)
+        ]
+        good = "[*:1]CC[*:2]|1.0|<1-2:0.3:0.7~50"
+        _, valid = native_ext.featurize_batch_native(
+            bad + [good], pad_atoms=256, pad_bonds=256, polymer=True)
+        assert valid.tolist() == [0] * len(bad) + [1]
+
+    def test_count_polymer(self):
+        atoms, bonds = native_ext.count_native(
+            ["[*:1]CC[*:2]|1.0|<1-2:0.3:0.7~50", "xx"], polymer=True)
+        assert atoms.tolist() == [2, -1]
+        assert bonds.tolist() == [4, -1]
+
+    def test_loader_native_polymer_path(self):
+        import warnings
+        from polymer_chemprop_tpu.data import (
+            MoleculeDataLoader,
+            MoleculeDatapoint,
+            MoleculeDataset,
+        )
+        polys = _copolymer_corpus()[:12]
+        data = MoleculeDataset(
+            [MoleculeDatapoint([s], [1.0]) for s in polys])
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            l_py = MoleculeDataLoader(data, POLY_CFG, batch_size=4,
+                                      num_workers=1, use_native=False)
+            l_nat = MoleculeDataLoader(data, POLY_CFG, batch_size=4,
+                                       num_workers=1, use_native=True)
+            assert l_nat.use_native
+            for bp, bn in zip(list(l_py), list(l_nat)):
+                for k in bp.graph_arrays[0]:
+                    if k == "pallas_aux":
+                        continue
+                    np.testing.assert_allclose(bn.graph_arrays[0][k],
+                                               bp.graph_arrays[0][k],
+                                               atol=1e-5, err_msg=k)
