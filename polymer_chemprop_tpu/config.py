@@ -147,7 +147,12 @@ class TrainConfig:
     use_pallas: Optional[bool] = None        # fused band kernel for message
     # passing: None = auto (on whenever a TPU backend is attached; the
     # loader falls back to the XLA segment-sum path on CPU)
-    use_native_featurizer: bool = False      # C++ host featurization
+    # C++ host featurization: None = auto (on when libpcp_native.so is built
+    # and the config is native-eligible: standard/polymer single-molecule
+    # datapoints without per-atom/bond descriptor files — bit-identical to
+    # the Python path, tests/test_native.py); --no_use_native_featurizer
+    # forces the Python path
+    use_native_featurizer: Optional[bool] = None
     profile_dir: Optional[str] = None        # jax.profiler trace output
     tensorboard: bool = False                # write TensorBoard event files
 

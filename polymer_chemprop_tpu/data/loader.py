@@ -73,14 +73,15 @@ class MoleculeDataLoader:
         self.number_of_molecules = (len(dataset[0].smiles) if len(dataset) else 1)
         # native C++ featurization: standard and polymer single-molecule
         # datapoints (reaction/extra-features stay on the Python path)
+        # None = auto: use the C++ featurizer whenever it is built and the
+        # config is native-eligible (bit-identical to the Python path)
         if use_native is None:
-            use_native = False
+            use_native = True
         self._native_polymer = False
         if use_native:
             from ..native_ext import available, polymer_available
             simple = (not config.reaction
                       and not config.explicit_h and not config.adding_h
-                      and self.number_of_molecules == 1
                       and (len(dataset) == 0 or
                            (dataset[0].atom_features is None and
                             dataset[0].bond_features is None)))
@@ -157,11 +158,16 @@ class MoleculeDataLoader:
         if counts is None:
             if self.use_native:
                 from ..native_ext import count_native
-                a, b = count_native([d.smiles[0] for d in self.dataset],
-                                    n_threads=self.num_workers,
-                                    polymer=self._native_polymer)
-                counts = list(zip(np.maximum(a, 0).tolist(),
-                                  np.maximum(b, 0).tolist()))
+                a = np.zeros(len(self.dataset), np.int64)
+                b = np.zeros(len(self.dataset), np.int64)
+                for pos in range(self.number_of_molecules):
+                    ap, bp = count_native(
+                        [d.smiles[pos] for d in self.dataset],
+                        n_threads=self.num_workers,
+                        polymer=self._native_polymer)
+                    a += np.maximum(ap, 0)
+                    b += np.maximum(bp, 0)
+                counts = list(zip(a.tolist(), b.tolist()))
             else:
                 counts = []
                 for d in self.dataset:
@@ -185,12 +191,13 @@ class MoleculeDataLoader:
         graph_arrays = []
         if self.use_native:
             from ..native_ext import featurize_batch_native
-            gb, _ = featurize_batch_native(
-                [p.smiles[0] for p in points],
-                pad_atoms=self._pad_atoms, pad_bonds=self._pad_bonds,
-                pad_mols=self.batch_size, n_threads=self.num_workers,
-                polymer=self._native_polymer)
-            graph_arrays.append(gb.arrays(pallas=self.use_pallas))
+            for pos in range(n_pos):
+                gb, _ = featurize_batch_native(
+                    [p.smiles[pos] for p in points],
+                    pad_atoms=self._pad_atoms, pad_bonds=self._pad_bonds,
+                    pad_mols=self.batch_size, n_threads=self.num_workers,
+                    polymer=self._native_polymer)
+                graph_arrays.append(gb.arrays(pallas=self.use_pallas))
         else:
             for pos in range(n_pos):
                 graphs = [p.mol_graphs(self.config)[pos] for p in points]

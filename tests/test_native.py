@@ -184,3 +184,46 @@ class TestPolymerNative:
                     np.testing.assert_allclose(bn.graph_arrays[0][k],
                                                bp.graph_arrays[0][k],
                                                atol=1e-5, err_msg=k)
+
+
+def test_loader_native_multi_molecule():
+    from polymer_chemprop_tpu.data import (
+        MoleculeDataLoader,
+        MoleculeDatapoint,
+        MoleculeDataset,
+    )
+    pairs = [["CCO", "c1ccccc1"], ["CC(=O)O", "CCN"], ["c1ccncc1", "CCCl"],
+             ["C/C=C/C", "C[C@H](N)C(=O)O"], ["O=S(=O)(N)c1ccccc1", "CCOC"]]
+    data = MoleculeDataset([MoleculeDatapoint(p, [1.0]) for p in pairs * 4])
+    cfg = FeaturizationConfig()
+    l_py = MoleculeDataLoader(data, cfg, batch_size=5, num_workers=1,
+                              use_native=False)
+    l_nat = MoleculeDataLoader(data, cfg, batch_size=5, num_workers=1,
+                               use_native=True)
+    assert l_nat.use_native
+    for bp, bn in zip(list(l_py), list(l_nat)):
+        assert len(bp.graph_arrays) == len(bn.graph_arrays) == 2
+        for pos in range(2):
+            for k in bp.graph_arrays[pos]:
+                if k == "pallas_aux":
+                    continue
+                np.testing.assert_allclose(bn.graph_arrays[pos][k],
+                                           bp.graph_arrays[pos][k],
+                                           atol=1e-5, err_msg=f"pos{pos} {k}")
+
+
+def test_loader_auto_defaults_to_native():
+    """use_native=None (the trainer default) auto-enables the C++ path for
+    native-eligible configs and stays off for reaction mode."""
+    from polymer_chemprop_tpu.data import (
+        MoleculeDataLoader,
+        MoleculeDatapoint,
+        MoleculeDataset,
+    )
+    data = MoleculeDataset([MoleculeDatapoint(["CCO"], [1.0])])
+    assert MoleculeDataLoader(data, FeaturizationConfig(), batch_size=1,
+                              num_workers=1).use_native
+    rxn = FeaturizationConfig(reaction=True, reaction_mode="reac_diff")
+    d2 = MoleculeDataset([MoleculeDatapoint(["CCO>>CCN"], [1.0])])
+    assert not MoleculeDataLoader(d2, rxn, batch_size=1,
+                                  num_workers=1).use_native
