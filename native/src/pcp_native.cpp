@@ -13,6 +13,7 @@
 // `make -C native`.
 
 #include <algorithm>
+#include <array>
 #include <atomic>
 #include <functional>
 #include <cmath>
@@ -880,8 +881,8 @@ void normalize_chirality(Mol& m, const SemOrder& sem) {
   }
 }
 
-bool perceive(Mol& m) {
-  fold_explicit_h(m);
+bool perceive(Mol& m, bool keep_h = false) {
+  if (!keep_h) fold_explicit_h(m);
   perceive_rings(m);
   perceive_aromaticity(m);
   bool ok = kekulize(m);
@@ -1271,6 +1272,185 @@ PackedGraph featurize_polymer_one(const std::string& input) {
   return g;
 }
 
+// ------------------------------------------------------ reaction featurizer
+// Mirrors features/featurization.py MolGraph._build_reaction (reference
+// featurization.py:644-740): atom-mapped "reac>agents>prod" SMILES, six
+// modes (reac_prod/reac_diff/prod_diff × plain/balance).
+
+constexpr int RXN_EXTRA_A = ATOM_FDIM - MAX_ATOMIC_NUM - 1;  // 32
+constexpr int RXN_ATOM_FDIM = ATOM_FDIM + RXN_EXTRA_A;       // 165
+constexpr int RXN_BOND_FDIM = 2 * BOND_FDIM;                 // 28
+
+void atom_features_zeros_cpp(const Mol& m, int a, float* out) {
+  for (int i = 0; i < ATOM_FDIM; i++) out[i] = 0.f;
+  onek(m.atoms[a].z - 1, 100, out);
+}
+
+int bond_between(const Mol& m, int a1, int a2) {
+  for (int bi : m.adj[a1])
+    if (m.other(bi, a1) == a2) return bi;
+  return -1;
+}
+
+// bond_features with the reference's None-bond convention ([1, 0...0])
+void bond_features_opt(const Mol* m, int bi, float* out) {
+  if (m == nullptr || bi < 0) {
+    out[0] = 1.f;
+    for (int i = 1; i < BOND_FDIM; i++) out[i] = 0.f;
+    return;
+  }
+  bond_features(*m, bi, out);
+}
+
+PackedGraph featurize_reaction_one(const std::string& input, int mode,
+                                   bool balance, bool keep_h) {
+  // mode: 0 = reac_prod, 1 = reac_diff, 2 = prod_diff
+  PackedGraph g;
+  Mol reac, prod;
+  try {
+    auto first = input.find('>');
+    auto last = input.rfind('>');
+    if (first == std::string::npos) return g;
+    auto parse_side = [&](const std::string& s) {
+      SemOrder sem;
+      Mol m = parse_smiles_raw(s, &sem);
+      normalize_chirality(m, sem);
+      if (!perceive(m, keep_h)) throw ParseError{};
+      return m;
+    };
+    reac = parse_side(input.substr(0, first));
+    prod = parse_side(input.substr(last + 1));
+  } catch (...) {
+    return g;
+  }
+  int nr = (int)reac.atoms.size();
+  // map_reac_to_prod (reference featurization.py:253-283)
+  std::set<int> mapnos_reac;
+  for (const Atom& a : reac.atoms)
+    if (a.map > 0) mapnos_reac.insert(a.map);
+  std::map<int, int> prod_map_to_id;
+  std::vector<int> pio;
+  for (int i = 0; i < (int)prod.atoms.size(); i++) {
+    int mapno = prod.atoms[i].map;
+    if (mapno > 0) {
+      prod_map_to_id[mapno] = i;
+      if (!mapnos_reac.count(mapno)) pio.push_back(i);
+    } else {
+      pio.push_back(i);
+    }
+  }
+  std::vector<int> ri2pi(nr, -1);
+  for (int a = 0; a < nr; a++) {
+    int mapno = reac.atoms[a].map;
+    if (mapno > 0) {
+      auto it = prod_map_to_id.find(mapno);
+      if (it != prod_map_to_id.end()) ri2pi[a] = it->second;
+    }
+  }
+
+  int n_atoms = nr + (int)pio.size();
+  std::vector<float> f_reac((size_t)n_atoms * ATOM_FDIM);
+  std::vector<float> f_prod((size_t)n_atoms * ATOM_FDIM);
+  for (int a = 0; a < nr; a++) {
+    atom_features(reac, a, &f_reac[(size_t)a * ATOM_FDIM]);
+    if (ri2pi[a] >= 0)
+      atom_features(prod, ri2pi[a], &f_prod[(size_t)a * ATOM_FDIM]);
+    else if (balance)
+      atom_features(reac, a, &f_prod[(size_t)a * ATOM_FDIM]);
+    else
+      atom_features_zeros_cpp(reac, a, &f_prod[(size_t)a * ATOM_FDIM]);
+  }
+  for (size_t k = 0; k < pio.size(); k++) {
+    size_t row = (nr + k) * ATOM_FDIM;
+    atom_features(prod, pio[k], &f_prod[row]);
+    if (balance)
+      atom_features(prod, pio[k], &f_reac[row]);
+    else
+      atom_features_zeros_cpp(prod, pio[k], &f_reac[row]);
+  }
+
+  g.n_atoms = n_atoms;
+  g.f_atoms.resize((size_t)n_atoms * RXN_ATOM_FDIM);
+  for (int a = 0; a < n_atoms; a++) {
+    const float* fr = &f_reac[(size_t)a * ATOM_FDIM];
+    const float* fp = &f_prod[(size_t)a * ATOM_FDIM];
+    float* out = &g.f_atoms[(size_t)a * RXN_ATOM_FDIM];
+    // first half: reac (reac_prod/reac_diff) or prod (prod_diff)
+    const float* base = (mode == 2) ? fp : fr;
+    std::memcpy(out, base, ATOM_FDIM * sizeof(float));
+    // second half (past the atomic-number one-hot): prod or diff
+    for (int i = MAX_ATOMIC_NUM + 1; i < ATOM_FDIM; i++)
+      out[ATOM_FDIM + i - (MAX_ATOMIC_NUM + 1)] =
+          (mode == 0) ? fp[i] : fp[i] - fr[i];
+  }
+
+  // pairwise bond scan (reference featurization.py:689-740)
+  std::vector<std::array<float, RXN_BOND_FDIM>> bfeats;
+  std::vector<std::pair<int, int>> bpairs;
+  float fr[BOND_FDIM], fp[BOND_FDIM];
+  for (int a1 = 0; a1 < n_atoms; a1++) {
+    for (int a2 = a1 + 1; a2 < n_atoms; a2++) {
+      const Mol* mr = nullptr;
+      const Mol* mp = nullptr;
+      int br = -1, bp = -1;
+      if (a1 >= nr && a2 >= nr) {
+        bp = bond_between(prod, pio[a1 - nr], pio[a2 - nr]);
+        mp = bp >= 0 ? &prod : nullptr;
+        if (balance && bp >= 0) { br = bp; mr = &prod; }
+      } else if (a1 < nr && a2 >= nr) {
+        if (ri2pi[a1] >= 0) {
+          bp = bond_between(prod, ri2pi[a1], pio[a2 - nr]);
+          mp = bp >= 0 ? &prod : nullptr;
+        }
+      } else {
+        br = bond_between(reac, a1, a2);
+        mr = br >= 0 ? &reac : nullptr;
+        if (ri2pi[a1] >= 0 && ri2pi[a2] >= 0) {
+          bp = bond_between(prod, ri2pi[a1], ri2pi[a2]);
+          mp = bp >= 0 ? &prod : nullptr;
+        } else if (balance && ri2pi[a1] < 0 && ri2pi[a2] < 0 && br >= 0) {
+          bp = br;
+          mp = &reac;
+        }
+      }
+      if (mr == nullptr && mp == nullptr) continue;
+      bond_features_opt(mr, br, fr);
+      bond_features_opt(mp, bp, fp);
+      std::array<float, RXN_BOND_FDIM> fb;
+      for (int i = 0; i < BOND_FDIM; i++) {
+        fb[i] = (mode == 2) ? fp[i] : fr[i];
+        fb[BOND_FDIM + i] = (mode == 0) ? fp[i] : fp[i] - fr[i];
+      }
+      bfeats.push_back(fb);
+      bpairs.push_back({a1, a2});
+    }
+  }
+
+  g.n_bonds = 2 * (int)bpairs.size();
+  g.f_bonds.resize((size_t)g.n_bonds * (RXN_ATOM_FDIM + RXN_BOND_FDIM));
+  g.b2a.resize(g.n_bonds);
+  g.b2dst.resize(g.n_bonds);
+  g.b2revb.resize(g.n_bonds);
+  int bid = 0;
+  for (size_t k = 0; k < bpairs.size(); k++) {
+    for (int dir = 0; dir < 2; dir++) {
+      int src = dir == 0 ? bpairs[k].first : bpairs[k].second;
+      int dst = dir == 0 ? bpairs[k].second : bpairs[k].first;
+      float* row = &g.f_bonds[(size_t)bid * (RXN_ATOM_FDIM + RXN_BOND_FDIM)];
+      std::memcpy(row, &g.f_atoms[(size_t)src * RXN_ATOM_FDIM],
+                  RXN_ATOM_FDIM * sizeof(float));
+      std::memcpy(row + RXN_ATOM_FDIM, bfeats[k].data(),
+                  RXN_BOND_FDIM * sizeof(float));
+      g.b2a[bid] = src;
+      g.b2dst[bid] = dst;
+      g.b2revb[bid] = dir == 0 ? bid + 1 : bid - 1;
+      bid++;
+    }
+  }
+  g.valid = true;
+  return g;
+}
+
 }  // namespace
 
 // -------------------------------------------------------------------- C API
@@ -1294,7 +1474,9 @@ int pcp_featurize_batch_impl(const char** smiles, int n,
                              int* b2a, int* b2dst, int* b2revb, int* a2mol,
                              float* dop_out,
                              unsigned char* valid_out, int* counts_out,
-                             int n_threads, bool polymer) {
+                             int n_threads,
+                             const std::function<PackedGraph(const char*)>& fn,
+                             int atom_width, int bond_width) {
   std::vector<PackedGraph> graphs(n);
   if (n_threads < 1) n_threads = 1;
   std::vector<std::thread> pool;
@@ -1303,17 +1485,15 @@ int pcp_featurize_batch_impl(const char** smiles, int n,
     while (true) {
       int i = next_idx.fetch_add(1);
       if (i >= n) break;
-      graphs[i] = polymer ? featurize_polymer_one(smiles[i])
-                          : featurize_one(smiles[i]);
+      graphs[i] = fn(smiles[i]);
     }
   };
   for (int t = 0; t < n_threads - 1; t++) pool.emplace_back(worker);
   worker();
   for (auto& t : pool) t.join();
 
-  std::memset(f_atoms, 0, sizeof(float) * (size_t)pad_atoms * ATOM_FDIM);
-  std::memset(f_bonds, 0,
-              sizeof(float) * (size_t)pad_bonds * (ATOM_FDIM + BOND_FDIM));
+  std::memset(f_atoms, 0, sizeof(float) * (size_t)pad_atoms * atom_width);
+  std::memset(f_bonds, 0, sizeof(float) * (size_t)pad_bonds * bond_width);
   std::memset(w_atoms, 0, sizeof(float) * pad_atoms);
   std::memset(w_bonds, 0, sizeof(float) * pad_bonds);
   std::memset(b2a, 0, sizeof(int) * pad_bonds);
@@ -1328,9 +1508,9 @@ int pcp_featurize_batch_impl(const char** smiles, int n,
     if (dop_out) dop_out[i] = g.valid ? g.degree_of_polym : 1.f;
     if (!g.valid) continue;
     if (ai + g.n_atoms > pad_atoms || bi + g.n_bonds > pad_bonds) return -1;
-    std::memcpy(&f_atoms[(size_t)ai * ATOM_FDIM], g.f_atoms.data(),
+    std::memcpy(&f_atoms[(size_t)ai * atom_width], g.f_atoms.data(),
                 g.f_atoms.size() * sizeof(float));
-    std::memcpy(&f_bonds[(size_t)bi * (ATOM_FDIM + BOND_FDIM)],
+    std::memcpy(&f_bonds[(size_t)bi * bond_width],
                 g.f_bonds.data(), g.f_bonds.size() * sizeof(float));
     for (int a = 0; a < g.n_atoms; a++) {
       w_atoms[ai + a] = g.w_atoms.empty() ? 1.f : g.w_atoms[a];
@@ -1357,10 +1537,11 @@ int pcp_featurize_batch(const char** smiles, int n,
                         int* b2a, int* b2dst, int* b2revb, int* a2mol,
                         unsigned char* valid_out, int* counts_out,
                         int n_threads) {
-  return pcp_featurize_batch_impl(smiles, n, pad_atoms, pad_bonds, f_atoms,
-                                  f_bonds, w_atoms, w_bonds, b2a, b2dst,
-                                  b2revb, a2mol, nullptr, valid_out,
-                                  counts_out, n_threads, false);
+  return pcp_featurize_batch_impl(
+      smiles, n, pad_atoms, pad_bonds, f_atoms, f_bonds, w_atoms, w_bonds,
+      b2a, b2dst, b2revb, a2mol, nullptr, valid_out, counts_out, n_threads,
+      [](const char* s) { return featurize_one(s); },
+      ATOM_FDIM, ATOM_FDIM + BOND_FDIM);
 }
 
 // Polymer-mode batch featurization: input strings are wD-MPNN copolymer
@@ -1374,23 +1555,47 @@ int pcp_featurize_polymer_batch(const char** smiles, int n,
                                 float* dop_out,
                                 unsigned char* valid_out, int* counts_out,
                                 int n_threads) {
-  return pcp_featurize_batch_impl(smiles, n, pad_atoms, pad_bonds, f_atoms,
-                                  f_bonds, w_atoms, w_bonds, b2a, b2dst,
-                                  b2revb, a2mol, dop_out, valid_out,
-                                  counts_out, n_threads, true);
+  return pcp_featurize_batch_impl(
+      smiles, n, pad_atoms, pad_bonds, f_atoms, f_bonds, w_atoms, w_bonds,
+      b2a, b2dst, b2revb, a2mol, dop_out, valid_out, counts_out, n_threads,
+      [](const char* s) { return featurize_polymer_one(s); },
+      ATOM_FDIM, ATOM_FDIM + BOND_FDIM);
+}
+
+// Reaction-mode batch featurization: atom-mapped "reac>agents>prod" SMILES.
+// mode: 0 = reac_prod, 1 = reac_diff, 2 = prod_diff; balance applies the
+// *_balance variants; keep_h preserves explicit [H] atoms as graph nodes
+// (--explicit_h). Feature widths double: f_atoms rows are 165 floats,
+// f_bonds rows 165+28 = 193.
+int pcp_featurize_reaction_batch(const char** smiles, int n,
+                                 int pad_atoms, int pad_bonds,
+                                 float* f_atoms, float* f_bonds,
+                                 float* w_atoms, float* w_bonds,
+                                 int* b2a, int* b2dst, int* b2revb,
+                                 int* a2mol,
+                                 unsigned char* valid_out, int* counts_out,
+                                 int n_threads, int mode, int balance,
+                                 int keep_h) {
+  auto fn = [mode, balance, keep_h](const char* s) {
+    return featurize_reaction_one(s, mode, balance != 0, keep_h != 0);
+  };
+  return pcp_featurize_batch_impl(
+      smiles, n, pad_atoms, pad_bonds, f_atoms, f_bonds, w_atoms, w_bonds,
+      b2a, b2dst, b2revb, a2mol, nullptr, valid_out, counts_out, n_threads,
+      fn, RXN_ATOM_FDIM, RXN_ATOM_FDIM + RXN_BOND_FDIM);
 }
 
 // Count atoms/bonds per molecule without packing (for envelope sizing).
 int pcp_count_impl(const char** smiles, int n, int* atoms_out, int* bonds_out,
-                   int n_threads, bool polymer) {
+                   int n_threads,
+                   const std::function<PackedGraph(const char*)>& fn) {
   std::vector<std::thread> pool;
   std::atomic<int> next_idx{0};
   auto worker = [&]() {
     while (true) {
       int i = next_idx.fetch_add(1);
       if (i >= n) break;
-      PackedGraph g = polymer ? featurize_polymer_one(smiles[i])
-                              : featurize_one(smiles[i]);
+      PackedGraph g = fn(smiles[i]);
       atoms_out[i] = g.valid ? g.n_atoms : -1;
       bonds_out[i] = g.valid ? g.n_bonds : -1;
     }
@@ -1404,12 +1609,24 @@ int pcp_count_impl(const char** smiles, int n, int* atoms_out, int* bonds_out,
 
 int pcp_count(const char** smiles, int n, int* atoms_out, int* bonds_out,
               int n_threads) {
-  return pcp_count_impl(smiles, n, atoms_out, bonds_out, n_threads, false);
+  return pcp_count_impl(smiles, n, atoms_out, bonds_out, n_threads,
+                        [](const char* s) { return featurize_one(s); });
 }
 
 int pcp_count_polymer(const char** smiles, int n, int* atoms_out,
                       int* bonds_out, int n_threads) {
-  return pcp_count_impl(smiles, n, atoms_out, bonds_out, n_threads, true);
+  return pcp_count_impl(
+      smiles, n, atoms_out, bonds_out, n_threads,
+      [](const char* s) { return featurize_polymer_one(s); });
+}
+
+int pcp_count_reaction(const char** smiles, int n, int* atoms_out,
+                       int* bonds_out, int n_threads, int mode, int balance,
+                       int keep_h) {
+  auto fn = [mode, balance, keep_h](const char* s) {
+    return featurize_reaction_one(s, mode, balance != 0, keep_h != 0);
+  };
+  return pcp_count_impl(smiles, n, atoms_out, bonds_out, n_threads, fn);
 }
 
 }  // extern "C"

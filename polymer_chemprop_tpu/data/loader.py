@@ -71,21 +71,32 @@ class MoleculeDataLoader:
         self._align = align
         self._length: Optional[int] = None
         self.number_of_molecules = (len(dataset[0].smiles) if len(dataset) else 1)
-        # native C++ featurization: standard and polymer single-molecule
-        # datapoints (reaction/extra-features stay on the Python path)
+        # native C++ featurization: standard molecules, wD-MPNN polymer
+        # ensembles, and atom-mapped reactions (extra per-atom/bond features
+        # and add_h stay on the Python path).
         # None = auto: use the C++ featurizer whenever it is built and the
         # config is native-eligible (bit-identical to the Python path)
         if use_native is None:
             use_native = True
         self._native_polymer = False
+        self._native_reaction: Optional[str] = None
+        self._native_keep_h = False
         if use_native:
-            from ..native_ext import available, polymer_available
-            simple = (not config.reaction
-                      and not config.explicit_h and not config.adding_h
-                      and (len(dataset) == 0 or
-                           (dataset[0].atom_features is None and
-                            dataset[0].bond_features is None)))
-            if config.polymer:
+            from ..native_ext import (available, polymer_available,
+                                      reaction_available)
+            no_extra = (len(dataset) == 0 or
+                        (dataset[0].atom_features is None and
+                         dataset[0].bond_features is None))
+            simple = (not config.explicit_h and not config.adding_h
+                      and no_extra)
+            if config.reaction:
+                # reaction supports keep_h (explicit_h) natively
+                use_native = (reaction_available() and no_extra
+                              and not config.adding_h)
+                if use_native:
+                    self._native_reaction = config.reaction_mode
+                    self._native_keep_h = config.explicit_h
+            elif config.polymer:
                 use_native = polymer_available() and simple
                 self._native_polymer = use_native
             else:
@@ -164,7 +175,9 @@ class MoleculeDataLoader:
                     ap, bp = count_native(
                         [d.smiles[pos] for d in self.dataset],
                         n_threads=self.num_workers,
-                        polymer=self._native_polymer)
+                        polymer=self._native_polymer,
+                        reaction_mode=self._native_reaction,
+                        keep_h=self._native_keep_h)
                     a += np.maximum(ap, 0)
                     b += np.maximum(bp, 0)
                 counts = list(zip(a.tolist(), b.tolist()))
@@ -196,7 +209,9 @@ class MoleculeDataLoader:
                     [p.smiles[pos] for p in points],
                     pad_atoms=self._pad_atoms, pad_bonds=self._pad_bonds,
                     pad_mols=self.batch_size, n_threads=self.num_workers,
-                    polymer=self._native_polymer)
+                    polymer=self._native_polymer,
+                    reaction_mode=self._native_reaction,
+                    keep_h=self._native_keep_h)
                 graph_arrays.append(gb.arrays(pallas=self.use_pallas))
         else:
             for pos in range(n_pos):

@@ -55,8 +55,23 @@ def _load():
             + lib.pcp_featurize_batch.argtypes[12:])
         lib.pcp_count_polymer.restype = ctypes.c_int
         lib.pcp_count_polymer.argtypes = lib.pcp_count.argtypes
+    if hasattr(lib, "pcp_featurize_reaction_batch"):
+        lib.pcp_featurize_reaction_batch.restype = ctypes.c_int
+        lib.pcp_featurize_reaction_batch.argtypes = (
+            lib.pcp_featurize_batch.argtypes
+            + [ctypes.c_int, ctypes.c_int, ctypes.c_int])
+        lib.pcp_count_reaction.restype = ctypes.c_int
+        lib.pcp_count_reaction.argtypes = (
+            lib.pcp_count.argtypes + [ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_int])
     _LIB = lib
     return lib
+
+
+# reaction modes (featurization.py REACTION_MODES order): C enum + balance
+_RXN_MODE = {"reac_prod": (0, 0), "reac_diff": (1, 0), "prod_diff": (2, 0),
+             "reac_prod_balance": (0, 1), "reac_diff_balance": (1, 1),
+             "prod_diff_balance": (2, 1)}
 
 
 def available() -> bool:
@@ -68,6 +83,11 @@ def polymer_available() -> bool:
     return lib is not None and hasattr(lib, "pcp_featurize_polymer_batch")
 
 
+def reaction_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "pcp_featurize_reaction_batch")
+
+
 def _c_strings(smiles: List[str]):
     arr = (ctypes.c_char_p * len(smiles))()
     keep = [s.encode() for s in smiles]
@@ -75,26 +95,36 @@ def _c_strings(smiles: List[str]):
     return arr, keep
 
 
-def count_native(smiles: List[str], n_threads: int = 4, polymer: bool = False
+def count_native(smiles: List[str], n_threads: int = 4, polymer: bool = False,
+                 reaction_mode: Optional[str] = None, keep_h: bool = False
                  ) -> Tuple[np.ndarray, np.ndarray]:
     """Per-molecule (n_atoms, n_bonds) counts; -1 marks invalid SMILES."""
     lib = _load()
     arr, keep = _c_strings(smiles)
     atoms = np.zeros(len(smiles), np.int32)
     bonds = np.zeros(len(smiles), np.int32)
-    fn = lib.pcp_count_polymer if polymer else lib.pcp_count
-    fn(arr, len(smiles),
-       atoms.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-       bonds.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-       n_threads)
+    base = [arr, len(smiles),
+            atoms.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            bonds.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            n_threads]
+    if reaction_mode is not None:
+        mode, balance = _RXN_MODE[reaction_mode]
+        lib.pcp_count_reaction(*base, mode, balance, int(keep_h))
+    elif polymer:
+        lib.pcp_count_polymer(*base)
+    else:
+        lib.pcp_count(*base)
     return atoms, bonds
 
 
 def featurize_batch_native(smiles: List[str], pad_atoms: int, pad_bonds: int,
                            pad_mols: Optional[int] = None,
-                           n_threads: int = 4, polymer: bool = False):
-    """SMILES list -> GraphBatch (standard molecules, or wD-MPNN polymer
-    ensemble strings with polymer=True)."""
+                           n_threads: int = 4, polymer: bool = False,
+                           reaction_mode: Optional[str] = None,
+                           keep_h: bool = False):
+    """SMILES list -> GraphBatch (standard molecules, wD-MPNN polymer
+    ensemble strings with polymer=True, or atom-mapped reaction SMILES
+    with reaction_mode set)."""
     from .features.batching import GraphBatch
 
     lib = _load()
@@ -103,10 +133,15 @@ def featurize_batch_native(smiles: List[str], pad_atoms: int, pad_bonds: int,
     if polymer and not hasattr(lib, "pcp_featurize_polymer_batch"):
         raise RuntimeError("native library predates polymer support "
                            "(rebuild with make -C native)")
+    if reaction_mode is not None and \
+            not hasattr(lib, "pcp_featurize_reaction_batch"):
+        raise RuntimeError("native library predates reaction support "
+                           "(rebuild with make -C native)")
     n = len(smiles)
     M = pad_mols or n
-    f_atoms = np.zeros((pad_atoms, 133), np.float32)
-    f_bonds = np.zeros((pad_bonds, 147), np.float32)
+    atom_w, bond_w = (165, 193) if reaction_mode is not None else (133, 147)
+    f_atoms = np.zeros((pad_atoms, atom_w), np.float32)
+    f_bonds = np.zeros((pad_bonds, bond_w), np.float32)
     w_atoms = np.zeros(pad_atoms, np.float32)
     w_bonds = np.zeros(pad_bonds, np.float32)
     b2a = np.zeros(pad_bonds, np.int32)
@@ -133,7 +168,11 @@ def featurize_batch_native(smiles: List[str], pad_atoms: int, pad_bonds: int,
         n_threads,
     ]
     degree_of_polym = np.ones(M, np.float32)
-    if polymer:
+    if reaction_mode is not None:
+        mode, balance = _RXN_MODE[reaction_mode]
+        rc = lib.pcp_featurize_reaction_batch(*common, *tail, mode, balance,
+                                              int(keep_h))
+    elif polymer:
         dop = np.ones(n, np.float32)
         rc = lib.pcp_featurize_polymer_batch(
             *common, dop.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

@@ -214,7 +214,8 @@ def test_loader_native_multi_molecule():
 
 def test_loader_auto_defaults_to_native():
     """use_native=None (the trainer default) auto-enables the C++ path for
-    native-eligible configs and stays off for reaction mode."""
+    native-eligible configs, including reaction mode, and stays off for
+    add_h (Python-only)."""
     from polymer_chemprop_tpu.data import (
         MoleculeDataLoader,
         MoleculeDatapoint,
@@ -225,5 +226,90 @@ def test_loader_auto_defaults_to_native():
                               num_workers=1).use_native
     rxn = FeaturizationConfig(reaction=True, reaction_mode="reac_diff")
     d2 = MoleculeDataset([MoleculeDatapoint(["CCO>>CCN"], [1.0])])
-    assert not MoleculeDataLoader(d2, rxn, batch_size=1,
+    assert MoleculeDataLoader(d2, rxn, batch_size=1,
+                              num_workers=1).use_native
+    addh = FeaturizationConfig(adding_h=True)
+    assert not MoleculeDataLoader(data, addh, batch_size=1,
                                   num_workers=1).use_native
+
+
+# --------------------------------------------------------------- reaction
+
+
+class TestReactionNative:
+    """Native reaction featurizer parity (reference featurization.py:644-740
+    via features/featurization.py MolGraph._build_reaction)."""
+
+    pytestmark = pytest.mark.skipif(
+        not native_ext.reaction_available(),
+        reason="native library predates reaction support")
+
+    MODES = ["reac_prod", "reac_diff", "prod_diff",
+             "reac_prod_balance", "reac_diff_balance", "prod_diff_balance"]
+
+    @pytest.mark.parametrize("mode", MODES)
+    def test_exact_parity(self, mode):
+        smiles = _smiles("reaction_regression.csv", 40)
+        cfg = FeaturizationConfig(reaction=True, reaction_mode=mode)
+        gb_p = mol2graph(smiles, cfg, pad_atoms=4096, pad_bonds=16384,
+                         pad_mols=len(smiles))
+        gb_n, valid = native_ext.featurize_batch_native(
+            smiles, pad_atoms=4096, pad_bonds=16384, pad_mols=len(smiles),
+            reaction_mode=mode)
+        assert valid.all()
+        for k in ("f_atoms", "f_bonds", "w_atoms", "w_bonds",
+                  "b2a", "b2dst", "b2revb", "a2mol"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(gb_n, k), dtype=float),
+                np.asarray(getattr(gb_p, k), dtype=float),
+                atol=1e-5, err_msg=f"{mode} array {k} differs")
+        assert gb_n.n_atoms_real == gb_p.n_atoms_real
+        assert gb_n.n_bonds_real == gb_p.n_bonds_real
+
+    @pytest.mark.parametrize("keep_h", [False, True])
+    def test_keep_h_parity(self, keep_h):
+        smiles = ["[CH3:1][OH:2]>>[CH3:1][O-:2]",
+                  "[H][C:1]([H])([H])[OH:2]>>[C:1]([H])([H])([H])[O-:2]",
+                  "[NH2:1][CH2:2][CH3:3]>>[NH:1]=[CH:2][CH3:3]"]
+        cfg = FeaturizationConfig(reaction=True, reaction_mode="reac_diff",
+                                  explicit_h=keep_h)
+        gb_p = mol2graph(smiles, cfg, pad_atoms=512, pad_bonds=2048,
+                         pad_mols=len(smiles))
+        gb_n, _ = native_ext.featurize_batch_native(
+            smiles, pad_atoms=512, pad_bonds=2048, pad_mols=len(smiles),
+            reaction_mode="reac_diff", keep_h=keep_h)
+        for k in ("f_atoms", "f_bonds", "w_atoms", "w_bonds",
+                  "b2a", "b2dst", "b2revb", "a2mol"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(gb_n, k), dtype=float),
+                np.asarray(getattr(gb_p, k), dtype=float),
+                atol=1e-5, err_msg=f"array {k} differs")
+
+    def test_invalid_reaction_flagged(self):
+        gb, valid = native_ext.featurize_batch_native(
+            ["CCO>>CCN", "no_arrows", "xx>>yy"],
+            pad_atoms=256, pad_bonds=512, reaction_mode="reac_diff")
+        assert valid.tolist() == [1, 0, 0]
+
+    def test_loader_reaction_native_parity(self):
+        from polymer_chemprop_tpu.data import (
+            MoleculeDataLoader,
+            MoleculeDatapoint,
+            MoleculeDataset,
+        )
+        smiles = _smiles("reaction_regression.csv", 30)
+        data = MoleculeDataset([MoleculeDatapoint([s], [1.0])
+                                for s in smiles])
+        cfg = FeaturizationConfig(reaction=True,
+                                  reaction_mode="reac_prod_balance")
+        l_py = MoleculeDataLoader(data, cfg, batch_size=10, num_workers=1,
+                                  use_native=False)
+        l_nat = MoleculeDataLoader(data, cfg, batch_size=10, num_workers=1)
+        assert l_nat.use_native
+        for bp, bn in zip(l_py, l_nat):
+            for k in bp.graph_arrays[0]:
+                if k == "pallas_aux":
+                    continue
+                np.testing.assert_allclose(bn.graph_arrays[0][k],
+                                           bp.graph_arrays[0][k], atol=1e-5,
+                                           err_msg=k)
