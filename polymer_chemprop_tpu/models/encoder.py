@@ -160,18 +160,31 @@ def apply_encoder(params: Dict,
                 wi["b"] = jnp.pad(wi["b"], (0, Hp - H))
         inputs = linear(wi, f_bonds, cdt)
         message = act(inputs)
-        # the layer's act(inputs + ·[srev]) epilogue fuses into the band
-        # kernel as act(inputs[srev] + ·)[srev] (srev is an involution);
-        # the srev-permuted residual is loop-invariant, computed once
         act_name = cfg.activation.lower()
-        if fuse_wh and cfg.depth > 1:
+        # rev-fused path: the reverse-bond permutation is folded into the
+        # band matrix itself, so the whole layer (aggregation, reverse
+        # subtraction, W_h, residual, activation) is ONE kernel with zero
+        # gathers fwd and bwd. Available when the batch's molecule spans
+        # fit the kernel window (aux["rs_rev"]); undirected mode still
+        # needs the explicit srev gather for its symmetrization.
+        use_rev = fuse_wh and not cfg.undirected and "rs_rev" in aux
+        if use_rev:
+            from ..ops.pallas_mpnn import band_rev_layer_step_sorted
+        elif fuse_wh and cfg.depth > 1:
+            # the layer's act(inputs + ·[srev]) epilogue fuses into the
+            # band kernel as act(inputs[srev] + ·)[srev] (srev is an
+            # involution); the srev-permuted residual is loop-invariant
             from ..ops.pallas_mpnn import band_matmul_act_step_sorted
             inputs_srev = permute_rows(inputs, aux["srev"], aux["srev"])
         for _ in range(cfg.depth - 1):
             if cfg.undirected:
                 message = (message + permute_rows(message, aux["srev"],
                                                   aux["srev"])) / 2
-            if fuse_wh:
+            if use_rev:
+                message = band_rev_layer_step_sorted(
+                    message, params["W_h"]["w"], inputs, aux,
+                    act_name, prec, cfg.unit_bond_weights)
+            elif fuse_wh:
                 message = band_matmul_act_step_sorted(
                     message, params["W_h"]["w"], inputs_srev, aux,
                     act_name, prec, cfg.unit_bond_weights)

@@ -71,6 +71,14 @@ class SortedBondAux(NamedTuple):
     ra:       (num_atoms/TILE_A,) sorted-bond window start per atom tile
               for the band-matmul atom readout, or None when the batch
               violates the EXT_A window bound (falls back to segment_sum)
+    src_sorted: (B,) source atom ids in sorted order
+    rs_rev:   (nblocks,) window start per bond tile for the REV-FUSED layer
+              kernel (band_rev_layer_step_sorted): tile j's window must
+              cover, for every real bond t in the tile, the whole same-dst
+              run of atom src(t) (fwd; contains srev[t]) and every bond
+              whose src equals dst(t) (bwd) — all inside t's molecule's
+              contiguous sorted range. None when some tile's span exceeds
+              the window (falls back to the srev-gather path)
     """
 
     perm: np.ndarray
@@ -82,6 +90,8 @@ class SortedBondAux(NamedTuple):
     dst_sorted: np.ndarray
     w_sorted: np.ndarray
     ra: "np.ndarray | None" = None
+    src_sorted: "np.ndarray | None" = None
+    rs_rev: "np.ndarray | None" = None
 
 
 def build_sorted_aux(b2dst: np.ndarray, b2revb: np.ndarray,
@@ -146,6 +156,40 @@ def build_sorted_aux(b2dst: np.ndarray, b2revb: np.ndarray,
         hi = int(np.searchsorted(sorted_key, sorted_key[last_real], "right"))
         assert hi - rs[j] <= ext, (
             f"band window overflow: tile {j} needs {hi - rs[j]} > {ext}")
+    # rev-fused layer windows: out[t] = sum_{dst(c)=src(t)} w[c] m[c]
+    # - m[srev[t]] needs the same-dst run of atom src(t); its VJP needs
+    # all bonds with src == dst(t). Both are molecule-local, so per-tile
+    # exact spans are cheap to compute; if any tile's span exceeds ext the
+    # whole batch falls back (rs_rev = None).
+    # src(b) = dst(rev(b)); padding bonds are their own reverse -> src 0
+    src_sorted = b2dst[rev_eff[perm]].astype(np.int32)
+    rs_rev: "np.ndarray | None" = np.full(nblocks, max(0, B - ext), np.int32)
+    if pad_start > 0:
+        real_src = src_sorted[:pad_start].astype(np.int64)
+        real_dst = dst[perm[:pad_start]]
+        n_at = int(max(real_src.max(), real_dst.max())) + 1
+        pos64 = np.arange(pad_start, dtype=np.int64)
+        src_lo = np.full(n_at, B, np.int64)
+        src_hi = np.zeros(n_at, np.int64)
+        np.minimum.at(src_lo, real_src, pos64)
+        np.maximum.at(src_hi, real_src, pos64 + 1)
+        lo_all = np.minimum(
+            np.searchsorted(sorted_key, real_src, side="left"),
+            src_lo[real_dst])
+        hi_all = np.maximum(
+            np.searchsorted(sorted_key, real_src, side="right"),
+            src_hi[real_dst])
+        for j in range(nblocks):
+            a, b = j * tile_b, min((j + 1) * tile_b, pad_start)
+            if a >= pad_start:
+                rs_rev[j] = max(0, B - ext)
+                continue
+            start = int(lo_all[a:b].min()) & ~127
+            start = min(max(start, 0), B - ext)
+            if int(hi_all[a:b].max()) - start > ext:
+                rs_rev = None
+                break
+            rs_rev[j] = start
     ra = None
     if (num_atoms is not None and num_atoms % TILE_A == 0 and B >= EXT_A):
         n_at = num_atoms // TILE_A
@@ -164,7 +208,7 @@ def build_sorted_aux(b2dst: np.ndarray, b2revb: np.ndarray,
         if ok:
             ra = ra_arr
     return SortedBondAux(perm, rank, rev_rank, rev_rank_inv, srev, rs,
-                         dst_sorted, w_sorted, ra)
+                         dst_sorted, w_sorted, ra, src_sorted, rs_rev)
 
 
 # ---------------------------------------------------------------------------
@@ -822,6 +866,282 @@ def band_matmul_act_step_sorted(msg_sorted: jnp.ndarray, wh: jnp.ndarray,
     op.defvjp(fwd, bwd)
     out = op(msg_sorted, wh, inp_srev)
     return permute_rows(out, aux["srev"], aux["srev"])
+
+
+# ---------------------------------------------------------------------------
+# rev-fused layer: the reverse-bond permutation folded INTO the band matrix
+# ---------------------------------------------------------------------------
+#
+# The layer update in natural bond terms is
+#     m_new[b] = sum_{c : dst(c) = src(b)} w[c] m[c]  -  m[rev(b)]
+# (reference mpn.py:110-120 after src(b) = dst(rev(b))). In sorted order
+# both terms are molecule-local, so the WHOLE right-hand side is one banded
+# matmul with
+#     M[t, c] = w[c] * [dst(c) == src(t)]  -  [c == srev(t)]
+# (the rev bond sits inside the same-src run, so its combined entry is
+# w - 1). This removes the per-layer srev permutation gather entirely —
+# fwd AND bwd (the VJP band is the symmetric M^T, built the same way with
+# src/dst swapped) — at the cost of windows that must span the molecule's
+# sorted range instead of a single dst run (build_sorted_aux checks the
+# span per tile and disables the path via rs_rev=None when it overflows).
+
+
+def _band_rev_act_kernel(rs_ref, src_tile_ref, srev_tile_ref,
+                         wh_ref, inp_tile_ref,
+                         msg_hbm, w_hbm, dst_hbm,
+                         out_ref, z_ref,
+                         msg_win, w_win, dst_win, sems, *,
+                         nblocks, ext=EXT, act="relu",
+                         precision=jax.lax.Precision.HIGHEST,
+                         w_exact=False):
+    """Whole wD-MPNN layer tile, zero gathers:
+    out = act(inputs_tile + (M @ msg_window) @ W_h) with M as above.
+    The -m[rev] term rides the band, so no msg tile operand is needed."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    j = pl.program_id(0)
+    slot = jax.lax.rem(j, 2)
+
+    def copies(idx, sl):
+        start = pl.multiple_of(rs_ref[idx], 128)
+        row = pl.multiple_of(start // 128, 1)
+        return (
+            pltpu.make_async_copy(msg_hbm.at[pl.ds(start, ext), :],
+                                  msg_win.at[sl], sems.at[sl, 0]),
+            pltpu.make_async_copy(w_hbm.at[pl.ds(row, ext // 128), :],
+                                  w_win.at[sl], sems.at[sl, 1]),
+            pltpu.make_async_copy(dst_hbm.at[pl.ds(row, ext // 128), :],
+                                  dst_win.at[sl], sems.at[sl, 2]),
+        )
+
+    @pl.when(j == 0)
+    def _():
+        for c in copies(0, 0):
+            c.start()
+
+    @pl.when(j + 1 < nblocks)
+    def _():
+        for c in copies(j + 1, jax.lax.rem(j + 1, 2)):
+            c.start()
+
+    for c in copies(j, slot):
+        c.wait()
+
+    src_t = src_tile_ref[:, 0:1]
+    srev_t = srev_tile_ref[:, 0:1]
+    dst_w = dst_win[slot].reshape(1, ext)
+    w = w_win[slot].reshape(1, ext)
+    # window columns' absolute sorted positions (int32: Mosaic iota)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, ext), 1) + rs_ref[j]
+    q = jnp.where(dst_w == src_t, w, 0.0) - (pos == srev_t).astype(
+        jnp.float32)
+    z = _dot_band(q, msg_win[slot], precision, w_exact)
+    z_ref[:, :] = z
+    pre = _dot_band(z, wh_ref[:, :], precision) + inp_tile_ref[:, :]
+    out_ref[:, :] = _ACT_FNS[act](pre)
+
+
+def _band_rev_bwd_kernel(rs_ref, dst_tile_ref, w_tile_ref, srev_tile_ref,
+                         g_hbm, src_hbm,
+                         out_ref,
+                         g_win, src_win, sems, *,
+                         nblocks, ext=EXT,
+                         precision=jax.lax.Precision.HIGHEST,
+                         w_exact=False):
+    """VJP of the rev-fused band w.r.t. the message input: dm = M^T @ g.
+
+    M^T[c, t] = w[c] * [src(t) == dst(c)] - [t == srev(c)] (c == srev(t)
+    iff t == srev(c); srev is an involution) — the same banded build with
+    the roles of src/dst swapped and the weight on the OUTPUT row."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    j = pl.program_id(0)
+    slot = jax.lax.rem(j, 2)
+
+    def copies(idx, sl):
+        start = pl.multiple_of(rs_ref[idx], 128)
+        row = pl.multiple_of(start // 128, 1)
+        return (
+            pltpu.make_async_copy(g_hbm.at[pl.ds(start, ext), :],
+                                  g_win.at[sl], sems.at[sl, 0]),
+            pltpu.make_async_copy(src_hbm.at[pl.ds(row, ext // 128), :],
+                                  src_win.at[sl], sems.at[sl, 1]),
+        )
+
+    @pl.when(j == 0)
+    def _():
+        for c in copies(0, 0):
+            c.start()
+
+    @pl.when(j + 1 < nblocks)
+    def _():
+        for c in copies(j + 1, jax.lax.rem(j + 1, 2)):
+            c.start()
+
+    for c in copies(j, slot):
+        c.wait()
+
+    dst_t = dst_tile_ref[:, 0:1]
+    w_t = w_tile_ref[:, 0:1]
+    srev_t = srev_tile_ref[:, 0:1]
+    src_w = src_win[slot].reshape(1, ext)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, ext), 1) + rs_ref[j]
+    q = jnp.where(src_w == dst_t, w_t, 0.0) - (pos == srev_t).astype(
+        jnp.float32)
+    out_ref[:, :] = _dot_band(q, g_win[slot], precision, w_exact)
+
+
+def _band_rev_act_apply(msg_sorted, w_sorted, dst_sorted, src_sorted,
+                        srev, rs_rev, wh_padded, inputs, act,
+                        precision=jax.lax.Precision.HIGHEST,
+                        w_exact=False):
+    """(act(inputs + (M msg) @ W_h), M msg) via the rev-fused kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Hp = msg_sorted.shape
+    nblocks = int(rs_rev.shape[0])
+    tile_b = B // nblocks
+    ext = _EXT_FOR[tile_b]
+    w2 = w_sorted.reshape(B // 128, 128)
+    d2 = dst_sorted.astype(jnp.float32).reshape(B // 128, 128)
+    src_bcast = jnp.broadcast_to(src_sorted.astype(jnp.float32)[:, None],
+                                 (B, LANE))
+    srev_bcast = jnp.broadcast_to(srev.astype(jnp.int32)[:, None],
+                                  (B, LANE))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((tile_b, LANE), lambda j, rs: (j, 0)),   # src tile
+            pl.BlockSpec((tile_b, LANE), lambda j, rs: (j, 0)),   # srev tile
+            pl.BlockSpec((Hp, Hp), lambda j, rs: (0, 0)),         # W_h
+            pl.BlockSpec((tile_b, Hp), lambda j, rs: (j, 0)),     # inputs
+            pl.BlockSpec(memory_space=pl.ANY),                    # msg HBM
+            pl.BlockSpec(memory_space=pl.ANY),                    # w HBM
+            pl.BlockSpec(memory_space=pl.ANY),                    # dst HBM
+        ],
+        out_specs=(pl.BlockSpec((tile_b, Hp), lambda j, rs: (j, 0)),
+                   pl.BlockSpec((tile_b, Hp), lambda j, rs: (j, 0))),
+        scratch_shapes=[
+            pltpu.VMEM((2, ext, Hp), jnp.float32),
+            pltpu.VMEM((2, ext // 128, 128), jnp.float32),
+            pltpu.VMEM((2, ext // 128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    fn = pl.pallas_call(
+        functools.partial(_band_rev_act_kernel, precision=precision,
+                          nblocks=nblocks, ext=ext, act=act,
+                          w_exact=w_exact),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((B, Hp), jnp.float32),
+                   jax.ShapeDtypeStruct((B, Hp), jnp.float32)),
+    )
+    return fn(rs_rev, src_bcast, srev_bcast, wh_padded, inputs,
+              msg_sorted, w2, d2)
+
+
+def _band_rev_bwd_apply(g_sorted, w_sorted, dst_sorted, src_sorted,
+                        srev, rs_rev,
+                        precision=jax.lax.Precision.HIGHEST,
+                        w_exact=False):
+    """dm = M^T @ g via the symmetric rev-fused band."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Hp = g_sorted.shape
+    nblocks = int(rs_rev.shape[0])
+    tile_b = B // nblocks
+    ext = _EXT_FOR[tile_b]
+    s2 = src_sorted.astype(jnp.float32).reshape(B // 128, 128)
+    dst_bcast = jnp.broadcast_to(dst_sorted.astype(jnp.float32)[:, None],
+                                 (B, LANE))
+    w_bcast = jnp.broadcast_to(w_sorted[:, None], (B, LANE))
+    srev_bcast = jnp.broadcast_to(srev.astype(jnp.int32)[:, None],
+                                  (B, LANE))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((tile_b, LANE), lambda j, rs: (j, 0)),  # dst tile
+            pl.BlockSpec((tile_b, LANE), lambda j, rs: (j, 0)),  # w rows
+            pl.BlockSpec((tile_b, LANE), lambda j, rs: (j, 0)),  # srev tile
+            pl.BlockSpec(memory_space=pl.ANY),                   # g HBM
+            pl.BlockSpec(memory_space=pl.ANY),                   # src HBM
+        ],
+        out_specs=pl.BlockSpec((tile_b, Hp), lambda j, rs: (j, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, ext, Hp), jnp.float32),
+            pltpu.VMEM((2, ext // 128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    fn = pl.pallas_call(
+        functools.partial(_band_rev_bwd_kernel, precision=precision,
+                          nblocks=nblocks, ext=ext, w_exact=w_exact),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hp), jnp.float32),
+    )
+    return fn(rs_rev, dst_bcast, w_bcast, srev_bcast, g_sorted, s2)
+
+
+def band_rev_layer_step_sorted(msg_sorted: jnp.ndarray, wh: jnp.ndarray,
+                               inputs: jnp.ndarray, aux: dict,
+                               act: str,
+                               precision=jax.lax.Precision.HIGHEST,
+                               w_exact: bool = False) -> jnp.ndarray:
+    """Whole wD-MPNN layer, ZERO permutation gathers:
+
+        m_new = act(inputs + (M m) @ W_h)
+
+    with the reverse-bond selection folded into the band matrix M (see
+    module comment above). Both the layer and its VJP are single fused
+    kernels; ``inputs`` is the unpermuted layer-0 residual. Requires
+    aux["rs_rev"] (build_sorted_aux leaves it out when some tile's
+    molecule span exceeds the window)."""
+    B, Hp = msg_sorted.shape
+    w_sorted = aux["w_sorted"]
+    dst_sorted = aux["dst_sorted"]
+    src_sorted = aux["src_sorted"]
+    srev = aux["srev"]
+    rs_rev = aux["rs_rev"]
+
+    def pad_w(w):
+        return jnp.zeros((Hp, Hp), jnp.float32) \
+            .at[:w.shape[0], :w.shape[1]].set(w)
+
+    @jax.custom_vjp
+    def op(m, w, inp):
+        return _band_rev_act_apply(m, w_sorted, dst_sorted, src_sorted,
+                                   srev, rs_rev, pad_w(w), inp, act,
+                                   precision, w_exact)[0]
+
+    def fwd(m, w, inp):
+        out, z = _band_rev_act_apply(m, w_sorted, dst_sorted, src_sorted,
+                                     srev, rs_rev, pad_w(w), inp, act,
+                                     precision, w_exact)
+        return out, (z, w, out)
+
+    def bwd(res, g):
+        z, w, a = res
+        g_pre = g * _act_grad_from_output(act, a)
+        dw = (z.T @ g_pre)[:w.shape[0], :w.shape[1]]
+        gw = g_pre[:, :w.shape[1]] @ w.T
+        gw = jnp.pad(gw, ((0, 0), (0, Hp - w.shape[0]))) \
+            if w.shape[0] != Hp else gw
+        dm = _band_rev_bwd_apply(gw, w_sorted, dst_sorted, src_sorted,
+                                 srev, rs_rev, precision, w_exact)
+        return dm, dw, g_pre
+
+    op.defvjp(fwd, bwd)
+    return op(msg_sorted, wh, inputs)
 
 
 def _atom_band_kernel(ra_ref, msg_hbm, w_hbm, dst_hbm,

@@ -374,3 +374,144 @@ class TestAtomBandReadout:
         assert aux.ra is None
         d = gb.arrays(pallas=True)
         assert "ra" not in d["pallas_aux"]
+
+
+class TestRevFusedBand:
+    """The rev-fused layer kernel (reverse-bond selection folded into the
+    band matrix; zero permutation gathers) vs the srev-gather fused path."""
+
+    def _msgs(self, gb, seed=0, H=300, Hp=384):
+        B = gb.f_bonds.shape[0]
+        rng = np.random.default_rng(seed)
+        msg = jnp.asarray(rng.normal(size=(B, Hp)).astype(np.float32))
+        msg = msg.at[:, H:].set(0.0)
+        wh = jnp.asarray(rng.normal(size=(H, H)).astype(np.float32) * 0.05)
+        inp = jnp.asarray(rng.normal(size=(B, Hp)).astype(np.float32))
+        inp = inp.at[:, H:].set(0.0)
+        real = np.zeros(B, np.float32)
+        real[1:gb.n_bonds_real] = 1.0
+        cot = jnp.asarray(
+            rng.normal(size=(B, Hp)).astype(np.float32)) * jnp.asarray(
+                real)[:, None]
+        return msg, wh, inp, cot
+
+    @pytest.mark.parametrize("weighted", [False, True])
+    def test_layer_matches_gather_path(self, interpret_mode, batch,
+                                       weighted):
+        from polymer_chemprop_tpu.ops.pallas_mpnn import (
+            band_matmul_act_step_sorted,
+            band_rev_layer_step_sorted,
+        )
+        gb = batch
+        w_bonds = gb.w_bonds
+        if weighted:
+            rng = np.random.default_rng(7)
+            w_bonds = np.where(
+                w_bonds > 0,
+                rng.uniform(0.25, 1.0, w_bonds.shape).astype(np.float32),
+                0.0)
+        aux_t = build_sorted_aux(gb.b2dst, gb.b2revb, w_bonds,
+                                 num_atoms=gb.f_atoms.shape[0])
+        assert aux_t.rs_rev is not None
+        aux = {k: jnp.asarray(getattr(aux_t, k)) for k in aux_t._fields
+               if getattr(aux_t, k) is not None}
+        msg, wh, inp, cot = self._msgs(gb)
+        inp_srev = permute_rows(inp, aux["srev"], aux["srev"])
+        prec = jax.lax.Precision.HIGHEST
+        w_exact = not weighted
+
+        o_old = band_matmul_act_step_sorted(msg, wh, inp_srev, aux, "relu",
+                                            prec, w_exact)
+        o_new = band_rev_layer_step_sorted(msg, wh, inp, aux, "relu",
+                                           prec, w_exact)
+        np.testing.assert_allclose(np.asarray(o_new), np.asarray(o_old),
+                                   rtol=1e-4, atol=1e-4)
+
+        # gradients are compared through tanh: with relu, pre-activations
+        # that land within f32 summation-order noise of 0 flip act' between
+        # the two (both-correct) accumulation orders, which is a property
+        # of relu at 0, not of the kernels (both match a dense f64 oracle)
+        def f_old(m, w):
+            return (band_matmul_act_step_sorted(m, w, inp_srev, aux, "tanh",
+                                                prec, w_exact) * cot).sum()
+
+        def f_new(m, w):
+            return (band_rev_layer_step_sorted(m, w, inp, aux, "tanh",
+                                               prec, w_exact) * cot).sum()
+
+        g_old = jax.grad(f_old, argnums=(0, 1))(msg, wh)
+        g_new = jax.grad(f_new, argnums=(0, 1))(msg, wh)
+        np.testing.assert_allclose(np.asarray(g_new[0]),
+                                   np.asarray(g_old[0]),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g_new[1]),
+                                   np.asarray(g_old[1]),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_rs_rev_window_invariant(self, batch):
+        """Every real bond's rev-fused window must cover its same-src dst
+        run (fwd + srev) and all bonds whose src equals its dst (bwd)."""
+        gb = batch
+        aux = build_sorted_aux(gb.b2dst, gb.b2revb, gb.w_bonds,
+                               num_atoms=gb.f_atoms.shape[0])
+        assert aux.rs_rev is not None
+        B = gb.f_bonds.shape[0]
+        dst, src, srev = aux.dst_sorted, aux.src_sorted, aux.srev
+        for j in range(B // TILE_B):
+            lo, hi = int(aux.rs_rev[j]), int(aux.rs_rev[j]) + EXT
+            for t in range(j * TILE_B, (j + 1) * TILE_B):
+                if dst[t] <= 0:
+                    continue
+                assert lo <= srev[t] < hi
+                # fwd: the dst run of atom src(t)
+                peers = np.nonzero(dst == src[t])[0]
+                assert peers.min() >= lo and peers.max() < hi
+                # bwd: all bonds with src == dst(t)
+                rev_peers = np.nonzero(src == dst[t])[0]
+                assert rev_peers.min() >= lo and rev_peers.max() < hi
+
+    def test_rs_rev_omitted_on_span_overflow(self):
+        """A reverse pairing whose molecule span exceeds the window must
+        disable the rev-fused path (rs_rev None), keeping rs valid."""
+        B = 2048
+        b2dst = np.arange(B, dtype=np.int32)   # every bond its own dst run
+        b2revb = np.zeros(B, np.int32)
+        n_real = 2000
+        half = n_real // 2
+        for b in range(1, half + 1):           # pairs (b, b+half): span>EXT
+            b2revb[b] = b + half
+            b2revb[b + half] = b
+        w = np.ones(B, np.float32)
+        aux = build_sorted_aux(b2dst, b2revb, w)
+        assert aux.rs_rev is None
+        assert aux.rs is not None
+
+    def test_encoder_without_rs_rev_matches_xla(self, interpret_mode,
+                                                batch):
+        """The srev-gather fused path (used when rs_rev is absent) must
+        stay correct — it is the fallback for span-overflow batches."""
+        from polymer_chemprop_tpu.models import (
+            EncoderConfig,
+            apply_encoder,
+            init_encoder,
+        )
+        gb = batch
+        cfg = EncoderConfig(atom_fdim=133, bond_fdim=147, hidden_size=24,
+                            depth=3)
+        params = init_encoder(jax.random.PRNGKey(11), cfg)
+        a_x = {k: jnp.asarray(v) for k, v in gb.arrays().items()}
+        a_p = jax.tree_util.tree_map(jnp.asarray, gb.arrays(pallas=True))
+        a_p["pallas_aux"] = {k: v for k, v in a_p["pallas_aux"].items()
+                             if k not in ("rs_rev",)}
+        np.testing.assert_allclose(
+            np.asarray(apply_encoder(params, a_p, cfg)),
+            np.asarray(apply_encoder(params, a_x, cfg)),
+            rtol=1e-4, atol=1e-5)
+        g_x = jax.grad(lambda p: (apply_encoder(p, a_x, cfg) ** 2).sum())(
+            params)
+        g_p = jax.grad(lambda p: (apply_encoder(p, a_p, cfg) ** 2).sum())(
+            params)
+        for a, b in zip(jax.tree_util.tree_leaves(g_x),
+                        jax.tree_util.tree_leaves(g_p)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-3, atol=1e-4)
