@@ -25,6 +25,16 @@ reverse+unsort index) are plain gathers whose VJPs are *gathers by the
 inverse permutation* (registered via custom_vjp below), so the backward
 pass also avoids scatters entirely: the band matrix S = Q is applied
 transposed by reusing the same kernel with unit weights.
+
+The production path goes one step further and eliminates the gathers
+too (band_rev_layer_step_sorted): rewriting the layer as
+m_new[b] = sum_{c: dst(c)=src(b)} w[c] m[c] - m[rev(b)], both terms are
+molecule-local in sorted order, so the whole layer folds into a single
+banded matmul M[t,c] = w[c]*[dst(c)==src(t)] - [c==srev(t)] whose VJP is
+the symmetric band with src/dst swapped — zero permutation gathers in
+the entire depth loop. build_sorted_aux verifies the (molecule-span)
+window bound per tile and publishes rs_rev only when it holds; the
+srev-gather path above remains the fallback.
 """
 
 from __future__ import annotations
