@@ -34,31 +34,56 @@ HIDDEN = 300
 DEPTH = 3
 
 
-def _load_batch():
-    from polymer_chemprop_tpu.features import mol2graph, round_up
-    with open("tests/data/regression.csv") as f:
-        r = csv.reader(f)
-        next(r)
-        smiles = [row[0] for row in r]
-    batch_smiles = (smiles * ((BATCH_MOLS // len(smiles)) + 1))[:BATCH_MOLS]
+_MONOMERS = ["[*:1]c1ccc([*:2])cc1", "[*:1]CO[*:2]", "[*:1]C(C)C[*:2]",
+             "[*:1]c1cc(F)c([*:2])cc1F", "[*:1]c1ccc(-c2ccc([*:2])s2)s1"]
+
+
+def _polymer_smiles(n):
+    """Deterministic wD-MPNN copolymer ensemble strings (stochastic
+    inter-monomer bond weights, stoichiometry, Xn) for the weighted-band
+    bench variant."""
+    out = []
+    for i in range(n):
+        sa = _MONOMERS[i % len(_MONOMERS)]
+        sb = _MONOMERS[(i // len(_MONOMERS) + i + 1) % len(_MONOMERS)]
+        sb = sb.replace("[*:1]", "[*:3]").replace("[*:2]", "[*:4]")
+        w = [0.1, 0.25, 0.5, 0.75, 0.9][i % 5]
+        xn = [1, 5, 20, 100, 400][(i // 5) % 5]
+        out.append(f"{sa}.{sb}|{w}|{1 - w}|<1-3:0.5:0.5<2-4:0.5:0.5~{xn}")
+    return out
+
+
+def _load_batch(polymer: bool = False):
+    from polymer_chemprop_tpu.features import (FeaturizationConfig, mol2graph,
+                                               round_up)
+    if polymer:
+        batch_smiles = _polymer_smiles(BATCH_MOLS)
+        cfg = FeaturizationConfig(polymer=True)
+    else:
+        with open("tests/data/regression.csv") as f:
+            r = csv.reader(f)
+            next(r)
+            smiles = [row[0] for row in r]
+        batch_smiles = (smiles * ((BATCH_MOLS // len(smiles)) + 1))[:BATCH_MOLS]
+        cfg = None
     # tight power-of-two-ish envelope
-    probe = mol2graph(batch_smiles, pad_atoms=65536, pad_bonds=131072,
+    probe = mol2graph(batch_smiles, cfg, pad_atoms=65536, pad_bonds=131072,
                       pad_mols=BATCH_MOLS)
     pa = round_up(probe.n_atoms_real, 1024)
     pb = round_up(probe.n_bonds_real, 1024)
-    gb = mol2graph(batch_smiles, pad_atoms=pa, pad_bonds=pb,
+    gb = mol2graph(batch_smiles, cfg, pad_atoms=pa, pad_bonds=pb,
                    pad_mols=BATCH_MOLS)
     return gb
 
 
 def bench_tpu(pallas: bool = False, bf16: bool = False,
-              precision: str = "high") -> dict:
+              precision: str = "high", polymer: bool = False) -> dict:
     import jax
     from polymer_chemprop_tpu.models import EncoderConfig, ModelConfig, init_model
     from polymer_chemprop_tpu.train import make_train_step
     from polymer_chemprop_tpu.train.scheduler import build_optimizer, build_schedule
 
-    gb = _load_batch()
+    gb = _load_batch(polymer=polymer)
     arrays = gb.arrays(pallas=pallas)
     n_real_edges = gb.n_bonds_real - 1
 
@@ -66,7 +91,8 @@ def bench_tpu(pallas: bool = False, bf16: bool = False,
                         depth=DEPTH,
                         compute_dtype="bfloat16" if bf16 else "float32",
                         band_precision=precision,
-                        unit_bond_weights=True)  # regression fixture: w=1
+                        # polymer: stochastic bond weights -> full 3-pass band
+                        unit_bond_weights=not polymer)
     mcfg = ModelConfig(encoder=enc, dataset_type="regression", num_tasks=1,
                        ffn_hidden_size=HIDDEN)
     params = init_model(jax.random.PRNGKey(0), mcfg)
@@ -134,7 +160,7 @@ def bench_tpu(pallas: bool = False, bf16: bool = False,
 
     edges_per_s = n_real_edges / dt
     kernel = ("pallas-band" if pallas else "xla-segment") + \
-        ("+bf16" if bf16 else "")
+        ("+bf16" if bf16 else "") + ("+polymer" if polymer else "")
     return {
         "metric": "wD-MPNN train-step throughput (real directed edges/s, "
                   f"batch {BATCH_MOLS} mols, hidden {HIDDEN}, depth {DEPTH}, "
@@ -213,6 +239,10 @@ if __name__ == "__main__":
         print(json.dumps(bench_tpu(pallas=False)))
     elif "--bf16" in sys.argv:
         print(json.dumps(bench_tpu(pallas=True, bf16=True)))
+    elif "--polymer" in sys.argv:
+        # wD-MPNN copolymer ensembles: stochastic (non-unit) bond weights
+        # through the weighted 3-pass band kernels + Xn-scaled readout
+        print(json.dumps(bench_tpu(pallas=True, polymer=True)))
     elif "--fastband" in sys.argv:
         # 1-pass bf16 MXU band kernels (diagnostics; experimental accuracy)
         print(json.dumps(bench_tpu(pallas=True, precision="default")))
