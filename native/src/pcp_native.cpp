@@ -893,6 +893,27 @@ bool perceive(Mol& m, bool keep_h = false) {
   return ok;
 }
 
+// AddHs equivalent (chem/smiles.py:_materialize_hs, reference make_mol
+// add-H path rdkit.py:13-16): implicit hydrogens become explicit graph
+// atoms appended in atom order, then the molecule is re-perceived exactly
+// like the Python path's second mol.perceive() call.
+bool materialize_hs(Mol& m) {
+  int n = (int)m.atoms.size();
+  for (int a = 0; a < n; a++) {
+    int nh = m.atoms[a].num_h;
+    for (int k = 0; k < nh; k++) {
+      Atom h;
+      h.z = 1;
+      h.explicit_h = 0;
+      int hid = m.add_atom(h);
+      m.add_bond(a, hid, ORDER_SINGLE, false, 0);
+    }
+    m.atoms[a].explicit_h = 0;
+    m.atoms[a].num_h = 0;
+  }
+  return perceive(m, /*keep_h=*/true);
+}
+
 // ------------------------------------------------------------ featurization
 
 void onek(int value, int n_choices, float* out) {
@@ -950,14 +971,16 @@ struct PackedGraph {
   bool valid = false;
 };
 
-PackedGraph featurize_one(const std::string& smiles) {
+PackedGraph featurize_one(const std::string& smiles, bool keep_h = false,
+                          bool add_h = false) {
   PackedGraph g;
   Mol m;
   try {
     SemOrder sem;
     m = parse_smiles_raw(smiles, &sem);
     normalize_chirality(m, sem);
-    if (!perceive(m)) return g;
+    if (!perceive(m, keep_h)) return g;
+    if (add_h && !materialize_hs(m)) return g;
   } catch (...) {
     return g;
   }
@@ -1544,6 +1567,24 @@ int pcp_featurize_batch(const char** smiles, int n,
       ATOM_FDIM, ATOM_FDIM + BOND_FDIM);
 }
 
+// Standard molecules with explicit-H retention (keep_h) and/or AddHs
+// (add_h) — the reference's --explicit_h / --adding_h flags.
+int pcp_featurize_batch_h(const char** smiles, int n,
+                          int pad_atoms, int pad_bonds,
+                          float* f_atoms, float* f_bonds,
+                          float* w_atoms, float* w_bonds,
+                          int* b2a, int* b2dst, int* b2revb, int* a2mol,
+                          unsigned char* valid_out, int* counts_out,
+                          int n_threads, int keep_h, int add_h) {
+  auto fn = [keep_h, add_h](const char* s) {
+    return featurize_one(s, keep_h != 0, add_h != 0);
+  };
+  return pcp_featurize_batch_impl(
+      smiles, n, pad_atoms, pad_bonds, f_atoms, f_bonds, w_atoms, w_bonds,
+      b2a, b2dst, b2revb, a2mol, nullptr, valid_out, counts_out, n_threads,
+      fn, ATOM_FDIM, ATOM_FDIM + BOND_FDIM);
+}
+
 // Polymer-mode batch featurization: input strings are wD-MPNN copolymer
 // ensembles "monA.monB|w1|w2|<1-2:w12:w21...~Xn"; additionally writes the
 // per-molecule degree-of-polymerization factor 1+log10(Xn).
@@ -1611,6 +1652,14 @@ int pcp_count(const char** smiles, int n, int* atoms_out, int* bonds_out,
               int n_threads) {
   return pcp_count_impl(smiles, n, atoms_out, bonds_out, n_threads,
                         [](const char* s) { return featurize_one(s); });
+}
+
+int pcp_count_h(const char** smiles, int n, int* atoms_out, int* bonds_out,
+                int n_threads, int keep_h, int add_h) {
+  auto fn = [keep_h, add_h](const char* s) {
+    return featurize_one(s, keep_h != 0, add_h != 0);
+  };
+  return pcp_count_impl(smiles, n, atoms_out, bonds_out, n_threads, fn);
 }
 
 int pcp_count_polymer(const char** smiles, int n, int* atoms_out,

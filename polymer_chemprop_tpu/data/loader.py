@@ -71,9 +71,9 @@ class MoleculeDataLoader:
         self._align = align
         self._length: Optional[int] = None
         self.number_of_molecules = (len(dataset[0].smiles) if len(dataset) else 1)
-        # native C++ featurization: standard molecules, wD-MPNN polymer
-        # ensembles, and atom-mapped reactions (extra per-atom/bond features
-        # and add_h stay on the Python path).
+        # native C++ featurization: standard molecules (incl. explicit-H
+        # retention and AddHs), wD-MPNN polymer ensembles, and atom-mapped
+        # reactions (extra per-atom/bond features stay on the Python path).
         # None = auto: use the C++ featurizer whenever it is built and the
         # config is native-eligible (bit-identical to the Python path)
         if use_native is None:
@@ -81,9 +81,10 @@ class MoleculeDataLoader:
         self._native_polymer = False
         self._native_reaction: Optional[str] = None
         self._native_keep_h = False
+        self._native_add_h = False
         if use_native:
-            from ..native_ext import (available, polymer_available,
-                                      reaction_available)
+            from ..native_ext import (available, hydrogens_available,
+                                      polymer_available, reaction_available)
             no_extra = (len(dataset) == 0 or
                         (dataset[0].atom_features is None and
                          dataset[0].bond_features is None))
@@ -99,6 +100,11 @@ class MoleculeDataLoader:
             elif config.polymer:
                 use_native = polymer_available() and simple
                 self._native_polymer = use_native
+            elif config.explicit_h or config.adding_h:
+                use_native = hydrogens_available() and no_extra
+                if use_native:
+                    self._native_keep_h = config.explicit_h
+                    self._native_add_h = config.adding_h
             else:
                 use_native = available() and simple
         self.use_native = use_native
@@ -177,7 +183,8 @@ class MoleculeDataLoader:
                         n_threads=self.num_workers,
                         polymer=self._native_polymer,
                         reaction_mode=self._native_reaction,
-                        keep_h=self._native_keep_h)
+                        keep_h=self._native_keep_h,
+                        add_h=self._native_add_h)
                     a += np.maximum(ap, 0)
                     b += np.maximum(bp, 0)
                 counts = list(zip(a.tolist(), b.tolist()))
@@ -211,7 +218,8 @@ class MoleculeDataLoader:
                     pad_mols=self.batch_size, n_threads=self.num_workers,
                     polymer=self._native_polymer,
                     reaction_mode=self._native_reaction,
-                    keep_h=self._native_keep_h)
+                    keep_h=self._native_keep_h,
+                    add_h=self._native_add_h)
                 graph_arrays.append(gb.arrays(pallas=self.use_pallas))
         else:
             for pos in range(n_pos):

@@ -55,6 +55,14 @@ def _load():
             + lib.pcp_featurize_batch.argtypes[12:])
         lib.pcp_count_polymer.restype = ctypes.c_int
         lib.pcp_count_polymer.argtypes = lib.pcp_count.argtypes
+    if hasattr(lib, "pcp_featurize_batch_h"):
+        lib.pcp_featurize_batch_h.restype = ctypes.c_int
+        lib.pcp_featurize_batch_h.argtypes = (
+            lib.pcp_featurize_batch.argtypes
+            + [ctypes.c_int, ctypes.c_int])
+        lib.pcp_count_h.restype = ctypes.c_int
+        lib.pcp_count_h.argtypes = (
+            lib.pcp_count.argtypes + [ctypes.c_int, ctypes.c_int])
     if hasattr(lib, "pcp_featurize_reaction_batch"):
         lib.pcp_featurize_reaction_batch.restype = ctypes.c_int
         lib.pcp_featurize_reaction_batch.argtypes = (
@@ -88,6 +96,12 @@ def reaction_available() -> bool:
     return lib is not None and hasattr(lib, "pcp_featurize_reaction_batch")
 
 
+def hydrogens_available() -> bool:
+    """keep_h / add_h support for standard molecules."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "pcp_featurize_batch_h")
+
+
 def _c_strings(smiles: List[str]):
     arr = (ctypes.c_char_p * len(smiles))()
     keep = [s.encode() for s in smiles]
@@ -96,8 +110,8 @@ def _c_strings(smiles: List[str]):
 
 
 def count_native(smiles: List[str], n_threads: int = 4, polymer: bool = False,
-                 reaction_mode: Optional[str] = None, keep_h: bool = False
-                 ) -> Tuple[np.ndarray, np.ndarray]:
+                 reaction_mode: Optional[str] = None, keep_h: bool = False,
+                 add_h: bool = False) -> Tuple[np.ndarray, np.ndarray]:
     """Per-molecule (n_atoms, n_bonds) counts; -1 marks invalid SMILES."""
     lib = _load()
     arr, keep = _c_strings(smiles)
@@ -112,6 +126,8 @@ def count_native(smiles: List[str], n_threads: int = 4, polymer: bool = False,
         lib.pcp_count_reaction(*base, mode, balance, int(keep_h))
     elif polymer:
         lib.pcp_count_polymer(*base)
+    elif keep_h or add_h:
+        lib.pcp_count_h(*base, int(keep_h), int(add_h))
     else:
         lib.pcp_count(*base)
     return atoms, bonds
@@ -121,10 +137,11 @@ def featurize_batch_native(smiles: List[str], pad_atoms: int, pad_bonds: int,
                            pad_mols: Optional[int] = None,
                            n_threads: int = 4, polymer: bool = False,
                            reaction_mode: Optional[str] = None,
-                           keep_h: bool = False):
-    """SMILES list -> GraphBatch (standard molecules, wD-MPNN polymer
-    ensemble strings with polymer=True, or atom-mapped reaction SMILES
-    with reaction_mode set)."""
+                           keep_h: bool = False, add_h: bool = False):
+    """SMILES list -> GraphBatch (standard molecules — optionally with
+    explicit-H retention / AddHs — wD-MPNN polymer ensemble strings with
+    polymer=True, or atom-mapped reaction SMILES with reaction_mode
+    set)."""
     from .features.batching import GraphBatch
 
     lib = _load()
@@ -136,6 +153,10 @@ def featurize_batch_native(smiles: List[str], pad_atoms: int, pad_bonds: int,
     if reaction_mode is not None and \
             not hasattr(lib, "pcp_featurize_reaction_batch"):
         raise RuntimeError("native library predates reaction support "
+                           "(rebuild with make -C native)")
+    if (keep_h or add_h) and reaction_mode is None and \
+            not hasattr(lib, "pcp_featurize_batch_h"):
+        raise RuntimeError("native library predates keep_h/add_h support "
                            "(rebuild with make -C native)")
     n = len(smiles)
     M = pad_mols or n
@@ -178,6 +199,9 @@ def featurize_batch_native(smiles: List[str], pad_atoms: int, pad_bonds: int,
             *common, dop.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             *tail)
         degree_of_polym[:n] = dop
+    elif keep_h or add_h:
+        rc = lib.pcp_featurize_batch_h(*common, *tail, int(keep_h),
+                                       int(add_h))
     else:
         rc = lib.pcp_featurize_batch(*common, *tail)
     if rc != 0:

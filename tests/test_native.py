@@ -229,8 +229,65 @@ def test_loader_auto_defaults_to_native():
     assert MoleculeDataLoader(d2, rxn, batch_size=1,
                               num_workers=1).use_native
     addh = FeaturizationConfig(adding_h=True)
-    assert not MoleculeDataLoader(data, addh, batch_size=1,
+    assert MoleculeDataLoader(data, addh, batch_size=1,
+                              num_workers=1).use_native
+    # extra per-atom features stay on the Python path
+    extra = MoleculeDataset([MoleculeDatapoint(
+        ["CCO"], [1.0], atom_features=np.ones((3, 2), np.float32))])
+    assert not MoleculeDataLoader(extra, FeaturizationConfig(), batch_size=1,
                                   num_workers=1).use_native
+
+
+class TestHydrogenNative:
+    """Native keep_h (explicit-H retention) / add_h (AddHs) parity for
+    standard molecules (reference make_mol variants, rdkit.py:3-18)."""
+
+    pytestmark = pytest.mark.skipif(
+        not native_ext.hydrogens_available(),
+        reason="native library predates keep_h/add_h support")
+
+    @pytest.mark.parametrize("kh,ah", [(True, False), (False, True),
+                                       (True, True)])
+    def test_exact_parity(self, kh, ah):
+        smiles = _smiles("regression.csv", 120)
+        smiles += ["[H]C([H])([H])O[H]", "[2H]C(Cl)Cl", "C[C@H](N)C(=O)O"]
+        cfg = FeaturizationConfig(explicit_h=kh, adding_h=ah)
+        gb_p = mol2graph(smiles, cfg, pad_atoms=8192, pad_bonds=16384,
+                         pad_mols=len(smiles))
+        gb_n, valid = native_ext.featurize_batch_native(
+            smiles, pad_atoms=8192, pad_bonds=16384, pad_mols=len(smiles),
+            keep_h=kh, add_h=ah)
+        assert valid.all()
+        for k in ("f_atoms", "f_bonds", "w_atoms", "w_bonds",
+                  "b2a", "b2dst", "b2revb", "a2mol"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(gb_n, k), dtype=float),
+                np.asarray(getattr(gb_p, k), dtype=float),
+                atol=1e-5, err_msg=f"keep_h={kh} add_h={ah} array {k}")
+        assert gb_n.n_atoms_real == gb_p.n_atoms_real
+        assert gb_n.n_bonds_real == gb_p.n_bonds_real
+
+    def test_loader_add_h_parity(self):
+        from polymer_chemprop_tpu.data import (
+            MoleculeDataLoader,
+            MoleculeDatapoint,
+            MoleculeDataset,
+        )
+        smiles = _smiles("regression.csv", 30)
+        data = MoleculeDataset([MoleculeDatapoint([s], [1.0])
+                                for s in smiles])
+        cfg = FeaturizationConfig(adding_h=True)
+        l_py = MoleculeDataLoader(data, cfg, batch_size=10, num_workers=1,
+                                  use_native=False)
+        l_nat = MoleculeDataLoader(data, cfg, batch_size=10, num_workers=1)
+        assert l_nat.use_native
+        for bp, bn in zip(l_py, l_nat):
+            for k in bp.graph_arrays[0]:
+                if k == "pallas_aux":
+                    continue
+                np.testing.assert_allclose(bn.graph_arrays[0][k],
+                                           bp.graph_arrays[0][k], atol=1e-5,
+                                           err_msg=k)
 
 
 # --------------------------------------------------------------- reaction

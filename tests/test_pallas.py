@@ -147,6 +147,8 @@ class TestBandKernel:
         a_x = {k: jnp.asarray(v) for k, v in gb.arrays().items()}
         a_p = jax.tree_util.tree_map(jnp.asarray,
                                      gb.arrays(pallas=True, band_tile=1024))
+        # the rev-fused path must be active at the large tile size too
+        assert "rs_rev" in a_p["pallas_aux"]
         out_x = np.asarray(apply_encoder(params, a_x, cfg))
         out_p = np.asarray(apply_encoder(params, a_p, cfg))
         np.testing.assert_allclose(out_p, out_x, rtol=1e-4, atol=1e-5)
