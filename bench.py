@@ -174,6 +174,51 @@ def bench_tpu(pallas: bool = False, bf16: bool = False,
     }
 
 
+def bench_predict(pallas: bool = True) -> dict:
+    """Post-warm inference throughput (molecules/s) on the chip — the
+    serving-side number: one jitted forward over a device-resident batch."""
+    import jax
+    from polymer_chemprop_tpu.models import EncoderConfig, ModelConfig, init_model
+    from polymer_chemprop_tpu.train.step import make_predict_step
+
+    gb = _load_batch()
+    arrays = gb.arrays(pallas=pallas)
+    n_real_edges = gb.n_bonds_real - 1
+    enc = EncoderConfig(atom_fdim=133, bond_fdim=147, hidden_size=HIDDEN,
+                        depth=DEPTH, band_precision="high",
+                        unit_bond_weights=True)
+    mcfg = ModelConfig(encoder=enc, dataset_type="regression", num_tasks=1,
+                       ffn_hidden_size=HIDDEN)
+    params = init_model(jax.random.PRNGKey(0), mcfg)
+    batch = jax.device_put({"graphs": [arrays], "features": None})
+    step = make_predict_step(mcfg)
+    preds = step(params, batch)
+    float(preds.sum())  # compile + fence
+
+    best_dt = float("inf")
+    for trial in range(5):
+        n_iters = 200
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            preds = step(params, batch)
+        float(preds.sum())
+        best_dt = min(best_dt, (time.perf_counter() - t0) / n_iters)
+        if best_dt < 0.004:
+            break
+        time.sleep(10)
+    return {
+        "metric": "wD-MPNN inference throughput (molecules/s, batch "
+                  f"{BATCH_MOLS} mols, hidden {HIDDEN}, depth {DEPTH}, "
+                  f"{'pallas-band' if pallas else 'xla-segment'}, "
+                  f"{jax.devices()[0].device_kind})",
+        "value": round(BATCH_MOLS / best_dt),
+        "unit": "mol/s",
+        "vs_baseline": None,
+        "step_ms": round(best_dt * 1e3, 3),
+        "edges_per_s": round(n_real_edges / best_dt),
+    }
+
+
 def bench_baseline_torch() -> dict:
     """Reference-equivalent torch CPU training step (dense index_add_
     aggregation exactly as reference mpn.py:110-131)."""
@@ -239,6 +284,9 @@ if __name__ == "__main__":
         print(json.dumps(bench_tpu(pallas=False)))
     elif "--bf16" in sys.argv:
         print(json.dumps(bench_tpu(pallas=True, bf16=True)))
+    elif "--predict" in sys.argv:
+        # post-warm inference (serving) throughput
+        print(json.dumps(bench_predict()))
     elif "--polymer" in sys.argv:
         # wD-MPNN copolymer ensembles: stochastic (non-unit) bond weights
         # through the weighted 3-pass band kernels + Xn-scaled readout
