@@ -1092,7 +1092,8 @@ void parse_polymer_rules(std::vector<std::string> rules,
 // re-perceive the combined molecule.
 Mol make_polymer_mol(const std::string& frags_smiles,
                      const std::vector<double>& weights,
-                     std::vector<double>* w_frag) {
+                     std::vector<double>* w_frag,
+                     bool keep_h = false, bool add_h = false) {
   auto frags = split_str(frags_smiles, '.');
   if (frags.size() != weights.size()) throw ParseError{};
   Mol combined;
@@ -1100,7 +1101,8 @@ Mol make_polymer_mol(const std::string& frags_smiles,
     SemOrder sem;
     Mol f = parse_smiles_raw(frags[fi], &sem);
     normalize_chirality(f, sem);
-    if (!perceive(f)) throw ParseError{};  // strict fragment parse
+    if (!perceive(f, keep_h)) throw ParseError{};  // strict fragment parse
+    if (add_h && !materialize_hs(f)) throw ParseError{};
     int off = (int)combined.atoms.size();
     for (const Atom& a : f.atoms) {
       Atom na;
@@ -1118,7 +1120,7 @@ Mol make_polymer_mol(const std::string& frags_smiles,
       combined.add_bond(b.a1 + off, b.a2 + off, b.order, b.aromatic,
                         b.direction);
   }
-  if (!perceive(combined)) throw ParseError{};
+  if (!perceive(combined, /*keep_h=*/true)) throw ParseError{};
   return combined;
 }
 
@@ -1162,7 +1164,8 @@ void synthetic_bond_features(const Mol& m, int a1, int a2, int order,
   onek(0, 6, p);       // STEREONONE
 }
 
-PackedGraph featurize_polymer_one(const std::string& input) {
+PackedGraph featurize_polymer_one(const std::string& input,
+                                  bool keep_h = false, bool add_h = false) {
   PackedGraph g;
   try {
     auto fields = split_str(input, '|');
@@ -1176,7 +1179,7 @@ PackedGraph featurize_polymer_one(const std::string& input) {
     parse_polymer_rules(rules, &pinfo, &dop);
 
     std::vector<double> w_frag;
-    Mol m = make_polymer_mol(fields[0], weights, &w_frag);
+    Mol m = make_polymer_mol(fields[0], weights, &w_frag, keep_h, add_h);
 
     // tag_atoms_in_repeating_unit (featurization.py:165-184): wildcard ->
     // its single neighbour; R-tag -> attachment bond order. Later entries
@@ -1227,7 +1230,7 @@ PackedGraph featurize_polymer_one(const std::string& input) {
       if (core_remap[b.a1] >= 0 && core_remap[b.a2] >= 0)
         pm.add_bond(core_remap[b.a1], core_remap[b.a2], b.order, b.aromatic,
                     b.direction);
-    if (!perceive(pm)) throw ParseError{};
+    if (!perceive(pm, /*keep_h=*/true)) throw ParseError{};
 
     // intra-monomer bonds (unit weights) in sorted (min,max) order,
     // then stochastic inter-monomer bonds with directed weights
@@ -1603,6 +1606,25 @@ int pcp_featurize_polymer_batch(const char** smiles, int n,
       ATOM_FDIM, ATOM_FDIM + BOND_FDIM);
 }
 
+// Polymer mode with explicit-H retention / AddHs (per monomer fragment,
+// like the reference's make_polymer_mol keep_h/add_h args, rdkit.py:21-51).
+int pcp_featurize_polymer_batch_h(const char** smiles, int n,
+                                  int pad_atoms, int pad_bonds,
+                                  float* f_atoms, float* f_bonds,
+                                  float* w_atoms, float* w_bonds,
+                                  int* b2a, int* b2dst, int* b2revb,
+                                  int* a2mol, float* dop_out,
+                                  unsigned char* valid_out, int* counts_out,
+                                  int n_threads, int keep_h, int add_h) {
+  auto fn = [keep_h, add_h](const char* s) {
+    return featurize_polymer_one(s, keep_h != 0, add_h != 0);
+  };
+  return pcp_featurize_batch_impl(
+      smiles, n, pad_atoms, pad_bonds, f_atoms, f_bonds, w_atoms, w_bonds,
+      b2a, b2dst, b2revb, a2mol, dop_out, valid_out, counts_out, n_threads,
+      fn, ATOM_FDIM, ATOM_FDIM + BOND_FDIM);
+}
+
 // Reaction-mode batch featurization: atom-mapped "reac>agents>prod" SMILES.
 // mode: 0 = reac_prod, 1 = reac_diff, 2 = prod_diff; balance applies the
 // *_balance variants; keep_h preserves explicit [H] atoms as graph nodes
@@ -1667,6 +1689,15 @@ int pcp_count_polymer(const char** smiles, int n, int* atoms_out,
   return pcp_count_impl(
       smiles, n, atoms_out, bonds_out, n_threads,
       [](const char* s) { return featurize_polymer_one(s); });
+}
+
+int pcp_count_polymer_h(const char** smiles, int n, int* atoms_out,
+                        int* bonds_out, int n_threads, int keep_h,
+                        int add_h) {
+  auto fn = [keep_h, add_h](const char* s) {
+    return featurize_polymer_one(s, keep_h != 0, add_h != 0);
+  };
+  return pcp_count_impl(smiles, n, atoms_out, bonds_out, n_threads, fn);
 }
 
 int pcp_count_reaction(const char** smiles, int n, int* atoms_out,

@@ -98,7 +98,14 @@ class MoleculeDataLoader:
                     self._native_reaction = config.reaction_mode
                     self._native_keep_h = config.explicit_h
             elif config.polymer:
-                use_native = polymer_available() and simple
+                if config.explicit_h or config.adding_h:
+                    from ..native_ext import polymer_hydrogens_available
+                    use_native = polymer_hydrogens_available() and no_extra
+                    if use_native:
+                        self._native_keep_h = config.explicit_h
+                        self._native_add_h = config.adding_h
+                else:
+                    use_native = polymer_available() and simple
                 self._native_polymer = use_native
             elif config.explicit_h or config.adding_h:
                 use_native = hydrogens_available() and no_extra

@@ -55,6 +55,16 @@ def _load():
             + lib.pcp_featurize_batch.argtypes[12:])
         lib.pcp_count_polymer.restype = ctypes.c_int
         lib.pcp_count_polymer.argtypes = lib.pcp_count.argtypes
+    if hasattr(lib, "pcp_featurize_polymer_batch_h"):
+        lib.pcp_featurize_polymer_batch_h.restype = ctypes.c_int
+        lib.pcp_featurize_polymer_batch_h.argtypes = (
+            lib.pcp_featurize_batch.argtypes[:12]
+            + [ctypes.POINTER(ctypes.c_float)]
+            + lib.pcp_featurize_batch.argtypes[12:]
+            + [ctypes.c_int, ctypes.c_int])
+        lib.pcp_count_polymer_h.restype = ctypes.c_int
+        lib.pcp_count_polymer_h.argtypes = (
+            lib.pcp_count.argtypes + [ctypes.c_int, ctypes.c_int])
     if hasattr(lib, "pcp_featurize_batch_h"):
         lib.pcp_featurize_batch_h.restype = ctypes.c_int
         lib.pcp_featurize_batch_h.argtypes = (
@@ -102,6 +112,12 @@ def hydrogens_available() -> bool:
     return lib is not None and hasattr(lib, "pcp_featurize_batch_h")
 
 
+def polymer_hydrogens_available() -> bool:
+    """keep_h / add_h support for polymer ensemble strings."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "pcp_featurize_polymer_batch_h")
+
+
 def _c_strings(smiles: List[str]):
     arr = (ctypes.c_char_p * len(smiles))()
     keep = [s.encode() for s in smiles]
@@ -124,6 +140,8 @@ def count_native(smiles: List[str], n_threads: int = 4, polymer: bool = False,
     if reaction_mode is not None:
         mode, balance = _RXN_MODE[reaction_mode]
         lib.pcp_count_reaction(*base, mode, balance, int(keep_h))
+    elif polymer and (keep_h or add_h):
+        lib.pcp_count_polymer_h(*base, int(keep_h), int(add_h))
     elif polymer:
         lib.pcp_count_polymer(*base)
     elif keep_h or add_h:
@@ -195,9 +213,12 @@ def featurize_batch_native(smiles: List[str], pad_atoms: int, pad_bonds: int,
                                               int(keep_h))
     elif polymer:
         dop = np.ones(n, np.float32)
-        rc = lib.pcp_featurize_polymer_batch(
-            *common, dop.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            *tail)
+        dop_p = dop.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        if keep_h or add_h:
+            rc = lib.pcp_featurize_polymer_batch_h(*common, dop_p, *tail,
+                                                   int(keep_h), int(add_h))
+        else:
+            rc = lib.pcp_featurize_polymer_batch(*common, dop_p, *tail)
         degree_of_polym[:n] = dop
     elif keep_h or add_h:
         rc = lib.pcp_featurize_batch_h(*common, *tail, int(keep_h),

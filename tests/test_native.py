@@ -160,6 +160,33 @@ class TestPolymerNative:
         assert atoms.tolist() == [2, -1]
         assert bonds.tolist() == [4, -1]
 
+    @pytest.mark.skipif(
+        not getattr(native_ext, "polymer_hydrogens_available",
+                    lambda: False)(),
+        reason="native polymer H support not built")
+    @pytest.mark.parametrize("kh,ah", [(True, False), (False, True),
+                                       (True, True)])
+    def test_polymer_hydrogen_parity(self, kh, ah):
+        import warnings
+        polys = _copolymer_corpus()[:20]
+        cfg = FeaturizationConfig(polymer=True, explicit_h=kh, adding_h=ah)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            gb_p = mol2graph(polys, cfg, pad_atoms=4096, pad_bonds=8192,
+                             pad_mols=len(polys))
+            gb_n, valid = native_ext.featurize_batch_native(
+                polys, pad_atoms=4096, pad_bonds=8192, pad_mols=len(polys),
+                polymer=True, keep_h=kh, add_h=ah)
+        assert valid.all()
+        for k in ("f_atoms", "f_bonds", "w_atoms", "w_bonds",
+                  "b2a", "b2dst", "b2revb", "a2mol", "degree_of_polym"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(gb_n, k), dtype=float),
+                np.asarray(getattr(gb_p, k), dtype=float),
+                atol=1e-5, err_msg=f"keep_h={kh} add_h={ah} array {k}")
+        assert gb_n.n_atoms_real == gb_p.n_atoms_real
+        assert gb_n.n_bonds_real == gb_p.n_bonds_real
+
     def test_loader_native_polymer_path(self):
         import warnings
         from polymer_chemprop_tpu.data import (
