@@ -392,8 +392,11 @@ class Molecule:
         arom_bonds = [b for b in self.bonds if b.order == AROMATIC]
         for b in self.bonds:
             b.kekule_order = b.order if b.order != AROMATIC else SINGLE
-        if not arom_bonds:
-            return
+        # NO early return when arom_bonds is empty: an aromatic atom that
+        # needs a pi bond (role 'required') but has no aromatic bond at all
+        # (e.g. lowercase n outside any ring, "CnC") must fail kekulization
+        # exactly like RDKit's "non-ring atom marked aromatic" sanitize
+        # error — the reference drops such SMILES as invalid.
         roles = {a.idx: self._pi_role(a.idx) for a in self.atoms if a.is_aromatic}
         required = [a for a, r in roles.items() if r == "required"]
         eligible = {a for a, r in roles.items() if r in ("required", "optional")}

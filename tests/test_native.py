@@ -397,3 +397,44 @@ class TestReactionNative:
                 np.testing.assert_allclose(bn.graph_arrays[0][k],
                                            bp.graph_arrays[0][k], atol=1e-5,
                                            err_msg=k)
+
+
+# ------------------------------------------------------------ differential fuzz
+
+
+def test_differential_fuzz_parser_parity():
+    """Mutated and random-garbage SMILES through both parsers: validity
+    verdicts and (for valid inputs) atom/bond counts must agree, and the
+    C++ parser must never crash. Also pins the RDKit-compatible rejection
+    of non-ring aromatic atoms (e.g. "CnC", "oO") on BOTH paths."""
+    from polymer_chemprop_tpu.chem import parse_smiles
+
+    rng = np.random.default_rng(42)
+    base = _smiles("regression.csv", 200)
+    alph = list("CNOSPFclnos()[]=#@+-123456789%/\\BrH*")
+    corpus = []
+    for s in base:
+        corpus.append(s)
+        for _ in range(3):
+            t = list(s)
+            op = rng.integers(3)
+            pos = int(rng.integers(len(t)))
+            if op == 0:
+                t[pos] = str(rng.choice(alph))
+            elif op == 1:
+                del t[pos]
+            else:
+                t.insert(pos, str(rng.choice(alph)))
+            corpus.append("".join(t))
+    for _ in range(200):
+        corpus.append("".join(rng.choice(alph, size=rng.integers(1, 30))))
+    corpus += ["CnC", "oO", "sCC", "C=CC=n"]  # non-ring aromatics: invalid
+
+    atoms, bonds = native_ext.count_native(corpus, n_threads=4)
+    for i, s in enumerate(corpus):
+        m = parse_smiles(s, strict=False)
+        assert (m is not None) == (atoms[i] >= 0), \
+            f"validity mismatch on {s!r}: py={m is not None}"
+        if m is not None:
+            assert atoms[i] == m.n_atoms and bonds[i] == 2 * m.n_bonds, \
+                f"count mismatch on {s!r}"
