@@ -233,8 +233,11 @@ Atom parse_bracket(const std::string& body) {
     int map = 0;
     bool has = false;
     while (i < n && isdigit(body[i])) { map = map * 10 + (body[i++] - '0'); has = true; }
-    // mirror chem/smiles.py:328-343: a map of 0 is treated as "no map"
-    if (has && map != 0) a.map = map;
+    // mirror chem/smiles.py:328-343: the colon requires at least one
+    // digit ("[O:]" is a syntax error, like RDKit); a map of 0 is
+    // treated as "no map"
+    if (!has) throw ParseError{};
+    if (map != 0) a.map = map;
   }
   if (i != n) throw ParseError{};
   return a;

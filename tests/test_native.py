@@ -438,3 +438,85 @@ def test_differential_fuzz_parser_parity():
         if m is not None:
             assert atoms[i] == m.n_atoms and bonds[i] == 2 * m.n_bonds, \
                 f"count mismatch on {s!r}"
+
+
+def _mutate(s, alph, rng):
+    t = list(s)
+    op = rng.integers(3)
+    pos = int(rng.integers(len(t)))
+    if op == 0:
+        t[pos] = str(rng.choice(alph))
+    elif op == 1:
+        del t[pos]
+    else:
+        t.insert(pos, str(rng.choice(alph)))
+    return "".join(t)
+
+
+@pytest.mark.skipif(not getattr(native_ext, "polymer_available",
+                                lambda: False)(),
+                    reason="native polymer support not built")
+def test_differential_fuzz_polymer_parity():
+    """Mutated polymer ensemble strings: validity and counts must agree
+    between the native and Python paths."""
+    import warnings
+    from polymer_chemprop_tpu.features.featurization import MolGraph
+
+    rng = np.random.default_rng(7)
+    base = ["[*:1]CC[*:2].[*:3]c1ccc([*:4])cc1|0.5|0.5|"
+            "<1-3:0.5:0.5<2-4:0.5:0.5~25",
+            "[*:1]CO[*:2]|1.0|<1-2:0.3:0.7~50",
+            "[*:1]C(C)C[*:2].[*:3]CC(=O)O[*:4]|0.25|0.75|"
+            "<1-3:0.5:0.5<2-4:0.5:0.5"]
+    alph = list("CNOcn()[]=#*:|<>~.0123456789-")
+    corpus = []
+    for s in base:
+        corpus.append(s)
+        for _ in range(120):
+            corpus.append(_mutate(s, alph, rng))
+    cfg = FeaturizationConfig(polymer=True)
+    a_n, b_n = native_ext.count_native(corpus, polymer=True, n_threads=4)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for i, s in enumerate(corpus):
+            try:
+                g = MolGraph(s, cfg)
+                py = (g.n_atoms, g.n_bonds)
+            except Exception:
+                py = None
+            nat = (int(a_n[i]), int(b_n[i])) if a_n[i] >= 0 else None
+            assert py == nat, f"mismatch on {s!r}: py={py} native={nat}"
+
+
+@pytest.mark.skipif(not getattr(native_ext, "reaction_available",
+                                lambda: False)(),
+                    reason="native reaction support not built")
+def test_differential_fuzz_reaction_parity():
+    """Mutated atom-mapped reaction SMILES: validity and counts must agree.
+    Pins the '[O:]' (map colon without digits) syntax-error rule on both
+    paths."""
+    import warnings
+    from polymer_chemprop_tpu.features.featurization import MolGraph
+
+    rng = np.random.default_rng(11)
+    base = _smiles("reaction_regression.csv", 60)
+    alph = list("CNOHcn()[]=#:>.0123456789+-@")
+    corpus = []
+    for s in base:
+        corpus.append(s)
+        for _ in range(6):
+            corpus.append(_mutate(s, alph, rng))
+    corpus.append("[CH3:1][O:]>>[CH3:1][OH:2]")  # [O:] is a syntax error
+    cfg = FeaturizationConfig(reaction=True, reaction_mode="reac_diff")
+    a_n, b_n = native_ext.count_native(corpus, reaction_mode="reac_diff",
+                                       n_threads=4)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for i, s in enumerate(corpus):
+            try:
+                g = MolGraph(s, cfg)
+                py = (g.n_atoms, g.n_bonds)
+            except Exception:
+                py = None
+            nat = (int(a_n[i]), int(b_n[i])) if a_n[i] >= 0 else None
+            assert py == nat, f"mismatch on {s!r}: py={py} native={nat}"
