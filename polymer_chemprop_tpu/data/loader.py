@@ -82,17 +82,25 @@ class MoleculeDataLoader:
         self._native_reaction: Optional[str] = None
         self._native_keep_h = False
         self._native_add_h = False
+        self._native_atom_extras = False
         if use_native:
             from ..native_ext import (available, hydrogens_available,
                                       polymer_available, reaction_available)
-            no_extra = (len(dataset) == 0 or
-                        (dataset[0].atom_features is None and
-                         dataset[0].bond_features is None))
-            simple = (not config.explicit_h and not config.adding_h
-                      and no_extra)
+            atom_extras = (len(dataset) > 0 and
+                           dataset[0].atom_features is not None)
+            bond_extras = (len(dataset) > 0 and
+                           dataset[0].bond_features is not None)
+            # extra per-ATOM feature files widen the native arrays through
+            # a vectorized post-concat (standard single-molecule configs
+            # only); per-BOND feature files need parse-order bond ids the
+            # native packer does not expose, so they stay on Python
+            extras_ok = not bond_extras and (
+                not atom_extras or (not config.reaction and not config.polymer
+                                    and self.number_of_molecules == 1))
+            no_extras = not atom_extras and not bond_extras
             if config.reaction:
                 # reaction supports keep_h (explicit_h) natively
-                use_native = (reaction_available() and no_extra
+                use_native = (reaction_available() and no_extras
                               and not config.adding_h)
                 if use_native:
                     self._native_reaction = config.reaction_mode
@@ -100,20 +108,21 @@ class MoleculeDataLoader:
             elif config.polymer:
                 if config.explicit_h or config.adding_h:
                     from ..native_ext import polymer_hydrogens_available
-                    use_native = polymer_hydrogens_available() and no_extra
+                    use_native = polymer_hydrogens_available() and no_extras
                     if use_native:
                         self._native_keep_h = config.explicit_h
                         self._native_add_h = config.adding_h
                 else:
-                    use_native = polymer_available() and simple
+                    use_native = polymer_available() and no_extras
                 self._native_polymer = use_native
             elif config.explicit_h or config.adding_h:
-                use_native = hydrogens_available() and no_extra
+                use_native = hydrogens_available() and extras_ok
                 if use_native:
                     self._native_keep_h = config.explicit_h
                     self._native_add_h = config.adding_h
             else:
-                use_native = available() and simple
+                use_native = available() and extras_ok
+            self._native_atom_extras = use_native and atom_extras
         self.use_native = use_native
         # Pallas band kernel needs TILE_B-multiple, >= EXT bond envelopes,
         # and a TPU backend (CPU would need interpreter mode)
@@ -212,6 +221,38 @@ class MoleculeDataLoader:
         self._pad_atoms = max(self._pad_atoms or 0, pa)
         self._pad_bonds = max(self._pad_bonds or 0, pb)
 
+    def _apply_atom_extras(self, gb, points, valid):
+        """Widen a native GraphBatch with per-atom extra features exactly
+        like MolGraph._build_standard (extend or overwrite): extras land on
+        the packed atom slots, and every f_bonds row re-copies its SOURCE
+        atom's widened vector through b2a (padding rows stay zero because
+        slot 0 is zero)."""
+        if not valid.all():
+            raise ValueError("invalid SMILES in a batch with extra atom "
+                             "features (row alignment would be lost)")
+        extras = [np.asarray(p.atom_features, np.float32) for p in points]
+        E = extras[0].shape[1]
+        base = gb.f_atoms
+        overwrite = self.config.overwrite_default_atom_features
+        width = E if overwrite else base.shape[1] + E
+        f_atoms = np.zeros((base.shape[0], width), np.float32)
+        if not overwrite:
+            f_atoms[:, :base.shape[1]] = base
+        # per-molecule length check (featurization.py _build_standard)
+        per_mol = np.bincount(gb.a2mol[1:gb.n_atoms_real],
+                              minlength=len(points))
+        if any(per_mol[i] != ex.shape[0] for i, ex in enumerate(extras)):
+            raise ValueError(
+                "number of atoms differs from extra atom features")
+        stacked = np.concatenate(extras, axis=0)
+        f_atoms[1:1 + stacked.shape[0], width - E:] = stacked
+        bond_cols = gb.f_bonds.shape[1] - base.shape[1]
+        f_bonds = np.concatenate(
+            [f_atoms[gb.b2a], gb.f_bonds[:, -bond_cols:]], axis=1)
+        gb.f_atoms = f_atoms
+        gb.f_bonds = f_bonds
+        return gb
+
     def _make_batch(self, idxs: List[int]) -> DeviceBatch:
         points = [self.dataset[i] for i in idxs]
         n_pos = self.number_of_molecules
@@ -219,7 +260,7 @@ class MoleculeDataLoader:
         if self.use_native:
             from ..native_ext import featurize_batch_native
             for pos in range(n_pos):
-                gb, _ = featurize_batch_native(
+                gb, valid = featurize_batch_native(
                     [p.smiles[pos] for p in points],
                     pad_atoms=self._pad_atoms, pad_bonds=self._pad_bonds,
                     pad_mols=self.batch_size, n_threads=self.num_workers,
@@ -227,6 +268,8 @@ class MoleculeDataLoader:
                     reaction_mode=self._native_reaction,
                     keep_h=self._native_keep_h,
                     add_h=self._native_add_h)
+                if self._native_atom_extras:
+                    gb = self._apply_atom_extras(gb, points, valid)
                 graph_arrays.append(gb.arrays(pallas=self.use_pallas))
         else:
             for pos in range(n_pos):

@@ -258,11 +258,11 @@ def test_loader_auto_defaults_to_native():
     addh = FeaturizationConfig(adding_h=True)
     assert MoleculeDataLoader(data, addh, batch_size=1,
                               num_workers=1).use_native
-    # extra per-atom features stay on the Python path
+    # extra per-atom features ride the native path (vectorized post-concat)
     extra = MoleculeDataset([MoleculeDatapoint(
         ["CCO"], [1.0], atom_features=np.ones((3, 2), np.float32))])
-    assert not MoleculeDataLoader(extra, FeaturizationConfig(), batch_size=1,
-                                  num_workers=1).use_native
+    assert MoleculeDataLoader(extra, FeaturizationConfig(), batch_size=1,
+                              num_workers=1).use_native
 
 
 class TestHydrogenNative:
@@ -520,3 +520,51 @@ def test_differential_fuzz_reaction_parity():
                 py = None
             nat = (int(a_n[i]), int(b_n[i])) if a_n[i] >= 0 else None
             assert py == nat, f"mismatch on {s!r}: py={py} native={nat}"
+
+
+def test_loader_native_atom_extras_parity():
+    """Per-atom extra feature files ride the native path via a vectorized
+    post-concat: arrays must match the Python MolGraph extras handling in
+    both extend and overwrite modes, and length mismatches must raise."""
+    from polymer_chemprop_tpu.chem import parse_smiles
+    from polymer_chemprop_tpu.data import (
+        MoleculeDataLoader,
+        MoleculeDatapoint,
+        MoleculeDataset,
+    )
+
+    smiles = _smiles("regression.csv", 40)
+    rng = np.random.default_rng(3)
+    E = 5
+    pts = []
+    for s in smiles:
+        m = parse_smiles(s, strict=False)
+        pts.append(MoleculeDatapoint(
+            [s], [1.0],
+            atom_features=rng.normal(size=(m.n_atoms, E)).astype(
+                np.float32)))
+    data = MoleculeDataset(pts)
+    for ow in (False, True):
+        cfg = FeaturizationConfig(overwrite_default_atom_features=ow)
+        l_py = MoleculeDataLoader(data, cfg, batch_size=10, num_workers=1,
+                                  use_native=False)
+        l_nat = MoleculeDataLoader(data, cfg, batch_size=10, num_workers=1)
+        assert l_nat.use_native and l_nat._native_atom_extras
+        for bp, bn in zip(l_py, l_nat):
+            for k in bp.graph_arrays[0]:
+                if k == "pallas_aux":
+                    continue
+                np.testing.assert_allclose(
+                    bn.graph_arrays[0][k], bp.graph_arrays[0][k],
+                    atol=1e-5, err_msg=f"overwrite={ow} {k}")
+    bad = MoleculeDataset([MoleculeDatapoint(
+        ["CCO"], [1.0], atom_features=np.ones((2, E), np.float32))])
+    loader = MoleculeDataLoader(bad, FeaturizationConfig(), batch_size=1,
+                                num_workers=1)
+    with pytest.raises(ValueError, match="differs from extra atom"):
+        list(loader)
+    # per-BOND extras must keep the Python path
+    bondy = MoleculeDataset([MoleculeDatapoint(
+        ["CCO"], [1.0], bond_features=np.ones((2, 3), np.float32))])
+    assert not MoleculeDataLoader(bondy, FeaturizationConfig(), batch_size=1,
+                                  num_workers=1).use_native
