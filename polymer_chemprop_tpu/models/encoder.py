@@ -108,6 +108,20 @@ def apply_encoder(params: Dict,
         raise ValueError("atom_messages is not supported on the Pallas "
                          "path (pallas batches carry dst-sorted f_bonds); "
                          "build the loader with use_pallas=False")
+    pallas_aux = batch.get("pallas_aux")
+    if pallas_aux is not None:
+        # VMEM feasibility: very large hidden sizes overflow the band
+        # kernels' ~16 MB scoped VMEM (Mosaic stack OOM). Degrade to the
+        # XLA segment path by unsorting f_bonds (the index arrays in the
+        # batch are natural-order already).
+        from ..ops.pallas_mpnn import band_paths_for, permute_rows
+        _hp = ((cfg.hidden_size + 127) // 128) * 128
+        _, _plain_ok = band_paths_for(f_bonds.shape[0],
+                                      int(pallas_aux["rs"].shape[0]), _hp)
+        if not _plain_ok:
+            f_bonds = permute_rows(f_bonds, pallas_aux["rank"],
+                                   pallas_aux["perm"])
+            pallas_aux = None
     if cfg.atom_messages:
         # atom-message mode consumes bond-only features: the last bond_fdim
         # columns of the concat(src-atom, bond) vectors (reference
@@ -126,24 +140,29 @@ def apply_encoder(params: Dict,
             message = act(inputs + message)
             message = dropout(message, cfg.dropout, next(keys), deterministic)
         a_message = weighted_segment_sum(message[b2a], w_bonds, b2dst, num_atoms)
-    elif "pallas_aux" in batch:
+    elif pallas_aux is not None:
         # sorted-resident Pallas path: messages stay in dst-sorted order for
         # the whole depth loop (row-wise ops commute with the permutation),
         # leaving one involution gather per layer + the MXU band kernel.
         from ..ops.pallas_mpnn import (
             atom_readout_sorted,
             band_message_step_sorted,
+            band_paths_for,
             pad_lane,
             permute_rows,
         )
-        aux = batch["pallas_aux"]
+        aux = pallas_aux
         H = cfg.hidden_size
         prec = {"highest": jax.lax.Precision.HIGHEST,
                 "high": jax.lax.Precision.HIGH,
                 "default": jax.lax.Precision.DEFAULT}[cfg.band_precision]
         # fuse the W_h matmul into the band kernel when it is a plain
-        # (bias-free, f32) matrix — the z intermediate never touches HBM
-        fuse_wh = not cfg.bias and cdt is None
+        # (bias-free, f32) matrix that fits the kernel's VMEM — the z
+        # intermediate never touches HBM
+        _fused_ok, _ = band_paths_for(
+            f_bonds.shape[0], int(aux["rs"].shape[0]),
+            ((H + 127) // 128) * 128)
+        fuse_wh = not cfg.bias and cdt is None and _fused_ok
         # pallas batches carry f_bonds already in dst-sorted order (the
         # host permutes at featurization time), so there is no per-step
         # natural->sorted gather. The whole depth loop runs at the

@@ -138,6 +138,9 @@ def count_native(smiles: List[str], n_threads: int = 4, polymer: bool = False,
             bonds.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             n_threads]
     if reaction_mode is not None:
+        if add_h:
+            raise ValueError("add_h is not supported natively for reaction "
+                             "mode (use the Python featurization path)")
         mode, balance = _RXN_MODE[reaction_mode]
         lib.pcp_count_reaction(*base, mode, balance, int(keep_h))
     elif polymer and (keep_h or add_h):
@@ -172,10 +175,15 @@ def featurize_batch_native(smiles: List[str], pad_atoms: int, pad_bonds: int,
             not hasattr(lib, "pcp_featurize_reaction_batch"):
         raise RuntimeError("native library predates reaction support "
                            "(rebuild with make -C native)")
-    if (keep_h or add_h) and reaction_mode is None and \
-            not hasattr(lib, "pcp_featurize_batch_h"):
-        raise RuntimeError("native library predates keep_h/add_h support "
-                           "(rebuild with make -C native)")
+    if reaction_mode is not None and add_h:
+        raise ValueError("add_h is not supported natively for reaction "
+                         "mode (use the Python featurization path)")
+    if (keep_h or add_h) and reaction_mode is None:
+        sym = ("pcp_featurize_polymer_batch_h" if polymer
+               else "pcp_featurize_batch_h")
+        if not hasattr(lib, sym):
+            raise RuntimeError("native library predates keep_h/add_h "
+                               "support (rebuild with make -C native)")
     n = len(smiles)
     M = pad_mols or n
     atom_w, bond_w = (165, 193) if reaction_mode is not None else (133, 147)

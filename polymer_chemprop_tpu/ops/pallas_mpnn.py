@@ -62,6 +62,23 @@ LANE = 128
 # per batch and falls back to segment_sum when exceeded).
 TILE_A = 512
 EXT_A = 1536
+# Mosaic's scoped-VMEM budget is ~16 MB; the kernels must fit their
+# double-buffered windows + operand tiles under it with margin. Large
+# hidden sizes (hyperopt samples up to 2400) overflow otherwise.
+_VMEM_BUDGET = 14 * 2 ** 20
+
+
+def band_paths_for(B: int, nblocks: int, hp: int):
+    """(fused_ok, plain_ok): VMEM feasibility of the band kernels at the
+    lane-padded width hp. The fused layer holds double-buffered (ext, hp)
+    f32 message windows, the (hp, hp) W_h tile, and four (tile, hp) i/o
+    tiles; the plain band drops W_h and one tile. The encoder degrades
+    fused -> plain -> XLA-on-unsorted as these bounds fail."""
+    tile_b = B // nblocks
+    ext = _EXT_FOR[tile_b]
+    fused = 4 * (2 * ext * hp + hp * hp + 4 * tile_b * hp)
+    plain = 4 * (2 * ext * hp + 3 * tile_b * hp)
+    return fused <= _VMEM_BUDGET, plain <= _VMEM_BUDGET
 
 
 class SortedBondAux(NamedTuple):
@@ -1254,7 +1271,8 @@ def atom_readout_sorted(msg_sorted: jnp.ndarray, aux: dict,
     windows ("ra" in aux); otherwise the XLA segment sum. The VJP of the
     kernel path is the weighted row-gather d_msg = w * g[dst] — no
     scatter in either direction."""
-    if "ra" in aux:
+    if "ra" in aux and \
+            4 * msg_sorted.shape[1] * (2 * EXT_A + TILE_A) <= _VMEM_BUDGET:
         w_sorted, dst_sorted, ra = (aux["w_sorted"], aux["dst_sorted"],
                                     aux["ra"])
 

@@ -241,8 +241,8 @@ def test_loader_native_multi_molecule():
 
 def test_loader_auto_defaults_to_native():
     """use_native=None (the trainer default) auto-enables the C++ path for
-    native-eligible configs, including reaction mode, and stays off for
-    add_h (Python-only)."""
+    every native-eligible config: standard, reaction, add_h, and per-atom
+    extra features; per-bond extra features stay on the Python path."""
     from polymer_chemprop_tpu.data import (
         MoleculeDataLoader,
         MoleculeDatapoint,
@@ -402,6 +402,19 @@ class TestReactionNative:
 # ------------------------------------------------------------ differential fuzz
 
 
+def _mutate(s, alph, rng):
+    t = list(s)
+    op = rng.integers(3)
+    pos = int(rng.integers(len(t)))
+    if op == 0:
+        t[pos] = str(rng.choice(alph))
+    elif op == 1:
+        del t[pos]
+    else:
+        t.insert(pos, str(rng.choice(alph)))
+    return "".join(t)
+
+
 def test_differential_fuzz_parser_parity():
     """Mutated and random-garbage SMILES through both parsers: validity
     verdicts and (for valid inputs) atom/bond counts must agree, and the
@@ -416,16 +429,7 @@ def test_differential_fuzz_parser_parity():
     for s in base:
         corpus.append(s)
         for _ in range(3):
-            t = list(s)
-            op = rng.integers(3)
-            pos = int(rng.integers(len(t)))
-            if op == 0:
-                t[pos] = str(rng.choice(alph))
-            elif op == 1:
-                del t[pos]
-            else:
-                t.insert(pos, str(rng.choice(alph)))
-            corpus.append("".join(t))
+            corpus.append(_mutate(s, alph, rng))
     for _ in range(200):
         corpus.append("".join(rng.choice(alph, size=rng.integers(1, 30))))
     corpus += ["CnC", "oO", "sCC", "C=CC=n"]  # non-ring aromatics: invalid
@@ -438,19 +442,6 @@ def test_differential_fuzz_parser_parity():
         if m is not None:
             assert atoms[i] == m.n_atoms and bonds[i] == 2 * m.n_bonds, \
                 f"count mismatch on {s!r}"
-
-
-def _mutate(s, alph, rng):
-    t = list(s)
-    op = rng.integers(3)
-    pos = int(rng.integers(len(t)))
-    if op == 0:
-        t[pos] = str(rng.choice(alph))
-    elif op == 1:
-        del t[pos]
-    else:
-        t.insert(pos, str(rng.choice(alph)))
-    return "".join(t)
 
 
 @pytest.mark.skipif(not getattr(native_ext, "polymer_available",
