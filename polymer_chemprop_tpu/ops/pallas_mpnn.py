@@ -62,23 +62,25 @@ LANE = 128
 # per batch and falls back to segment_sum when exceeded).
 TILE_A = 512
 EXT_A = 1536
-# Mosaic's scoped-VMEM budget is ~16 MB; the kernels must fit their
-# double-buffered windows + operand tiles under it with margin. Large
-# hidden sizes (hyperopt samples up to 2400) overflow otherwise.
-_VMEM_BUDGET = 14 * 2 ** 20
-
-
 def band_paths_for(B: int, nblocks: int, hp: int):
     """(fused_ok, plain_ok): VMEM feasibility of the band kernels at the
-    lane-padded width hp. The fused layer holds double-buffered (ext, hp)
-    f32 message windows, the (hp, hp) W_h tile, and four (tile, hp) i/o
-    tiles; the plain band drops W_h and one tile. The encoder degrades
-    fused -> plain -> XLA-on-unsorted as these bounds fail."""
+    lane-padded width hp. The encoder degrades fused -> plain band ->
+    XLA-on-unsorted as these bounds fail.
+
+    Bounds are EMPIRICAL compile probes on v5e (2026-08-19, full
+    train-step fwd+bwd at HIGH precision, tile 512 / window 768): the
+    kernels compile through hp=896 and stack-OOM at hp=1024 (the plain
+    band's VJP fits standalone at 1024 but not inside the jitted train
+    step, so the in-context bound governs). Analytic VMEM arithmetic
+    undercounts because the Mosaic pipeline double-buffers every
+    grid-indexed block tile — recalibrate with an in-context compile
+    probe if TILE_B/EXT change."""
     tile_b = B // nblocks
-    ext = _EXT_FOR[tile_b]
-    fused = 4 * (2 * ext * hp + hp * hp + 4 * tile_b * hp)
-    plain = 4 * (2 * ext * hp + 3 * tile_b * hp)
-    return fused <= _VMEM_BUDGET, plain <= _VMEM_BUDGET
+    if tile_b == 512:
+        return hp <= 896, hp <= 896
+    # tile 1024 doubles the window and tile buffers; hp=384 is the
+    # measured-working point, larger widths are unprobed -> conservative
+    return hp <= 384, hp <= 512
 
 
 class SortedBondAux(NamedTuple):
@@ -1271,8 +1273,10 @@ def atom_readout_sorted(msg_sorted: jnp.ndarray, aux: dict,
     windows ("ra" in aux); otherwise the XLA segment sum. The VJP of the
     kernel path is the weighted row-gather d_msg = w * g[dst] — no
     scatter in either direction."""
-    if "ra" in aux and \
-            4 * msg_sorted.shape[1] * (2 * EXT_A + TILE_A) <= _VMEM_BUDGET:
+    # VMEM: the readout's (2, EXT_A, hp) windows + double-buffered out
+    # tile measured 18.6 MB at hp=1024 (stack OOM; limit 16 MB) and
+    # project to ~16.2 MB at 896 — only hp <= 768 is safely inside
+    if "ra" in aux and msg_sorted.shape[1] <= 768:
         w_sorted, dst_sorted, ra = (aux["w_sorted"], aux["dst_sorted"],
                                     aux["ra"])
 

@@ -517,3 +517,41 @@ class TestRevFusedBand:
                         jax.tree_util.tree_leaves(g_p)):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-3, atol=1e-4)
+
+
+class TestVmemGuard:
+    """band_paths_for pins the empirically probed Mosaic scoped-VMEM
+    limits: large hidden sizes must degrade fused -> XLA instead of
+    failing compilation (hyperopt samples hidden up to 2400)."""
+
+    def test_tier_boundaries(self):
+        from polymer_chemprop_tpu.ops.pallas_mpnn import band_paths_for
+        B, nblocks = 28672, 56  # tile 512
+        assert band_paths_for(B, nblocks, 384) == (True, True)
+        assert band_paths_for(B, nblocks, 896) == (True, True)
+        assert band_paths_for(B, nblocks, 1024) == (False, False)
+        # tile 1024: conservative (only the measured hp=384 point fused)
+        assert band_paths_for(28672, 28, 384) == (True, True)
+        assert band_paths_for(28672, 28, 640) == (False, False)
+
+    def test_encoder_falls_back_to_xla_for_large_hidden(self, batch):
+        """A pallas batch with an oversized hidden must run the XLA path
+        (no pallas_call in the jaxpr) and match the plain-arrays result."""
+        from polymer_chemprop_tpu.models import (
+            EncoderConfig,
+            apply_encoder,
+            init_encoder,
+        )
+        gb = batch
+        cfg = EncoderConfig(atom_fdim=133, bond_fdim=147, hidden_size=1000,
+                            depth=2)
+        params = init_encoder(jax.random.PRNGKey(0), cfg)
+        a_x = {k: jnp.asarray(v) for k, v in gb.arrays().items()}
+        a_p = jax.tree_util.tree_map(jnp.asarray, gb.arrays(pallas=True))
+        jaxpr = str(jax.make_jaxpr(
+            lambda p, b: apply_encoder(p, b, cfg))(params, a_p))
+        assert "pallas_call" not in jaxpr
+        np.testing.assert_allclose(
+            np.asarray(apply_encoder(params, a_p, cfg)),
+            np.asarray(apply_encoder(params, a_x, cfg)),
+            rtol=1e-4, atol=1e-5)
