@@ -78,9 +78,8 @@ def band_paths_for(B: int, nblocks: int, hp: int):
     tile_b = B // nblocks
     if tile_b == 512:
         return hp <= 896, hp <= 896
-    # tile 1024 doubles the window and tile buffers; hp=384 is the
-    # measured-working point, larger widths are unprobed -> conservative
-    return hp <= 384, hp <= 512
+    # tile 1024 (window 1280): probed OK through hp=512, OOM at 640
+    return hp <= 512, hp <= 512
 
 
 class SortedBondAux(NamedTuple):
