@@ -323,3 +323,42 @@ def make_edge_parallel_forward_halo(cfg: EncoderConfig, mesh: Mesh,
                         out_specs=P(),
                         check_vma=False)
     return jax.jit(smapped)
+
+
+def make_halo_train_step(mcfg, tx, mesh: Mesh, axis: str = "ep"):
+    """Full training step with the encoder edge-partitioned over the mesh.
+
+    The forward is :func:`make_edge_parallel_forward_halo` (per-layer
+    neighbour ppermute halo exchange); the FFN head and masked loss run on
+    the replicated embeddings. Gradients flow back THROUGH the halo
+    collectives — shard_map AD turns each ppermute into its reverse
+    permutation and psums the replicated-parameter cotangents — so the
+    updated parameters must be identical to a single-device step on the
+    unsharded batch (tests/test_parallel.py pins this on 2/4/8-device
+    meshes). Single-molecule-position regression/classification datasets
+    (the giant-graph scaling case); the general path stays
+    train.step.make_train_step."""
+    import optax
+
+    from ..models.model import apply_ffn
+    from ..train.loss import get_loss_fn, masked_loss
+
+    enc_fwd = make_edge_parallel_forward_halo(mcfg.encoder, mesh, axis)
+    elementwise = get_loss_fn(mcfg.dataset_type, None)
+
+    def loss_fn(params, sharded, replicated, targets, mask, weights):
+        emb = enc_fwd(params["encoders"][0], sharded, replicated)
+        preds = apply_ffn(params, emb, mcfg, dropout_key=None,
+                          deterministic=True)
+        elem = elementwise(preds, targets)
+        return masked_loss(elem, mask, None, weights)
+
+    @jax.jit
+    def halo_train_step(params, opt_state, sharded, replicated,
+                        targets, mask, weights):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, sharded, replicated, targets, mask, weights)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return halo_train_step

@@ -317,3 +317,55 @@ class TestTrainerDataParallel:
         # both must train to the same quality regime
         assert np.isfinite(scores[True]) and np.isfinite(scores[False])
         assert abs(scores[True] - scores[False]) / scores[False] < 0.5, scores
+
+
+def test_halo_train_step_matches_single_device(setup):
+    """Training THROUGH the halo exchange: gradients flow back through the
+    per-layer ppermutes (shard_map AD reverses them and psums the
+    replicated-parameter cotangents), so the updated parameters and loss
+    must equal a single-device train step on the unsharded batch."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from polymer_chemprop_tpu.parallel import (
+        build_edge_shards_halo,
+        make_halo_train_step,
+    )
+
+    cfg, params = setup
+    tx = build_optimizer("sgd", lambda step: 0.1)
+    smiles = ["CCO", "c1ccccc1", "CC(C)=CCCC(C)=CC(=O)",
+              "CCOc1ccc2nc(S(N)(=O)=O)sc2c1", "CCN", "c1ccncc1",
+              "CC(=O)Nc1ccc(O)cc1", "C1CCCCC1"]
+    targets = [1.0, -1.0, 0.5, 0.3, -0.2, 2.0, 0.1, 0.7]
+    # a roomier envelope than _mini_batch: 8-way halo sharding needs no
+    # molecule to span 3+ shards
+    gb = mol2graph(smiles, pad_atoms=128, pad_bonds=256, pad_mols=len(smiles))
+    arrays = gb.arrays()
+    M = len(smiles)
+    batch = {
+        "graphs": [arrays],
+        "targets": np.asarray(targets, np.float32).reshape(M, 1),
+        "mask": np.ones((M, 1), np.float32),
+        "weights": np.ones((M, 1), np.float32),
+    }
+
+    sstep = make_train_step(cfg, tx)
+    sp, _, sloss, _ = sstep(params, tx.init(params), batch, None)
+
+    for n_dev in (2, 4, 8):
+        mesh = make_mesh(n_dev, ("ep",))
+        sharded, replicated = build_edge_shards_halo(arrays, n_dev)
+        sharded_dev = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P("ep"))),
+            sharded)
+        hstep = make_halo_train_step(cfg, tx, mesh, "ep")
+        hp_, _, hloss = hstep(params, tx.init(params), sharded_dev,
+                              replicated, jnp.asarray(batch["targets"]),
+                              jnp.asarray(batch["mask"]),
+                              jnp.asarray(batch["weights"]))
+        assert abs(float(hloss) - float(sloss)) < 1e-5, f"n_dev={n_dev}"
+        for a, b in zip(jax.tree_util.tree_leaves(hp_),
+                        jax.tree_util.tree_leaves(sp)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5,
+                                       err_msg=f"n_dev={n_dev}")
