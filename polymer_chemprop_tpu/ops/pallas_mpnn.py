@@ -917,17 +917,24 @@ def band_matmul_act_step_sorted(msg_sorted: jnp.ndarray, wh: jnp.ndarray,
 def _band_rev_act_kernel(rs_ref, src_tile_ref, srev_tile_ref,
                          wh_ref, inp_tile_ref,
                          msg_hbm, w_hbm, dst_hbm,
-                         out_ref, z_ref,
-                         msg_win, w_win, dst_win, sems, *,
+                         *out_and_scratch,
                          nblocks, ext=EXT, act="relu",
                          precision=jax.lax.Precision.HIGHEST,
-                         w_exact=False):
+                         w_exact=False, write_z=True):
     """Whole wD-MPNN layer tile, zero gathers:
     out = act(inputs_tile + (M @ msg_window) @ W_h) with M as above.
-    The -m[rev] term rides the band, so no msg tile operand is needed."""
+    The -m[rev] term rides the band, so no msg tile operand is needed.
+    ``write_z=False`` (inference: the custom_vjp primal) skips the z
+    output — z is only needed by the backward for dW_h."""
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if write_z:
+        out_ref, z_ref, msg_win, w_win, dst_win, sems = out_and_scratch
+    else:
+        out_ref, msg_win, w_win, dst_win, sems = out_and_scratch
+        z_ref = None
 
     j = pl.program_id(0)
     slot = jax.lax.rem(j, 2)
@@ -966,7 +973,8 @@ def _band_rev_act_kernel(rs_ref, src_tile_ref, srev_tile_ref,
     q = jnp.where(dst_w == src_t, w, 0.0) - (pos == srev_t).astype(
         jnp.float32)
     z = _dot_band(q, msg_win[slot], precision, w_exact)
-    z_ref[:, :] = z
+    if z_ref is not None:
+        z_ref[:, :] = z
     pre = _dot_band(z, wh_ref[:, :], precision) + inp_tile_ref[:, :]
     out_ref[:, :] = _ACT_FNS[act](pre)
 
@@ -1026,8 +1034,9 @@ def _band_rev_bwd_kernel(rs_ref, dst_tile_ref, w_tile_ref, srev_tile_ref,
 def _band_rev_act_apply(msg_sorted, w_sorted, dst_sorted, src_sorted,
                         srev, rs_rev, wh_padded, inputs, act,
                         precision=jax.lax.Precision.HIGHEST,
-                        w_exact=False):
-    """(act(inputs + (M msg) @ W_h), M msg) via the rev-fused kernel."""
+                        w_exact=False, write_z=True):
+    """(act(inputs + (M msg) @ W_h), M msg) via the rev-fused kernel;
+    with write_z=False returns only the activation (inference)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1055,7 +1064,8 @@ def _band_rev_act_apply(msg_sorted, w_sorted, dst_sorted, src_sorted,
             pl.BlockSpec(memory_space=pl.ANY),                    # dst HBM
         ],
         out_specs=(pl.BlockSpec((tile_b, Hp), lambda j, rs: (j, 0)),
-                   pl.BlockSpec((tile_b, Hp), lambda j, rs: (j, 0))),
+                   pl.BlockSpec((tile_b, Hp), lambda j, rs: (j, 0)))
+        if write_z else pl.BlockSpec((tile_b, Hp), lambda j, rs: (j, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, ext, Hp), jnp.float32),
             pltpu.VMEM((2, ext // 128, 128), jnp.float32),
@@ -1066,10 +1076,11 @@ def _band_rev_act_apply(msg_sorted, w_sorted, dst_sorted, src_sorted,
     fn = pl.pallas_call(
         functools.partial(_band_rev_act_kernel, precision=precision,
                           nblocks=nblocks, ext=ext, act=act,
-                          w_exact=w_exact),
+                          w_exact=w_exact, write_z=write_z),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((B, Hp), jnp.float32),
-                   jax.ShapeDtypeStruct((B, Hp), jnp.float32)),
+                   jax.ShapeDtypeStruct((B, Hp), jnp.float32))
+        if write_z else jax.ShapeDtypeStruct((B, Hp), jnp.float32),
     )
     return fn(rs_rev, src_bcast, srev_bcast, wh_padded, inputs,
               msg_sorted, w2, d2)
@@ -1147,9 +1158,10 @@ def band_rev_layer_step_sorted(msg_sorted: jnp.ndarray, wh: jnp.ndarray,
 
     @jax.custom_vjp
     def op(m, w, inp):
+        # primal (non-differentiated = inference): skip the z output
         return _band_rev_act_apply(m, w_sorted, dst_sorted, src_sorted,
                                    srev, rs_rev, pad_w(w), inp, act,
-                                   precision, w_exact)[0]
+                                   precision, w_exact, write_z=False)
 
     def fwd(m, w, inp):
         out, z = _band_rev_act_apply(m, w_sorted, dst_sorted, src_sorted,
