@@ -1332,7 +1332,8 @@ void bond_features_opt(const Mol* m, int bi, float* out) {
 }
 
 PackedGraph featurize_reaction_one(const std::string& input, int mode,
-                                   bool balance, bool keep_h) {
+                                   bool balance, bool keep_h,
+                                   bool add_h = false) {
   // mode: 0 = reac_prod, 1 = reac_diff, 2 = prod_diff
   PackedGraph g;
   Mol reac, prod;
@@ -1345,6 +1346,7 @@ PackedGraph featurize_reaction_one(const std::string& input, int mode,
       Mol m = parse_smiles_raw(s, &sem);
       normalize_chirality(m, sem);
       if (!perceive(m, keep_h)) throw ParseError{};
+      if (add_h && !materialize_hs(m)) throw ParseError{};
       return m;
     };
     reac = parse_side(input.substr(0, first));
@@ -1651,6 +1653,27 @@ int pcp_featurize_reaction_batch(const char** smiles, int n,
       fn, RXN_ATOM_FDIM, RXN_ATOM_FDIM + RXN_BOND_FDIM);
 }
 
+// Reaction mode with AddHs (--adding_h): implicit hydrogens materialized
+// per side before the mapping/diff featurization.
+int pcp_featurize_reaction_batch_h(const char** smiles, int n,
+                                   int pad_atoms, int pad_bonds,
+                                   float* f_atoms, float* f_bonds,
+                                   float* w_atoms, float* w_bonds,
+                                   int* b2a, int* b2dst, int* b2revb,
+                                   int* a2mol,
+                                   unsigned char* valid_out, int* counts_out,
+                                   int n_threads, int mode, int balance,
+                                   int keep_h, int add_h) {
+  auto fn = [mode, balance, keep_h, add_h](const char* s) {
+    return featurize_reaction_one(s, mode, balance != 0, keep_h != 0,
+                                  add_h != 0);
+  };
+  return pcp_featurize_batch_impl(
+      smiles, n, pad_atoms, pad_bonds, f_atoms, f_bonds, w_atoms, w_bonds,
+      b2a, b2dst, b2revb, a2mol, nullptr, valid_out, counts_out, n_threads,
+      fn, RXN_ATOM_FDIM, RXN_ATOM_FDIM + RXN_BOND_FDIM);
+}
+
 // Count atoms/bonds per molecule without packing (for envelope sizing).
 int pcp_count_impl(const char** smiles, int n, int* atoms_out, int* bonds_out,
                    int n_threads,
@@ -1708,6 +1731,16 @@ int pcp_count_reaction(const char** smiles, int n, int* atoms_out,
                        int keep_h) {
   auto fn = [mode, balance, keep_h](const char* s) {
     return featurize_reaction_one(s, mode, balance != 0, keep_h != 0);
+  };
+  return pcp_count_impl(smiles, n, atoms_out, bonds_out, n_threads, fn);
+}
+
+int pcp_count_reaction_h(const char** smiles, int n, int* atoms_out,
+                         int* bonds_out, int n_threads, int mode,
+                         int balance, int keep_h, int add_h) {
+  auto fn = [mode, balance, keep_h, add_h](const char* s) {
+    return featurize_reaction_one(s, mode, balance != 0, keep_h != 0,
+                                  add_h != 0);
   };
   return pcp_count_impl(smiles, n, atoms_out, bonds_out, n_threads, fn);
 }

@@ -99,12 +99,15 @@ class MoleculeDataLoader:
                                     and self.number_of_molecules == 1))
             no_extras = not atom_extras and not bond_extras
             if config.reaction:
-                # reaction supports keep_h (explicit_h) natively
-                use_native = (reaction_available() and no_extras
-                              and not config.adding_h)
+                # reaction supports keep_h (explicit_h) and add_h natively
+                use_native = reaction_available() and no_extras
+                if config.adding_h:
+                    from ..native_ext import reaction_hydrogens_available
+                    use_native = use_native and reaction_hydrogens_available()
                 if use_native:
                     self._native_reaction = config.reaction_mode
                     self._native_keep_h = config.explicit_h
+                    self._native_add_h = config.adding_h
             elif config.polymer:
                 if config.explicit_h or config.adding_h:
                     from ..native_ext import polymer_hydrogens_available

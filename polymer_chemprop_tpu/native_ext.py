@@ -82,6 +82,14 @@ def _load():
         lib.pcp_count_reaction.argtypes = (
             lib.pcp_count.argtypes + [ctypes.c_int, ctypes.c_int,
                                       ctypes.c_int])
+    if hasattr(lib, "pcp_featurize_reaction_batch_h"):
+        lib.pcp_featurize_reaction_batch_h.restype = ctypes.c_int
+        lib.pcp_featurize_reaction_batch_h.argtypes = (
+            lib.pcp_featurize_batch.argtypes
+            + [ctypes.c_int] * 4)
+        lib.pcp_count_reaction_h.restype = ctypes.c_int
+        lib.pcp_count_reaction_h.argtypes = (
+            lib.pcp_count.argtypes + [ctypes.c_int] * 4)
     _LIB = lib
     return lib
 
@@ -112,6 +120,12 @@ def hydrogens_available() -> bool:
     return lib is not None and hasattr(lib, "pcp_featurize_batch_h")
 
 
+def reaction_hydrogens_available() -> bool:
+    """add_h (AddHs) support for reaction mode."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "pcp_featurize_reaction_batch_h")
+
+
 def polymer_hydrogens_available() -> bool:
     """keep_h / add_h support for polymer ensemble strings."""
     lib = _load()
@@ -138,11 +152,15 @@ def count_native(smiles: List[str], n_threads: int = 4, polymer: bool = False,
             bonds.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             n_threads]
     if reaction_mode is not None:
-        if add_h:
-            raise ValueError("add_h is not supported natively for reaction "
-                             "mode (use the Python featurization path)")
         mode, balance = _RXN_MODE[reaction_mode]
-        lib.pcp_count_reaction(*base, mode, balance, int(keep_h))
+        if add_h:
+            if not hasattr(lib, "pcp_count_reaction_h"):
+                raise RuntimeError("native library predates reaction add_h "
+                                   "support (rebuild with make -C native)")
+            lib.pcp_count_reaction_h(*base, mode, balance, int(keep_h),
+                                     int(add_h))
+        else:
+            lib.pcp_count_reaction(*base, mode, balance, int(keep_h))
     elif polymer and (keep_h or add_h):
         lib.pcp_count_polymer_h(*base, int(keep_h), int(add_h))
     elif polymer:
@@ -175,9 +193,10 @@ def featurize_batch_native(smiles: List[str], pad_atoms: int, pad_bonds: int,
             not hasattr(lib, "pcp_featurize_reaction_batch"):
         raise RuntimeError("native library predates reaction support "
                            "(rebuild with make -C native)")
-    if reaction_mode is not None and add_h:
-        raise ValueError("add_h is not supported natively for reaction "
-                         "mode (use the Python featurization path)")
+    if reaction_mode is not None and add_h and \
+            not hasattr(lib, "pcp_featurize_reaction_batch_h"):
+        raise RuntimeError("native library predates reaction add_h support "
+                           "(rebuild with make -C native)")
     if (keep_h or add_h) and reaction_mode is None:
         sym = ("pcp_featurize_polymer_batch_h" if polymer
                else "pcp_featurize_batch_h")
@@ -217,8 +236,12 @@ def featurize_batch_native(smiles: List[str], pad_atoms: int, pad_bonds: int,
     degree_of_polym = np.ones(M, np.float32)
     if reaction_mode is not None:
         mode, balance = _RXN_MODE[reaction_mode]
-        rc = lib.pcp_featurize_reaction_batch(*common, *tail, mode, balance,
-                                              int(keep_h))
+        if add_h:
+            rc = lib.pcp_featurize_reaction_batch_h(
+                *common, *tail, mode, balance, int(keep_h), int(add_h))
+        else:
+            rc = lib.pcp_featurize_reaction_batch(*common, *tail, mode,
+                                                  balance, int(keep_h))
     elif polymer:
         dop = np.ones(n, np.float32)
         dop_p = dop.ctypes.data_as(ctypes.POINTER(ctypes.c_float))

@@ -369,6 +369,30 @@ class TestReactionNative:
                 np.asarray(getattr(gb_p, k), dtype=float),
                 atol=1e-5, err_msg=f"array {k} differs")
 
+    @pytest.mark.skipif(
+        not getattr(native_ext, "reaction_hydrogens_available",
+                    lambda: False)(),
+        reason="native library predates reaction add_h support")
+    @pytest.mark.parametrize("kh", [False, True])
+    def test_add_h_parity(self, kh):
+        smiles = _smiles("reaction_regression.csv", 30)
+        cfg = FeaturizationConfig(reaction=True, reaction_mode="reac_diff",
+                                  explicit_h=kh, adding_h=True)
+        gb_p = mol2graph(smiles, cfg, pad_atoms=8192, pad_bonds=65536,
+                         pad_mols=len(smiles))
+        gb_n, valid = native_ext.featurize_batch_native(
+            smiles, pad_atoms=8192, pad_bonds=65536, pad_mols=len(smiles),
+            reaction_mode="reac_diff", keep_h=kh, add_h=True)
+        assert valid.all()
+        for k in ("f_atoms", "f_bonds", "w_atoms", "w_bonds",
+                  "b2a", "b2dst", "b2revb", "a2mol"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(gb_n, k), dtype=float),
+                np.asarray(getattr(gb_p, k), dtype=float),
+                atol=1e-5, err_msg=f"keep_h={kh} add_h array {k}")
+        assert gb_n.n_atoms_real == gb_p.n_atoms_real
+        assert gb_n.n_bonds_real == gb_p.n_bonds_real
+
     def test_invalid_reaction_flagged(self):
         gb, valid = native_ext.featurize_batch_native(
             ["CCO>>CCN", "no_arrows", "xx>>yy"],
