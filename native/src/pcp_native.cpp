@@ -967,6 +967,10 @@ struct PackedGraph {
   std::vector<float> f_atoms;   // n_atoms * 133
   std::vector<float> f_bonds;   // n_bonds * 147
   std::vector<int> b2a, b2dst, b2revb;
+  // standard mode: per-directed-bond LOCAL parse-order undirected bond
+  // index (Mol bond-list order == the Python parser's bond.idx), for
+  // aligning user per-bond extra-feature files; empty otherwise
+  std::vector<int> b2parse;
   // polymer mode: per-atom stoichiometry weights, per-bond stochastic
   // weights, 1+log10(Xn); empty w vectors = all-unit (standard mode)
   std::vector<float> w_atoms, w_bonds;
@@ -1006,6 +1010,7 @@ PackedGraph featurize_one(const std::string& smiles, bool keep_h = false,
   g.b2a.resize(g.n_bonds);
   g.b2dst.resize(g.n_bonds);
   g.b2revb.resize(g.n_bonds);
+  g.b2parse.resize(g.n_bonds);
   float fb[BOND_FDIM];
   int bid = 0;
   for (int bi : order) {
@@ -1022,6 +1027,7 @@ PackedGraph featurize_one(const std::string& smiles, bool keep_h = false,
       g.b2a[bid] = src;
       g.b2dst[bid] = dst;
       g.b2revb[bid] = dir == 0 ? bid + 1 : bid - 1;
+      g.b2parse[bid] = bi;
       bid++;
     }
   }
@@ -1507,7 +1513,8 @@ int pcp_featurize_batch_impl(const char** smiles, int n,
                              unsigned char* valid_out, int* counts_out,
                              int n_threads,
                              const std::function<PackedGraph(const char*)>& fn,
-                             int atom_width, int bond_width) {
+                             int atom_width, int bond_width,
+                             int* b2parse_out = nullptr) {
   std::vector<PackedGraph> graphs(n);
   if (n_threads < 1) n_threads = 1;
   std::vector<std::thread> pool;
@@ -1532,7 +1539,10 @@ int pcp_featurize_batch_impl(const char** smiles, int n,
   std::memset(b2revb, 0, sizeof(int) * pad_bonds);
   std::memset(a2mol, 0, sizeof(int) * pad_atoms);
 
+  if (b2parse_out)
+    std::memset(b2parse_out, 0, sizeof(int) * pad_bonds);
   int ai = 1, bi = 1;
+  int parse_off = 0;  // cumulative undirected bond count across valid mols
   for (int i = 0; i < n; i++) {
     const PackedGraph& g = graphs[i];
     valid_out[i] = g.valid ? 1 : 0;
@@ -1552,9 +1562,14 @@ int pcp_featurize_batch_impl(const char** smiles, int n,
       b2a[bi + b] = g.b2a[b] + ai;
       b2dst[bi + b] = g.b2dst[b] + ai;
       b2revb[bi + b] = g.b2revb[b] + bi;
+      // 1-based global parse id (0 = padding) so the caller can gather
+      // per-bond extras from a zero-prepended concatenation
+      if (b2parse_out && !g.b2parse.empty())
+        b2parse_out[bi + b] = g.b2parse[b] + parse_off + 1;
     }
     ai += g.n_atoms;
     bi += g.n_bonds;
+    parse_off += g.n_bonds / 2;
   }
   counts_out[0] = ai;
   counts_out[1] = bi;
@@ -1573,6 +1588,26 @@ int pcp_featurize_batch(const char** smiles, int n,
       b2a, b2dst, b2revb, a2mol, nullptr, valid_out, counts_out, n_threads,
       [](const char* s) { return featurize_one(s); },
       ATOM_FDIM, ATOM_FDIM + BOND_FDIM);
+}
+
+// Standard molecules, full-featured: keep_h/add_h plus the per-directed-
+// bond global parse-order index (1-based, 0 = padding) for aligning user
+// per-bond extra-feature files (reference bond.GetIdx() convention).
+int pcp_featurize_batch_full(const char** smiles, int n,
+                             int pad_atoms, int pad_bonds,
+                             float* f_atoms, float* f_bonds,
+                             float* w_atoms, float* w_bonds,
+                             int* b2a, int* b2dst, int* b2revb, int* a2mol,
+                             unsigned char* valid_out, int* counts_out,
+                             int n_threads, int keep_h, int add_h,
+                             int* b2parse_out) {
+  auto fn = [keep_h, add_h](const char* s) {
+    return featurize_one(s, keep_h != 0, add_h != 0);
+  };
+  return pcp_featurize_batch_impl(
+      smiles, n, pad_atoms, pad_bonds, f_atoms, f_bonds, w_atoms, w_bonds,
+      b2a, b2dst, b2revb, a2mol, nullptr, valid_out, counts_out, n_threads,
+      fn, ATOM_FDIM, ATOM_FDIM + BOND_FDIM, b2parse_out);
 }
 
 // Standard molecules with explicit-H retention (keep_h) and/or AddHs

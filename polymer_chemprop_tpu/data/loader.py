@@ -83,6 +83,7 @@ class MoleculeDataLoader:
         self._native_keep_h = False
         self._native_add_h = False
         self._native_atom_extras = False
+        self._native_bond_extras = False
         if use_native:
             from ..native_ext import (available, hydrogens_available,
                                       polymer_available, reaction_available)
@@ -90,13 +91,19 @@ class MoleculeDataLoader:
                            dataset[0].atom_features is not None)
             bond_extras = (len(dataset) > 0 and
                            dataset[0].bond_features is not None)
-            # extra per-ATOM feature files widen the native arrays through
-            # a vectorized post-concat (standard single-molecule configs
-            # only); per-BOND feature files need parse-order bond ids the
-            # native packer does not expose, so they stay on Python
-            extras_ok = not bond_extras and (
-                not atom_extras or (not config.reaction and not config.polymer
-                                    and self.number_of_molecules == 1))
+            # extra per-ATOM/per-BOND feature files widen the native arrays
+            # through a vectorized post-concat (standard single-molecule
+            # configs only); bond extras additionally need the native
+            # parse-order bond-index export
+            if bond_extras:
+                from ..native_ext import bond_parse_available
+                bond_extras_ok = bond_parse_available()
+            else:
+                bond_extras_ok = True
+            standard = (not config.reaction and not config.polymer
+                        and self.number_of_molecules == 1)
+            extras_ok = bond_extras_ok and (
+                not (atom_extras or bond_extras) or standard)
             no_extras = not atom_extras and not bond_extras
             if config.reaction:
                 # reaction supports keep_h (explicit_h) and add_h natively
@@ -126,6 +133,7 @@ class MoleculeDataLoader:
             else:
                 use_native = available() and extras_ok
             self._native_atom_extras = use_native and atom_extras
+            self._native_bond_extras = use_native and bond_extras
         self.use_native = use_native
         # Pallas band kernel needs TILE_B-multiple, >= EXT bond envelopes,
         # and a TPU backend (CPU would need interpreter mode)
@@ -224,34 +232,58 @@ class MoleculeDataLoader:
         self._pad_atoms = max(self._pad_atoms or 0, pa)
         self._pad_bonds = max(self._pad_bonds or 0, pb)
 
-    def _apply_atom_extras(self, gb, points, valid):
-        """Widen a native GraphBatch with per-atom extra features exactly
-        like MolGraph._build_standard (extend or overwrite): extras land on
-        the packed atom slots, and every f_bonds row re-copies its SOURCE
-        atom's widened vector through b2a (padding rows stay zero because
-        slot 0 is zero)."""
+    def _apply_extras(self, gb, points, valid, b2parse=None):
+        """Widen a native GraphBatch with per-atom and/or per-bond extra
+        features exactly like MolGraph._build_standard (extend or
+        overwrite): atom extras land on the packed atom slots, bond extras
+        are gathered through the native parse-order index (aligned to the
+        parser's bond.idx, like the reference's bond.GetIdx()), and every
+        f_bonds row re-copies its SOURCE atom's widened vector through b2a
+        (padding rows stay zero because slot/index 0 is zero)."""
         if not valid.all():
-            raise ValueError("invalid SMILES in a batch with extra atom "
+            raise ValueError("invalid SMILES in a batch with extra "
                              "features (row alignment would be lost)")
-        extras = [np.asarray(p.atom_features, np.float32) for p in points]
-        E = extras[0].shape[1]
         base = gb.f_atoms
-        overwrite = self.config.overwrite_default_atom_features
-        width = E if overwrite else base.shape[1] + E
-        f_atoms = np.zeros((base.shape[0], width), np.float32)
-        if not overwrite:
-            f_atoms[:, :base.shape[1]] = base
-        # per-molecule length check (featurization.py _build_standard)
-        per_mol = np.bincount(gb.a2mol[1:gb.n_atoms_real],
-                              minlength=len(points))
-        if any(per_mol[i] != ex.shape[0] for i, ex in enumerate(extras)):
-            raise ValueError(
-                "number of atoms differs from extra atom features")
-        stacked = np.concatenate(extras, axis=0)
-        f_atoms[1:1 + stacked.shape[0], width - E:] = stacked
-        bond_cols = gb.f_bonds.shape[1] - base.shape[1]
-        f_bonds = np.concatenate(
-            [f_atoms[gb.b2a], gb.f_bonds[:, -bond_cols:]], axis=1)
+        base_bond_cols = gb.f_bonds.shape[1] - base.shape[1]
+        f_atoms = base
+        if self._native_atom_extras:
+            extras = [np.asarray(p.atom_features, np.float32)
+                      for p in points]
+            E = extras[0].shape[1]
+            overwrite = self.config.overwrite_default_atom_features
+            width = E if overwrite else base.shape[1] + E
+            f_atoms = np.zeros((base.shape[0], width), np.float32)
+            if not overwrite:
+                f_atoms[:, :base.shape[1]] = base
+            # per-molecule length check (featurization.py _build_standard)
+            per_mol = np.bincount(gb.a2mol[1:gb.n_atoms_real],
+                                  minlength=len(points))
+            if any(per_mol[i] != ex.shape[0]
+                   for i, ex in enumerate(extras)):
+                raise ValueError(
+                    "number of atoms differs from extra atom features")
+            stacked = np.concatenate(extras, axis=0)
+            f_atoms[1:1 + stacked.shape[0], width - E:] = stacked
+        bond_cols = gb.f_bonds[:, -base_bond_cols:]
+        if self._native_bond_extras:
+            bextras = [np.asarray(p.bond_features, np.float32)
+                       for p in points]
+            mol_of_bond = gb.a2mol[gb.b2dst[1:gb.n_bonds_real]]
+            per_mol_dir = np.bincount(mol_of_bond, minlength=len(points))
+            if any(per_mol_dir[i] != 2 * bx.shape[0]
+                   for i, bx in enumerate(bextras)):
+                raise ValueError(
+                    "number of bonds differs from extra bond features")
+            Eb = bextras[0].shape[1]
+            # index 0 of the zero-prepended concat catches padding rows
+            cat = np.concatenate(
+                [np.zeros((1, Eb), np.float32)] + bextras, axis=0)
+            extra_rows = cat[b2parse]
+            if self.config.overwrite_default_bond_features:
+                bond_cols = extra_rows
+            else:
+                bond_cols = np.concatenate([bond_cols, extra_rows], axis=1)
+        f_bonds = np.concatenate([f_atoms[gb.b2a], bond_cols], axis=1)
         gb.f_atoms = f_atoms
         gb.f_bonds = f_bonds
         return gb
@@ -263,6 +295,8 @@ class MoleculeDataLoader:
         if self.use_native:
             from ..native_ext import featurize_batch_native
             for pos in range(n_pos):
+                b2parse = (np.zeros(self._pad_bonds, np.int32)
+                           if self._native_bond_extras else None)
                 gb, valid = featurize_batch_native(
                     [p.smiles[pos] for p in points],
                     pad_atoms=self._pad_atoms, pad_bonds=self._pad_bonds,
@@ -270,9 +304,10 @@ class MoleculeDataLoader:
                     polymer=self._native_polymer,
                     reaction_mode=self._native_reaction,
                     keep_h=self._native_keep_h,
-                    add_h=self._native_add_h)
-                if self._native_atom_extras:
-                    gb = self._apply_atom_extras(gb, points, valid)
+                    add_h=self._native_add_h,
+                    bond_parse_out=b2parse)
+                if self._native_atom_extras or self._native_bond_extras:
+                    gb = self._apply_extras(gb, points, valid, b2parse)
                 graph_arrays.append(gb.arrays(pallas=self.use_pallas))
         else:
             for pos in range(n_pos):

@@ -70,6 +70,11 @@ def _load():
         lib.pcp_featurize_batch_h.argtypes = (
             lib.pcp_featurize_batch.argtypes
             + [ctypes.c_int, ctypes.c_int])
+    if hasattr(lib, "pcp_featurize_batch_full"):
+        lib.pcp_featurize_batch_full.restype = ctypes.c_int
+        lib.pcp_featurize_batch_full.argtypes = (
+            lib.pcp_featurize_batch.argtypes
+            + [ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int)])
         lib.pcp_count_h.restype = ctypes.c_int
         lib.pcp_count_h.argtypes = (
             lib.pcp_count.argtypes + [ctypes.c_int, ctypes.c_int])
@@ -118,6 +123,12 @@ def hydrogens_available() -> bool:
     """keep_h / add_h support for standard molecules."""
     lib = _load()
     return lib is not None and hasattr(lib, "pcp_featurize_batch_h")
+
+
+def bond_parse_available() -> bool:
+    """per-directed-bond parse-order index export (per-bond extras)."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "pcp_featurize_batch_full")
 
 
 def reaction_hydrogens_available() -> bool:
@@ -176,7 +187,8 @@ def featurize_batch_native(smiles: List[str], pad_atoms: int, pad_bonds: int,
                            pad_mols: Optional[int] = None,
                            n_threads: int = 4, polymer: bool = False,
                            reaction_mode: Optional[str] = None,
-                           keep_h: bool = False, add_h: bool = False):
+                           keep_h: bool = False, add_h: bool = False,
+                           bond_parse_out: Optional[np.ndarray] = None):
     """SMILES list -> GraphBatch (standard molecules — optionally with
     explicit-H retention / AddHs — wD-MPNN polymer ensemble strings with
     polymer=True, or atom-mapped reaction SMILES with reaction_mode
@@ -251,6 +263,15 @@ def featurize_batch_native(smiles: List[str], pad_atoms: int, pad_bonds: int,
         else:
             rc = lib.pcp_featurize_polymer_batch(*common, dop_p, *tail)
         degree_of_polym[:n] = dop
+    elif bond_parse_out is not None:
+        if not hasattr(lib, "pcp_featurize_batch_full"):
+            raise RuntimeError("native library predates bond parse-order "
+                               "export (rebuild with make -C native)")
+        assert bond_parse_out.shape == (pad_bonds,) and \
+            bond_parse_out.dtype == np.int32
+        rc = lib.pcp_featurize_batch_full(
+            *common, *tail, int(keep_h), int(add_h),
+            bond_parse_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
     elif keep_h or add_h:
         rc = lib.pcp_featurize_batch_h(*common, *tail, int(keep_h),
                                        int(add_h))

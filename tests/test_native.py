@@ -578,8 +578,56 @@ def test_loader_native_atom_extras_parity():
                                 num_workers=1)
     with pytest.raises(ValueError, match="differs from extra atom"):
         list(loader)
-    # per-BOND extras must keep the Python path
-    bondy = MoleculeDataset([MoleculeDatapoint(
-        ["CCO"], [1.0], bond_features=np.ones((2, 3), np.float32))])
-    assert not MoleculeDataLoader(bondy, FeaturizationConfig(), batch_size=1,
-                                  num_workers=1).use_native
+
+
+@pytest.mark.skipif(not getattr(native_ext, "bond_parse_available",
+                                lambda: False)(),
+                    reason="native library predates bond parse export")
+def test_loader_native_bond_extras_parity():
+    """Per-bond extra feature files ride the native path: the C++ packer
+    exports each directed bond's parse-order index (the parser's bond.idx,
+    matching the reference's bond.GetIdx() alignment) and the loader
+    gathers the user rows through it — extend + overwrite modes, combined
+    with atom extras, with per-molecule length validation."""
+    from polymer_chemprop_tpu.chem import parse_smiles
+    from polymer_chemprop_tpu.data import (
+        MoleculeDataLoader,
+        MoleculeDatapoint,
+        MoleculeDataset,
+    )
+
+    smiles = _smiles("regression.csv", 40)
+    rng = np.random.default_rng(5)
+    Ea, Eb = 3, 4
+    for use_atom in (False, True):
+        for ow_b in (False, True):
+            pts = []
+            for s in smiles:
+                m = parse_smiles(s, strict=False)
+                pts.append(MoleculeDatapoint(
+                    [s], [1.0],
+                    atom_features=(rng.normal(size=(m.n_atoms, Ea)).astype(
+                        np.float32) if use_atom else None),
+                    bond_features=rng.normal(size=(m.n_bonds, Eb)).astype(
+                        np.float32)))
+            data = MoleculeDataset(pts)
+            cfg = FeaturizationConfig(overwrite_default_bond_features=ow_b)
+            l_py = MoleculeDataLoader(data, cfg, batch_size=10,
+                                      num_workers=1, use_native=False)
+            l_nat = MoleculeDataLoader(data, cfg, batch_size=10,
+                                       num_workers=1)
+            assert l_nat.use_native and l_nat._native_bond_extras
+            for bp, bn in zip(l_py, l_nat):
+                for k in bp.graph_arrays[0]:
+                    if k == "pallas_aux":
+                        continue
+                    np.testing.assert_allclose(
+                        bn.graph_arrays[0][k], bp.graph_arrays[0][k],
+                        atol=1e-5,
+                        err_msg=f"atom={use_atom} ow={ow_b} {k}")
+    bad = MoleculeDataset([MoleculeDatapoint(
+        ["CCO"], [1.0], bond_features=np.ones((5, Eb), np.float32))])
+    loader = MoleculeDataLoader(bad, FeaturizationConfig(), batch_size=1,
+                                num_workers=1)
+    with pytest.raises(ValueError, match="differs from extra bond"):
+        list(loader)
