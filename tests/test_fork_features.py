@@ -192,3 +192,45 @@ class TestShowIndividualScores:
         assert "Overall test" in text
         # per-task lines appear with real task names from the CSV header
         assert text.count("==> test") > cfg.num_folds
+
+
+class TestUntestedTrainerPaths:
+    """Covers reference paths previously untested here: features_only
+    (mpn.py:201-202,269-270), separate_val_path/separate_test_path
+    (run_training.py:57-75), and save_preds (run_training.py:493-497)."""
+
+    def test_features_only(self, tmp_path):
+        cfg = base(str(tmp_path), features_only=True,
+                   features_generator=["morgan"])
+        mean, _ = cross_validate(cfg)
+        assert np.isfinite(mean)
+
+    def test_separate_val_and_test_paths(self, tmp_path):
+        import csv as _csv
+        src = os.path.join(DATA, "regression.csv")
+        rows = list(_csv.reader(open(src)))
+        header, body = rows[0], rows[1:]
+        for name, chunk in (("val.csv", body[100:130]),
+                            ("test.csv", body[130:160])):
+            with open(tmp_path / name, "w", newline="") as f:
+                w = _csv.writer(f)
+                w.writerow(header)
+                w.writerows(chunk)
+        cfg = base(str(tmp_path / "run"),
+                   separate_val_path=str(tmp_path / "val.csv"),
+                   separate_test_path=str(tmp_path / "test.csv"))
+        mean, _ = cross_validate(cfg)
+        assert np.isfinite(mean)
+        log = (tmp_path / "run" / "verbose.log").read_text()
+        # all 120 train rows kept (no split), exact separate sizes used
+        assert "val size = 30" in log and "test size = 30" in log
+
+    def test_save_preds(self, tmp_path):
+        import csv as _csv
+        cfg = base(str(tmp_path), save_preds=True)
+        mean, _ = cross_validate(cfg)
+        assert np.isfinite(mean)
+        path = tmp_path / "fold_0" / "test_preds.csv"
+        assert path.exists()
+        rows = list(_csv.DictReader(open(path)))
+        assert rows and all(np.isfinite(float(r["pred_0"])) for r in rows)
