@@ -460,13 +460,16 @@ void perceive_rings(Mol& m) {
   }
 }
 
-int lone_pairs(const Mol& m, int a) {
+int lone_pairs(const Mol& m, int a, bool kekulized = false) {
   const Atom& at = m.atoms[a];
   if (at.z == 0) return 0;
   double bo = at.num_h;
   for (int bi : m.adj[a]) {
     int o = m.bonds[bi].order;
-    bo += (o == ORDER_AROMATIC || o == ORDER_SINGLE) ? 1 : o;
+    if (kekulized && o == ORDER_AROMATIC)
+      bo += m.bonds[bi].kekule;
+    else
+      bo += (o == ORDER_AROMATIC || o == ORDER_SINGLE) ? 1 : o;
   }
   int ve = outer_electrons(at.z) - at.charge;
   int lp = (ve - (int)bo) / 2;
@@ -576,6 +579,158 @@ void perceive_aromaticity(Mol& m) {
           if (b.order == ORDER_SINGLE || b.order == ORDER_DOUBLE)
             b.order = ORDER_AROMATIC;
         }
+    }
+  }
+}
+
+// RDKit-style static pi-electron donor on the kekulized structure
+// (mirrors chem/mol.py Molecule._electron_donor): cyclic multiple bond ->
+// 1; exocyclic double to heteroatom -> 0 (vacant); exocyclic double to C
+// -> -1 (blocker, fulvene); lone pair -> 2; C+ -> 0, C- -> 2; else -1.
+int electron_donor(const Mol& m, int a) {
+  const Atom& at = m.atoms[a];
+  if (at.z == 0) return 0;
+  if ((int)m.adj[a].size() + at.num_h > 3) return -1;
+  int cyc_mult = 0, exo_het = 0, exo_c = 0;
+  for (int bi : m.adj[a]) {
+    const Bond& b = m.bonds[bi];
+    int o = (b.order == ORDER_AROMATIC) ? b.kekule : b.order;
+    if (o == ORDER_DOUBLE || o == ORDER_TRIPLE) {
+      if (b.in_ring) cyc_mult++;
+      else if (m.atoms[m.other(bi, a)].z == 6) exo_c++;
+      else exo_het++;
+    }
+  }
+  if (exo_c) return -1;
+  if (cyc_mult) return 1;
+  if (exo_het) return 0;
+  if (lone_pairs(m, a, true) > 0) return 2;
+  if (at.z == 6 && at.charge == 1) return 0;
+  if (at.z == 6 && at.charge == -1) return 2;
+  return -1;
+}
+
+// Authoritative post-kekulization aromaticity (chem/mol.py
+// Molecule._reperceive_aromaticity): per-ring Hückel over static donors,
+// union rescue of fused failed rings (azulene) with vacant-donor unions
+// rejected (keeps actinomycin's phenoxazinone at 1 aromatic ring), then
+// promotion/demotion against the written flags. kekule orders preserved.
+void reperceive_aromaticity(Mol& m) {
+  std::vector<std::vector<int>> rings;
+  for (auto& r : sssr(m))
+    if (r.size() >= 5 && r.size() <= 7) rings.push_back(r);
+  if (rings.empty()) return;
+  std::map<int, int> donors;
+  auto ring_bond_ids = [&](const std::vector<int>& ring) {
+    std::vector<int> out;
+    for (size_t k = 0; k < ring.size(); k++) {
+      int u = ring[k], v = ring[(k + 1) % ring.size()];
+      for (int bi : m.adj[u])
+        if (m.other(bi, u) == v) out.push_back(bi);
+    }
+    return out;
+  };
+  for (auto& r : rings)
+    for (int a : r)
+      if (!donors.count(a)) donors[a] = electron_donor(m, a);
+  std::set<int> arom_atoms, arom_bonds;
+  auto accept = [&](const std::vector<int>& ring) {
+    for (int a : ring) arom_atoms.insert(a);
+    for (int bi : ring_bond_ids(ring)) arom_bonds.insert(bi);
+  };
+  std::vector<std::vector<int>> pending;
+  for (auto& ring : rings) {
+    int total = 0;
+    bool blocked = false;
+    for (int a : ring) {
+      if (donors[a] < 0) { blocked = true; break; }
+      total += donors[a];
+    }
+    if (blocked) continue;
+    if (total % 4 == 2) accept(ring);
+    else pending.push_back(ring);
+  }
+  // union rescue over connected subsets (size 2..4) of failed rings
+  if (pending.size() >= 2) {
+    std::vector<std::set<int>> rbonds;
+    for (auto& r : pending) {
+      auto ids = ring_bond_ids(r);
+      rbonds.push_back(std::set<int>(ids.begin(), ids.end()));
+    }
+    std::vector<bool> done(pending.size(), false);
+    int n = (int)pending.size();
+    for (int size = 2; size <= 4 && size <= n; size++) {
+      std::vector<int> combo(size);
+      std::function<void(int, int)> rec = [&](int start, int k) {
+        for (int i = start; i < n; i++) {
+          combo[k] = i;
+          if (k + 1 < size) { rec(i + 1, k + 1); continue; }
+          bool skip = false;
+          for (int j : combo) if (done[j]) { skip = true; break; }
+          if (skip) continue;
+          // connectivity via shared bonds
+          std::set<int> grown = {combo[0]}, rest(combo.begin() + 1,
+                                                 combo.end());
+          bool grew = true;
+          while (grew && !rest.empty()) {
+            grew = false;
+            for (auto it = rest.begin(); it != rest.end();) {
+              bool touch = false;
+              for (int k2 : grown)
+                for (int bid : rbonds[*it])
+                  if (rbonds[k2].count(bid)) { touch = true; break; }
+              if (touch) { grown.insert(*it); it = rest.erase(it);
+                           grew = true; }
+              else ++it;
+            }
+          }
+          if (!rest.empty()) continue;
+          std::set<int> uni;
+          for (int j : combo) uni.insert(pending[j].begin(),
+                                         pending[j].end());
+          int total = 0;
+          bool bad = false;
+          for (int a : uni) {
+            if (donors[a] <= 0) { bad = true; break; }  // vacant blocks
+            total += donors[a];
+          }
+          if (bad || total % 4 != 2) continue;
+          for (int j : combo) { accept(pending[j]); done[j] = true; }
+        }
+      };
+      rec(0, 0);
+    }
+  }
+  // reconcile with written flags (scope: the 5-7 rings examined)
+  std::set<int> scope_bonds, scope_atoms;
+  for (auto& r : rings) {
+    for (int bi : ring_bond_ids(r)) scope_bonds.insert(bi);
+    for (int a : r) scope_atoms.insert(a);
+  }
+  for (int bi : scope_bonds) {
+    Bond& b = m.bonds[bi];
+    if (arom_bonds.count(bi)) {
+      if (!b.aromatic) {
+        b.aromatic = true;
+        if (b.order == ORDER_SINGLE || b.order == ORDER_DOUBLE) {
+          b.kekule = b.order;
+          b.order = ORDER_AROMATIC;
+        }
+      }
+    } else if (b.aromatic) {
+      b.aromatic = false;
+      if (b.order == ORDER_AROMATIC) b.order = b.kekule;
+    }
+  }
+  for (int ai : scope_atoms) {
+    Atom& at = m.atoms[ai];
+    if (arom_atoms.count(ai)) {
+      at.aromatic = true;
+    } else if (at.aromatic) {
+      bool keep = false;
+      for (int bi : m.adj[ai])
+        if (m.bonds[bi].aromatic) { keep = true; break; }
+      at.aromatic = keep;
     }
   }
 }
@@ -889,6 +1044,7 @@ bool perceive(Mol& m, bool keep_h = false) {
   perceive_rings(m);
   perceive_aromaticity(m);
   bool ok = kekulize(m);
+  reperceive_aromaticity(m);
   assign_final_h(m);
   assign_hybridization(m);
   assign_conjugation(m);

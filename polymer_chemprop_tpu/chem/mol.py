@@ -182,6 +182,7 @@ class Molecule:
         self._perceive_rings()
         self._perceive_aromaticity()
         self._kekulize(strict=strict)
+        self._reperceive_aromaticity()
         self._assign_implicit_hs()
         self._assign_hybridization()
         self._assign_conjugation()
@@ -323,15 +324,135 @@ class Molecule:
             return 2  # cyclopentadienide
         return None  # sp3 carbon -> ring can't be aromatic
 
-    def _lone_pairs(self, a: int) -> int:
+    def _lone_pairs(self, a: int, kekulized: bool = False) -> int:
         atom = self.atoms[a]
         if atom.atomic_num == 0:
             return 0
         bo = atom.num_hs
         for b in self.atom_bonds(a):
-            bo += 1 if b.order in (SINGLE, AROMATIC) else b.order
+            if kekulized and b.order == AROMATIC:
+                bo += b.kekule_order
+            else:
+                bo += 1 if b.order in (SINGLE, AROMATIC) else b.order
         ve = outer_electrons(atom.atomic_num) - atom.formal_charge
         return max(0, (ve - bo) // 2)
+
+    def _ring_bond_ids(self, ring: List[int]) -> List[int]:
+        out = []
+        for i, a in enumerate(ring):
+            b = self.bond_between(a, ring[(i + 1) % len(ring)])
+            if b is not None:
+                out.append(b.idx)
+        return out
+
+    def _electron_donor(self, a: int) -> Optional[int]:
+        """RDKit-style static pi-electron donor type of an atom on the
+        kekulized structure (Aromaticity.cpp getAtomDonorTypeArom):
+
+        * multiple bond in a ring (ANY ring — this is what lets ring B of
+          Kekulé naphthalene count its fusion atoms): 1 electron
+        * exocyclic (non-ring) double bond to a heteroatom: 0 (vacant —
+          quinone / pyridinone / actinomycin carbonyl carbons)
+        * exocyclic double bond to carbon: None (blocker — fulvene)
+        * lone-pair bearer (pyrrole N, furan O, thiophene S): 2
+        * carbocation 0, carbanion 2; anything sp3-like: None (blocker)
+        """
+        atom = self.atoms[a]
+        if atom.is_wildcard():
+            return 0
+        if self.degree(a) + atom.num_hs > 3:
+            return None
+        cyc_mult = exo_dbl_het = exo_dbl_c = 0
+        for b in self.atom_bonds(a):
+            order = b.kekule_order if b.order == AROMATIC else b.order
+            if order in (DOUBLE, TRIPLE):
+                if b.in_ring:
+                    cyc_mult += 1
+                elif self.atoms[b.other(a)].atomic_num == 6:
+                    exo_dbl_c += 1
+                else:
+                    exo_dbl_het += 1
+        if exo_dbl_c:
+            return None
+        if cyc_mult:
+            return 1
+        if exo_dbl_het:
+            return 0
+        lp = self._lone_pairs(a, kekulized=True)
+        if lp > 0:
+            return 2
+        if atom.atomic_num == 6 and atom.formal_charge == 1:
+            return 0
+        if atom.atomic_num == 6 and atom.formal_charge == -1:
+            return 2
+        return None
+
+    def _huckel_kekule(self, rings: List[List[int]]):
+        """RDKit-style aromaticity over candidate rings of the kekulized
+        structure: per-ring Hückel 4n+2 over the static donor counts, then
+        unions of the remaining fused failed rings (azulene-type systems
+        that only satisfy 4n+2 jointly). Unions exclude individually
+        -aromatic rings and reject any union containing a vacant (0
+        -electron) donor: both exclusions are what keeps the phenoxazinone
+        tricycle of actinomycin D at ONE aromatic ring (benzo) instead of
+        rescuing quinonoid+oxazine through a whole-system electron count.
+        Returns (aromatic_atom_ids, aromatic_bond_ids)."""
+        donors = {}
+        for ring in rings:
+            for a in ring:
+                if a not in donors:
+                    donors[a] = self._electron_donor(a)
+        arom_atoms: set = set()
+        arom_bonds: set = set()
+
+        def accept(ring_list):
+            for ring in ring_list:
+                arom_atoms.update(ring)
+                arom_bonds.update(self._ring_bond_ids(ring))
+
+        pending = []
+        for ring in rings:
+            pis = [donors[a] for a in ring]
+            if any(p is None for p in pis):
+                continue  # blocked ring: never aromatic, never in unions
+            if sum(pis) % 4 == 2:
+                accept([ring])
+            else:
+                pending.append(ring)
+        # union rescue over the failed candidate rings
+        if pending:
+            from itertools import combinations
+            rbonds = [set(self._ring_bond_ids(r)) for r in pending]
+            done = set()
+            for size in (2, 3, 4):
+                if len(pending) < size:
+                    break
+                for combo in combinations(range(len(pending)), size):
+                    if done & set(combo):
+                        continue
+                    # require the combo to be connected via shared bonds
+                    grown = {combo[0]}
+                    rest = set(combo[1:])
+                    grew = True
+                    while grew and rest:
+                        grew = False
+                        for j in list(rest):
+                            if any(rbonds[j] & rbonds[k] for k in grown):
+                                grown.add(j)
+                                rest.remove(j)
+                                grew = True
+                    if rest:
+                        continue
+                    union = set()
+                    for j in combo:
+                        union.update(pending[j])
+                    pis = [donors[a] for a in union]
+                    if any(p == 0 for p in pis):
+                        continue  # vacant donor blocks union rescue
+                    if sum(pis) % 4 == 2:
+                        accept([pending[j] for j in combo])
+                        done.update(combo)
+        return arom_atoms, arom_bonds
 
     def _perceive_aromaticity(self) -> None:
         # pre-assign rough H counts so lone-pair math works during perception
@@ -364,6 +485,47 @@ class Molecule:
                     b.is_aromatic = True
                     if b.order in (SINGLE, DOUBLE):
                         b.order = AROMATIC
+
+    def _reperceive_aromaticity(self) -> None:
+        """Authoritative post-kekulization perception (the re-perception
+        RDKit sanitization performs after parsing): recompute aromaticity
+        from the Kekulé structure and reconcile with the written flags —
+        PROMOTE rings the pre-pass missed (Kekulé-written fused systems:
+        naphthalene ring B, azulene) and DEMOTE written-aromatic rings the
+        model rejects (e.g. 2 of the 3 phenoxazinone rings of actinomycin
+        D — RDKit reports exactly 1 aromatic ring there). Only rings of
+        size 5-7 (the model's scope) are touched; kekule_order is already
+        assigned and is preserved, so H counts do not change."""
+        rings = [r for r in self.sssr() if 5 <= len(r) <= 7]
+        if not rings:
+            return
+        arom_atoms, arom_bonds = self._huckel_kekule(rings)
+        scope_bonds = set()
+        scope_atoms = set()
+        for r in rings:
+            scope_bonds.update(self._ring_bond_ids(r))
+            scope_atoms.update(r)
+        for bi in scope_bonds:
+            b = self.bonds[bi]
+            if bi in arom_bonds:
+                if not b.is_aromatic:
+                    b.is_aromatic = True
+                    if b.order in (SINGLE, DOUBLE):
+                        b.kekule_order = b.order
+                        b.order = AROMATIC
+            elif b.is_aromatic:
+                b.is_aromatic = False
+                if b.order == AROMATIC:
+                    b.order = b.kekule_order
+        for ai in scope_atoms:
+            atom = self.atoms[ai]
+            if ai in arom_atoms:
+                atom.is_aromatic = True
+            elif atom.is_aromatic:
+                # keep the flag only if an out-of-scope aromatic bond
+                # (macrocycle etc.) still touches the atom
+                atom.is_aromatic = any(
+                    b.is_aromatic for b in self.atom_bonds(ai))
 
     # --- kekulization: assign alternating double bonds on aromatic systems ---
     def _pi_role(self, a: int) -> Optional[str]:

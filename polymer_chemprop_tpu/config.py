@@ -144,6 +144,22 @@ class TrainConfig:
     data_parallel: Optional[bool] = None     # shard each batch over local
     # devices with psum gradient reduction: None = auto (on for multi-device
     # TPU backends), --data_parallel / --no_data_parallel to force
+    reference_init: Optional[bool] = None    # replay the reference's exact
+    # torch initial weights (manual_seed(pytorch_seed) + Linear
+    # construction + xavier_normal_ re-init, models/torch_init.py): the
+    # model family's outcome is strongly init-dependent, so golden parity
+    # needs the reference's actual draw, not just its distribution.
+    # None = auto (on when torch is importable), --no_reference_init for
+    # the pure-JAX xavier init.
+    graph_parallel: Optional[bool] = None    # edge-partition each batched
+    # graph over the device mesh with per-layer halo exchange
+    # (parallel/partition.py): the scaling axis for batches whose edge
+    # count exceeds one chip's sweet spot. None = auto (on for multi-device
+    # runs whose bond envelope exceeds ~2x the single-chip optimum),
+    # --graph_parallel to force (raises if the config is unsupported),
+    # --no_graph_parallel to disable. Supported: single-molecule-position
+    # regression/classification without extra features/descriptors,
+    # dropout 0, directed bond messages.
     use_pallas: Optional[bool] = None        # fused band kernel for message
     # passing: None = auto (on whenever a TPU backend is attached; the
     # loader falls back to the XLA segment-sum path on CPU)

@@ -193,6 +193,21 @@ class MoleculeDataLoader:
         return [d.targets for d in self.dataset]
 
     # -- envelope -----------------------------------------------------------
+    def estimated_pad_bonds(self) -> int:
+        """Bond envelope under the identity order (the sticky envelope can
+        only grow from here). Used by the trainer's graph-parallel auto
+        rule; the per-datapoint counts it computes are cached for reuse."""
+        self._compute_envelope(list(range(len(self.dataset))))
+        return int(self._pad_bonds)
+
+    def estimated_pad_atoms(self) -> int:
+        """Current atom envelope (computing it first if needed) — the
+        trainer's graph-parallel path sizes its fixed halo atom window
+        from this each epoch."""
+        if self._pad_atoms is None:
+            self._compute_envelope(list(range(len(self.dataset))))
+        return int(self._pad_atoms)
+
     def _compute_envelope(self, order: List[int]) -> None:
         """Choose pad sizes covering every batch under the current order.
         Sticky (monotone non-decreasing) and aligned, so reshuffles reuse

@@ -1,11 +1,16 @@
 """Molecule-level features generators (reference features_generators.py).
 
 Name registry with decorator registration; Morgan/ECFP fingerprints are
-computed on the standalone chemistry runtime (circular substructure hashing
-with the standard ECFP invariants). Bit positions differ from RDKit's
-hashes, but the representational content — radius-2 circular environments
-folded to n bits — is the same, which is what the downstream consumers
-(FFN input features, sklearn baselines) rely on.
+computed on the standalone chemistry runtime with **bit-identical RDKit
+hashing**: 32-bit boost-style hash_combine over the connectivity
+invariants (MorganFingerprints.cpp getConnectivityInvariants), environment
+ids seeded with the 0-indexed layer and combined with boost *pair* hashes
+of the sorted (bondType, neighborInvariant) pairs, unique-bond-set
+deduplication with dead-atom retirement (calcFingerprint). Validated
+against published RDKit outputs: benzene Morgan2/2048 on-bits
+{389, 1088, 1873} and the RDKit docs example ``c1cccnc1C`` whose unhashed
+ids include 98513984 -> ((1,1),(2,1)) and 4048591891 -> ((5,2)) with 16
+unique ids (tests/test_fork_features.py).
 
 ``rdkit_2d``/``rdkit_2d_normalized`` require descriptastorus+rdkit; like
 the reference's ImportError mocks (features_generators.py:92-133) they
@@ -64,13 +69,20 @@ def _hash(*vals) -> int:
     return int.from_bytes(h[:8], "little")
 
 
-# -- RDKit-compatible ECFP hashing ------------------------------------------
-# Replicates RDKit's Morgan fingerprint bit assignment so fingerprints (and
-# the sklearn baselines built on them) match the reference numerically:
-# boost-style uint32 hash_combine over the connectivity invariants
-# (MorganFingerprints.cpp getConnectivityInvariants + calcFingerprint),
-# layer-seeded neighbour hashing with sorted (bondType, invariant) pairs,
-# and environment deduplication by unique bond sets.
+# -- RDKit bit-identical ECFP hashing ----------------------------------------
+# Replicates RDKit's Morgan fingerprint bit assignment exactly, so
+# fingerprints (and the sklearn baselines / FFN features built on them)
+# match the reference numerically. All arithmetic is 32-bit (RDKit's
+# vendored gboost hash is platform-independent uint32). Per
+# MorganFingerprints.cpp:
+#   * connectivity invariant = hash_range([atomicNum, totalDegree,
+#     totalNumHs, formalCharge, deltaMass] (+ [1] if in ring))
+#   * round id = hash_combine chain seeded with the 0-indexed layer, then
+#     the atom's current invariant, then for each sorted (bondType,
+#     neighborInvariant) pair the boost *pair hash* of that pair
+#   * one fingerprint element per unique bond set (dedup ordered by
+#     (bond set, id, atom)); atoms whose environment was already seen are
+#     retired ("dead") and stop updating in later rounds.
 
 def _hash_combine(seed: int, v: int) -> int:
     seed ^= (v + 0x9E3779B9 + ((seed << 6) & _U32) + (seed >> 2)) & _U32
@@ -82,6 +94,11 @@ def _hash_range(values) -> int:
     for v in values:
         seed = _hash_combine(seed, v & _U32)
     return seed
+
+
+def _pair_hash(first: int, second: int) -> int:
+    # boost::hash<std::pair>: seed 0, combine .first then .second
+    return _hash_combine(_hash_combine(0, first & _U32), second & _U32)
 
 
 def _connectivity_invariants(mol: Molecule) -> List[int]:
@@ -98,51 +115,61 @@ def _connectivity_invariants(mol: Molecule) -> List[int]:
 
 
 def morgan_environments(mol: Molecule, radius: int) -> List[int]:
-    """RDKit-compatible circular environment identifiers (layer 0..radius)
-    with unique-bond-set deduplication."""
+    """RDKit bit-identical circular environment identifiers (layer
+    0..radius): one per atom at layer 0, then one per unique bond set per
+    round, in RDKit's dedup order. Reference consumes these via
+    GetMorganFingerprintAsBitVect / GetHashedMorganFingerprint
+    (features_generators.py:52-89)."""
     n = mol.n_atoms
     if n == 0:
         return []
     invariants = _connectivity_invariants(mol)
-    ids = list(invariants)
-    # neighborhood[a] = set of bond ids covered by a's environment so far
-    neighborhoods = [set() for _ in range(n)]
-    seen_envs = set()
-    for layer in range(1, radius + 1):
-        round_ids = []
-        round_nbrhoods = []
-        round_invariants = list(invariants)
+    ids = list(invariants)  # layer 0: one id per atom, no dedup
+    # neighborhood[a] = frozenset of bond ids covered by a's env so far
+    neighborhoods = [frozenset() for _ in range(n)]
+    seen_envs: List[frozenset] = []
+    dead = [False] * n
+    cur = list(invariants)
+    for layer in range(radius):
+        round_invariants = [0] * n  # dead atoms keep 0, as in RDKit
+        round_nbrhoods = list(neighborhoods)
+        tuples = []
         for a in range(n):
+            if dead[a]:
+                continue
             bonds = mol.atom_bonds(a)
             if not bonds:
+                dead[a] = True
                 continue
             nbrs = []
             env = set(neighborhoods[a])
             for b in bonds:
                 order = 12 if (b.order == AROMATIC or b.is_aromatic) \
                     else int(b.order)
-                nbrs.append((order, invariants[b.other(a)]))
+                nbrs.append((order, cur[b.other(a)]))
                 env.add(b.idx)
                 env |= neighborhoods[b.other(a)]
             nbrs.sort()
             invar = layer & _U32
-            invar = _hash_combine(invar, invariants[a])
+            invar = _hash_combine(invar, cur[a])
             for order, nbr_inv in nbrs:
-                invar = _hash_combine(invar, order)
-                invar = _hash_combine(invar, nbr_inv)
+                invar = _hash_combine(invar, _pair_hash(order, nbr_inv))
             round_invariants[a] = invar
-            round_nbrhoods.append((tuple(sorted(env)), invar, a))
-        # dedup: one id per unique bond set, smallest invariant wins
-        round_nbrhoods.sort()
-        new_neighborhoods = list(neighborhoods)
-        for env, invar, a in round_nbrhoods:
-            new_neighborhoods[a] = set(env)
+            env = frozenset(env)
+            round_nbrhoods[a] = env
+            tuples.append((tuple(sorted(env)), invar, a))
+            if env in seen_envs:
+                dead[a] = True
+        tuples.sort()
+        for env_key, invar, a in tuples:
+            env = round_nbrhoods[a]
             if env not in seen_envs:
-                seen_envs.add(env)
-                round_ids.append(invar)
-        invariants = round_invariants
-        neighborhoods = new_neighborhoods
-        ids.extend(round_ids)
+                seen_envs.append(env)
+                ids.append(invar)
+            else:
+                dead[a] = True
+        cur = round_invariants
+        neighborhoods = round_nbrhoods
     return ids
 
 

@@ -106,17 +106,28 @@ def save_trial(trials_dir: str, trial: Dict) -> None:
 
 def get_hyperopt_seed(seed: int, trials_dir: str) -> int:
     """Shared monotone seed file so parallel instances draw distinct seeds
-    (reference hyperopt_utils.py:83-113)."""
+    (reference hyperopt_utils.py:83-113). The read-pick-append cycle runs
+    under an exclusive ``fcntl`` lock on the seed file itself, so truly
+    concurrent workers cannot draw the same seed (the reference's
+    unlocked append has that race)."""
     os.makedirs(trials_dir, exist_ok=True)
     path = os.path.join(trials_dir, "hyperopt_seeds.txt")
-    seeds = []
-    if os.path.exists(path):
-        with open(path) as f:
-            seeds = [int(s) for s in f.read().split()]
-    while seed in seeds:
-        seed += 1
-    with open(path, "a") as f:
-        f.write(f"{seed} ")
+    fd = os.open(path, os.O_RDWR | os.O_CREAT, 0o644)
+    try:
+        try:
+            import fcntl
+            fcntl.flock(fd, fcntl.LOCK_EX)
+        except ImportError:  # non-POSIX: best effort, like the reference
+            pass
+        content = os.read(fd, 1 << 20).decode() or ""
+        seeds = [int(s) for s in content.split()]
+        while seed in seeds:
+            seed += 1
+        os.lseek(fd, 0, os.SEEK_END)
+        os.write(fd, f"{seed} ".encode())
+        os.fsync(fd)
+    finally:
+        os.close(fd)  # releases the flock
     return seed
 
 
@@ -132,16 +143,32 @@ def hyperopt(cfg: TrainConfig, num_iters: int = 20,
     trials_dir = hyperopt_checkpoint_dir or \
         os.path.join(cfg.save_dir or ".", "hyperopt_trials")
 
-    # manual/warm-start trials (reference hyperopt_utils.py:116+)
+    # manual/warm-start trials (reference hyperopt_utils.py:116+): import
+    # EVERY trial record from each prior run — the full trial_*.json
+    # history (checked both at the dir root and in its hyperopt_trials/
+    # subdir, the default layout), falling back to best_hyperparams.json
+    # for directories that only kept the summary
     if manual_trial_dirs:
         for d in manual_trial_dirs:
-            path = os.path.join(d, "best_hyperparams.json")
-            if os.path.exists(path):
-                with open(path) as f:
-                    rec = json.load(f)
-                save_trial(trials_dir, {"key": f"manual_{os.path.basename(d)}",
-                                        "params": rec["params"],
-                                        "loss": rec.get("loss")})
+            base = os.path.basename(os.path.normpath(d))
+            imported = 0
+            for sub in (d, os.path.join(d, "hyperopt_trials")):
+                for rec in load_trials(sub):
+                    if "params" not in rec:
+                        continue
+                    save_trial(trials_dir, dict(
+                        rec, key=f"manual_{base}_{rec.get('key', imported)}"))
+                    imported += 1
+            if imported == 0:
+                path = os.path.join(d, "best_hyperparams.json")
+                if os.path.exists(path):
+                    with open(path) as f:
+                        rec = json.load(f)
+                    save_trial(trials_dir, {"key": f"manual_{base}",
+                                            "params": rec["params"],
+                                            "loss": rec.get("loss")})
+                    imported = 1
+            logger.info(f"Imported {imported} manual trial(s) from {d}")
 
     for i in range(num_iters):
         trials = load_trials(trials_dir)

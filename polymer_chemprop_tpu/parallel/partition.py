@@ -123,7 +123,8 @@ def make_edge_parallel_forward(cfg: EncoderConfig, mesh: Mesh,
 # halo-exchange variant: neighbour ppermute instead of global psum
 # ---------------------------------------------------------------------------
 
-def build_edge_shards_halo(arrays: Dict[str, np.ndarray], n_shards: int
+def build_edge_shards_halo(arrays: Dict[str, np.ndarray], n_shards: int,
+                           atom_window: int = None
                            ) -> Tuple[Dict[str, np.ndarray],
                                       Dict[str, np.ndarray]]:
     """Host-side partitioner for the halo-exchange forward.
@@ -140,6 +141,11 @@ def build_edge_shards_halo(arrays: Dict[str, np.ndarray], n_shards: int
     Raises ValueError when a single molecule spans 3+ shards (windows of
     non-adjacent shards would overlap); callers should fall back to
     :func:`build_edge_shards` + psum in that case.
+
+    ``atom_window``: fixed window width for compile-once training loops —
+    every batch of a fold then produces identically-shaped shards (the
+    trainer passes the loader's stable ``pad_atoms`` envelope). Raises
+    ValueError if the derived width exceeds it.
     """
     B = arrays["f_bonds"].shape[0]
     A = arrays["f_atoms"].shape[0]
@@ -191,6 +197,12 @@ def build_edge_shards_halo(arrays: Dict[str, np.ndarray], n_shards: int
             hi_atom[s] = max(hi_atom[s], real_hi)
             break
     Aw = int(((hi_atom - o).max() + 7) // 8 * 8)
+    if atom_window is not None:
+        if Aw > atom_window:
+            raise ValueError(
+                f"derived halo window {Aw} exceeds the fixed atom_window "
+                f"{atom_window}; enlarge the envelope or fall back")
+        Aw = int(atom_window)
 
     def shard_bond_array(x, fill=0):
         out = np.full((n_shards, Bs) + x.shape[1:], fill, dtype=x.dtype)
@@ -325,7 +337,8 @@ def make_edge_parallel_forward_halo(cfg: EncoderConfig, mesh: Mesh,
     return jax.jit(smapped)
 
 
-def make_halo_train_step(mcfg, tx, mesh: Mesh, axis: str = "ep"):
+def make_halo_train_step(mcfg, tx, mesh: Mesh, axis: str = "ep",
+                         target_weights=None):
     """Full training step with the encoder edge-partitioned over the mesh.
 
     The forward is :func:`make_edge_parallel_forward_halo` (per-layer
@@ -351,7 +364,7 @@ def make_halo_train_step(mcfg, tx, mesh: Mesh, axis: str = "ep"):
         preds = apply_ffn(params, emb, mcfg, dropout_key=None,
                           deterministic=True)
         elem = elementwise(preds, targets)
-        return masked_loss(elem, mask, None, weights)
+        return masked_loss(elem, mask, target_weights, weights)
 
     @jax.jit
     def halo_train_step(params, opt_state, sharded, replicated,
@@ -359,6 +372,8 @@ def make_halo_train_step(mcfg, tx, mesh: Mesh, axis: str = "ep"):
         loss, grads = jax.value_and_grad(loss_fn)(
             params, sharded, replicated, targets, mask, weights)
         updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        gnorm = optax.global_norm(grads)
+        return (optax.apply_updates(params, updates), opt_state, loss,
+                gnorm)
 
     return halo_train_step

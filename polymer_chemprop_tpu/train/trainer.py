@@ -308,8 +308,37 @@ def run_training(cfg: TrainConfig,
     train_batch_size = cfg.batch_size
     if dp_enabled:
         train_batch_size = max(1, _math.ceil(cfg.batch_size / n_dev))
-        info(f"Data-parallel training over {n_dev} devices "
-             f"(micro-batch {train_batch_size})")
+
+    # ---- graph parallelism: edge-partitioned halo training ---------------
+    # (SURVEY.md §7 Phase 4 / §5 long-context analogue: ONE batched graph
+    # sharded over the mesh by bond pairs, per-layer neighbour halo
+    # exchange — parallel/partition.py. The scaling axis for batches whose
+    # edge count exceeds a single chip's throughput sweet spot.)
+    gp_reasons = []
+    if n_dev <= 1:
+        gp_reasons.append("single device")
+    if cfg.number_of_molecules != 1:
+        gp_reasons.append("multi-molecule datapoints")
+    if cfg.dataset_type not in ("regression", "classification"):
+        gp_reasons.append(f"dataset_type {cfg.dataset_type}")
+    if cfg.features_only:
+        gp_reasons.append("features_only")
+    if train_data.features_size():
+        gp_reasons.append("extra molecule features")
+    if train_data.atom_descriptors_size():
+        gp_reasons.append("atom descriptors")
+    if cfg.dropout > 0:
+        gp_reasons.append("dropout > 0 (the halo step is deterministic)")
+    if cfg.atom_messages or cfg.undirected:
+        gp_reasons.append("atom_messages/undirected")
+    gp_supported = not gp_reasons
+    gp_enabled = cfg.graph_parallel
+    if gp_enabled and not gp_supported:
+        raise ValueError("--graph_parallel is unsupported for this run: "
+                         + ", ".join(gp_reasons))
+    if gp_enabled:
+        dp_enabled = False
+        train_batch_size = cfg.batch_size
 
     # ---- loaders ----------------------------------------------------------
     set_cache_graph(len(data) <= cfg.cache_cutoff and not cfg.no_cache_mol)
@@ -317,10 +346,38 @@ def run_training(cfg: TrainConfig,
                      use_native=cfg.use_native_featurizer,
                      # atom_messages is not supported on the Pallas path
                      use_pallas=False if cfg.atom_messages else cfg.use_pallas)
+    train_loader_kw = dict(loader_kw, batch_size=train_batch_size)
+    if gp_enabled:
+        # the halo partitioner needs the natural (fwd, rev) pair layout,
+        # not the Pallas band layout
+        train_loader_kw["use_pallas"] = False
     train_loader = MoleculeDataLoader(
         train_data, fcfg, shuffle=True, seed=cfg.seed,
-        class_balance=cfg.class_balance,
-        **dict(loader_kw, batch_size=train_batch_size))
+        class_balance=cfg.class_balance, **train_loader_kw)
+    if gp_enabled is None:
+        # auto: edge-partition when the per-batch bond envelope exceeds
+        # ~2x the single-chip throughput optimum (docs/kernels.md: per-edge
+        # cost rises past ~28k edges/chip; beyond ~2x, sharding the graph
+        # beats growing the working set)
+        GP_AUTO_BOND_ENVELOPE = 57344
+        gp_enabled = (gp_supported and
+                      train_loader.estimated_pad_bonds()
+                      > GP_AUTO_BOND_ENVELOPE)
+        if gp_enabled:
+            dp_enabled = False
+            train_batch_size = cfg.batch_size
+            train_loader = MoleculeDataLoader(
+                train_data, fcfg, shuffle=True, seed=cfg.seed,
+                class_balance=cfg.class_balance,
+                **dict(loader_kw, batch_size=cfg.batch_size,
+                       use_pallas=False))
+    gp_enabled = bool(gp_enabled)
+    if gp_enabled:
+        info(f"Graph-parallel training: edge-partitioned halo exchange "
+             f"over {n_dev} devices")
+    elif dp_enabled:
+        info(f"Data-parallel training over {n_dev} devices "
+             f"(micro-batch {train_batch_size})")
     val_loader = MoleculeDataLoader(val_data, fcfg, **loader_kw)
     test_loader = MoleculeDataLoader(test_data, fcfg, **loader_kw)
     # unshuffled train loader for per-epoch train-set evaluation
@@ -349,7 +406,30 @@ def run_training(cfg: TrainConfig,
 
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.pytorch_seed), model_idx)
         key, init_key = jax.random.split(key)
-        params = init_model(init_key, model_cfg)
+        params = None
+        use_ref_init = cfg.reference_init
+        if use_ref_init is None or use_ref_init:
+            # reference-stream init: bit-identical to the reference's
+            # torch.manual_seed(pytorch_seed) initial weights. For
+            # dropout > 0 ensembles, member >= 1 streams interleave with
+            # the reference's training-time dropout draws and cannot be
+            # replayed — those members keep the JAX init.
+            replayable = cfg.dropout == 0 or model_idx == 0
+            if replayable:
+                try:
+                    from ..models.torch_init import reference_init_params
+                    params = reference_init_params(
+                        model_cfg, cfg.pytorch_seed, model_idx)
+                    debug(f"Model {model_idx}: reference-stream torch init "
+                          f"(pytorch_seed {cfg.pytorch_seed})")
+                except ImportError:
+                    if use_ref_init:
+                        raise
+            elif use_ref_init:
+                info(f"Model {model_idx}: reference init not replayable "
+                     f"with dropout > 0; using JAX init")
+        if params is None:
+            params = init_model(init_key, model_cfg)
         # warm-start from existing checkpoints (reference run_training loads
         # args.checkpoint_paths[model_idx] as the initial weights). Like the
         # reference's shape-checked partial load (utils.py:116-130), only
@@ -401,6 +481,15 @@ def run_training(cfg: TrainConfig,
             model_cfg, tx, target_weights,
             cfg.alternative_loss_function,
             cfg.spectra_target_floor if cfg.dataset_type == "spectra" else None)
+        if gp_enabled:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel import (build_edge_shards_halo,
+                                    make_halo_train_step, make_mesh)
+            gp_mesh = make_mesh(n_dev, ("ep",))
+            gp_step = make_halo_train_step(model_cfg, tx, gp_mesh, "ep",
+                                           target_weights)
+            gp_shard = NamedSharding(gp_mesh, P("ep"))
+            gp_fallback_warned = False
         if dp_enabled:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from ..parallel import (make_dp_train_step, make_mesh,
@@ -441,7 +530,8 @@ def run_training(cfg: TrainConfig,
 
         best_score = float("inf") if cfg.minimize_score else -float("inf")
         best_epoch = 0
-        best_params = jax.device_get(params) if dp_enabled else params
+        best_params = jax.device_get(params) \
+            if (dp_enabled or gp_enabled) else params
 
         # TensorBoard scalars (reference run_training.py:233-236,393-402;
         # train.py:91-111 logs loss/pnorm/gnorm/lr) — best-effort import
@@ -492,6 +582,36 @@ def run_training(cfg: TrainConfig,
                         dp_flush()
                 if group:
                     dp_flush()
+            elif gp_enabled:
+                aw = (train_loader.estimated_pad_atoms() + 7) // 8 * 8
+                for batch in train_loader:
+                    d = batch_pytree(batch)
+                    arrays = d["graphs"][0]
+                    try:
+                        sharded, replicated = build_edge_shards_halo(
+                            arrays, n_dev, atom_window=aw)
+                    except ValueError as exc:
+                        # a molecule spans 3+ edge shards (or the window
+                        # overflowed): run this batch single-device — the
+                        # math is identical, only the sharding differs
+                        if not gp_fallback_warned:
+                            info(f"graph_parallel: single-device fallback "
+                                 f"for an unshardable batch ({exc})")
+                            gp_fallback_warned = True
+                        key, sub = jax.random.split(key)
+                        params, opt_state, loss, gnorm = train_step(
+                            params, opt_state, d, sub)
+                        losses.append(loss)
+                        gnorms.append(gnorm)
+                        continue
+                    sharded = jax.tree_util.tree_map(
+                        lambda x: jax.device_put(x, gp_shard), sharded)
+                    params, opt_state, loss, gnorm = gp_step(
+                        params, opt_state, sharded, replicated,
+                        jnp.asarray(d["targets"]), jnp.asarray(d["mask"]),
+                        jnp.asarray(d["weights"]))
+                    losses.append(loss)
+                    gnorms.append(gnorm)
             else:
                 for batch in train_loader:
                     key, sub = jax.random.split(key)
@@ -512,7 +632,8 @@ def run_training(cfg: TrainConfig,
                 jax.block_until_ready(params)
                 jax.profiler.stop_trace()
                 profiling = False
-            eval_params = jax.device_get(params) if dp_enabled else params
+            eval_params = jax.device_get(params) \
+                if (dp_enabled or gp_enabled) else params
             val_scores = evaluate(eval_params, predict_step, val_loader,
                                   num_tasks, cfg.metrics, cfg.dataset_type,
                                   scaler)

@@ -145,3 +145,46 @@ class TestBatching:
     def test_envelope_overflow_raises(self):
         with pytest.raises(ValueError):
             mol2graph(["CCCCCCCCCC"], pad_atoms=4, pad_bonds=4, pad_mols=1)
+
+
+class TestMorganRDKitParity:
+    """Bit-identical RDKit Morgan hashing (reference
+    features_generators.py:52-89 via GetMorganFingerprintAsBitVect).
+    Anchors are published RDKit outputs, independently verifiable."""
+
+    def test_benzene_on_bits(self):
+        from polymer_chemprop_tpu.features.generators import (
+            morgan_binary_features_generator,
+        )
+        fp = morgan_binary_features_generator("c1ccccc1")
+        assert sorted(np.nonzero(fp)[0].tolist()) == [389, 1088, 1873]
+
+    def test_rdkit_docs_example_ids(self):
+        # RDKit "Getting Started" example: c1cccnc1C unhashed Morgan-2 ids
+        # include 98513984 (atoms 1,2 at radius 1) and 4048591891 (atom 5
+        # at radius 2), 16 unique ids total.
+        from polymer_chemprop_tpu.chem import parse_smiles
+        from polymer_chemprop_tpu.features.generators import (
+            morgan_environments,
+        )
+        ids = morgan_environments(parse_smiles("c1cccnc1C"), 2)
+        assert len(set(ids)) == 16
+        assert 98513984 in ids and 4048591891 in ids
+
+    def test_count_fp_multiplicity(self):
+        # layer-0 ids are per-atom (not deduped): benzene count fp has a
+        # bit with count 6 (GetHashedMorganFingerprint semantics)
+        from polymer_chemprop_tpu.features.generators import (
+            morgan_counts_features_generator,
+        )
+        fp = morgan_counts_features_generator("c1ccccc1")
+        assert fp[1873] == 6.0 and fp[389] == 6.0 and fp[1088] == 6.0
+        assert fp.sum() == 18.0
+
+    def test_disconnected_atom(self):
+        # degree-0 atoms contribute only their layer-0 invariant
+        from polymer_chemprop_tpu.features.generators import (
+            morgan_binary_features_generator,
+        )
+        fp_na = morgan_binary_features_generator("[Na+].[Cl-]")
+        assert fp_na.sum() == 2.0

@@ -76,11 +76,14 @@ class TestAgainstRDKitDescriptors:
                         / len(cs) if cs else 0.0)
         assert _rank_match(vals, feats[:, COL_FRACTION_CSP3]) > 0.999999
 
-    def test_aromatic_ring_count_near_exact(self, fixture_data):
-        """Aromatic ring counts — 2 known disagreements out of 500 (complex
-        fused heterocycles where our SSSR basis differs from RDKit's)."""
+    def test_aromatic_ring_count_exact(self, fixture_data):
+        """Aromatic ring counts — EXACT on all 500 molecules (the last
+        holdout, actinomycin D's phenoxazinone tricycle, is resolved by the
+        RDKit-faithful static-donor Hückel model: its written-aromatic
+        quinonoid + oxazine rings are demoted on re-perception, leaving 1
+        aromatic ring as RDKit reports)."""
         _, feats, mols = fixture_data
         vals = [sum(1 for ring in m.sssr()
                     if all(m.atoms[a].is_aromatic for a in ring))
                 for m in mols]
-        assert _rank_match(vals, feats[:, COL_AROMATIC_RINGS]) > 0.995
+        assert _rank_match(vals, feats[:, COL_AROMATIC_RINGS]) > 0.999999
