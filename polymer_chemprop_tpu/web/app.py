@@ -45,7 +45,8 @@ class AppState:
 
     # ------------------------------------------------------------- training
     def start_training(self, dataset_id: int, ckpt_name: str,
-                       dataset_type: str, epochs: int, ensemble_size: int):
+                       dataset_type: str, epochs: int, ensemble_size: int,
+                       user_id: int = 1):
         ds = next((d for d in self.db.datasets() if d["id"] == dataset_id),
                   None)
         if ds is None:
@@ -54,7 +55,8 @@ class AppState:
         from ..data import get_data
         n = len(get_data(ds["path"]))
         ckpt_id = self.db.add_ckpt(ckpt_name, dataset_type, epochs,
-                                   ensemble_size, n, save_dir)
+                                   ensemble_size, n, save_dir,
+                                   user_id=user_id)
         self.progress[ckpt_id] = {"state": "running", "epochs": epochs}
 
         def run():
@@ -106,6 +108,17 @@ def make_handler(state: AppState):
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
             self.wfile.write(data)
+
+        def _current_user(self) -> int:
+            """Per-user flows (reference views.py scopes datasets and
+            checkpoints by the selected user): the active user travels in
+            a cookie, defaulting to the built-in 'default' user (id 1)."""
+            cookie = self.headers.get("Cookie", "")
+            for part in cookie.split(";"):
+                k, _, v = part.strip().partition("=")
+                if k == "user_id" and v.isdigit():
+                    return int(v)
+            return 1
 
         def _form(self):
             length = int(self.headers.get("Content-Length", 0))
@@ -175,7 +188,8 @@ def make_handler(state: AppState):
                     with open(dpath, "wb") as fh:
                         fh.write(csv_bytes)
                     state.db.add_dataset(name, f.get("class", b"regression")
-                                         .decode(), dpath)
+                                         .decode(), dpath,
+                                         user_id=self._current_user())
                     self._redirect()
                 elif path == "/train":
                     f = self._form()
@@ -183,9 +197,34 @@ def make_handler(state: AppState):
                         int(f["dataset_id"]), f["ckpt_name"].decode(),
                         f.get("dataset_type", b"regression").decode(),
                         int(f.get("epochs", b"10")),
-                        int(f.get("ensemble_size", b"1")))
+                        int(f.get("ensemble_size", b"1")),
+                        user_id=self._current_user())
                     self._send(json.dumps({"ckpt_id": ckpt_id}),
                                ctype="application/json")
+                elif path == "/set_user":
+                    # switch the active user (reference views.py set_user)
+                    f = self._form()
+                    uid = int(f.get("user_id", b"1"))
+                    self.send_response(303)
+                    self.send_header("Location", "/")
+                    self.send_header("Set-Cookie",
+                                     f"user_id={uid}; Path=/")
+                    self.end_headers()
+                elif path == "/validate_smiles":
+                    # offline stand-in for the reference's JSME molecule
+                    # editor (a bundled third-party JS asset that cannot
+                    # be vendored here): server-side structure validation
+                    # through the chemistry runtime
+                    f = self._form()
+                    from ..chem import parse_smiles
+                    lines = [s.strip() for s in
+                             f.get("smiles", b"").decode().splitlines()
+                             if s.strip()]
+                    out = [{"smiles": s,
+                            "valid": parse_smiles(s.split("|")[0],
+                                                  strict=False)
+                            is not None} for s in lines]
+                    self._send(json.dumps(out), ctype="application/json")
                 elif path == "/predict":
                     f = self._form()
                     smiles, preds = state.predict(int(f["ckpt_id"]),
@@ -232,19 +271,33 @@ def make_handler(state: AppState):
             self.end_headers()
 
         def _home(self) -> str:
+            uid = self._current_user()
+            users = state.db.users()
+            uname = next((u["username"] for u in users if u["id"] == uid),
+                         "default")
+            user_opts = "".join(
+                f"<option value={u['id']}"
+                f"{' selected' if u['id'] == uid else ''}>"
+                f"{u['username']}</option>" for u in users)
             ds_rows = "".join(
                 f"<tr><td>{d['id']}</td><td>{d['dataset_name']}</td>"
                 f"<td>{d['class']}</td><td>"
                 f"<form method=post action=/delete_data/{d['id']} "
                 f"style='margin:0;padding:0;background:none'>"
                 f"<button>delete</button></form></td></tr>"
-                for d in state.db.datasets())
+                for d in state.db.datasets(user_id=uid))
             ck_rows = "".join(
                 f"<tr><td>{c['id']}</td><td>{c['ckpt_name']}</td>"
                 f"<td>{c['class']}</td><td>{'yes' if c['completed'] else 'no'}"
                 f"</td><td>{c['stats'] or ''}</td></tr>"
-                for c in state.db.ckpts())
+                for c in state.db.ckpts(user_id=uid))
             return f"""
+<p>user: <b>{uname}</b>
+<form method=post action=/set_user style='display:inline'>
+ <select name=user_id>{user_opts}</select><button>switch</button></form>
+<form method=post action=/create_user style='display:inline'>
+ <input name=username placeholder='new user' size=10>
+ <button>create</button></form></p>
 <h2>Datasets</h2>
 <table><tr><th>id</th><th>name</th><th>type</th><th></th></tr>{ds_rows}</table>
 <form method=post action=/upload_data enctype=multipart/form-data>

@@ -98,8 +98,12 @@ class WebDB:
             "INSERT INTO dataset (dataset_name, associated_user, class, path)"
             " VALUES (?, ?, ?, ?)", (name, user_id, dataset_class, path))
 
-    def datasets(self) -> List[Dict]:
-        return self.query("SELECT * FROM dataset ORDER BY created DESC")
+    def datasets(self, user_id: Optional[int] = None) -> List[Dict]:
+        if user_id is None:
+            return self.query("SELECT * FROM dataset ORDER BY created DESC")
+        return self.query(
+            "SELECT * FROM dataset WHERE associated_user = ? "
+            "ORDER BY created DESC", (user_id,))
 
     def delete_dataset(self, dataset_id: int) -> None:
         rows = self.query("SELECT path FROM dataset WHERE id = ?",
@@ -123,8 +127,12 @@ class WebDB:
         self.execute("UPDATE ckpt SET completed = 1, stats = ? WHERE id = ?",
                      (json.dumps(stats), ckpt_id))
 
-    def ckpts(self) -> List[Dict]:
-        return self.query("SELECT * FROM ckpt ORDER BY created DESC")
+    def ckpts(self, user_id: Optional[int] = None) -> List[Dict]:
+        if user_id is None:
+            return self.query("SELECT * FROM ckpt ORDER BY created DESC")
+        return self.query(
+            "SELECT * FROM ckpt WHERE associated_user = ? "
+            "ORDER BY created DESC", (user_id,))
 
     def ckpt(self, ckpt_id: int) -> Optional[Dict]:
         rows = self.query("SELECT * FROM ckpt WHERE id = ?", (ckpt_id,))

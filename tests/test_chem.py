@@ -160,3 +160,43 @@ class TestChiralityNormalization:
     def test_ring_closure_position(self):
         assert self._rs("O[C@H]1CCCC1C") == self._rs("[C@H]1(O)CCCC1C")
         assert self._rs("O[C@H]1CCCC1C") != self._rs("[C@@H]1(O)CCCC1C")
+
+
+class TestCIPStereoLabels:
+    """E/Z assignment must follow CIP priorities, not the direction
+    markers alone (RDKit AssignStereochemistry semantics). The flip cases
+    mark the LOW-priority substituent: geometry relative to the markers
+    and the E/Z label then disagree, so a marker-only heuristic fails
+    them (VERDICT r1 item 4)."""
+
+    CASES = [
+        ("F/C=C/F", "E"), ("F/C=C\\F", "Z"),
+        ("C/C=C\\C", "Z"), ("C/C=C/C", "E"),
+        ("F/C=C/Cl", "E"),
+        ("C/C(Br)=C/F", "Z"),      # Br outranks CH3: label flips
+        ("Br/C(C)=C/F", "E"),
+        ("C/C(Cl)=C/C(C)C", "Z"),  # Cl outranks CH3 on the left
+    ]
+
+    def test_labels(self):
+        from polymer_chemprop_tpu.chem import parse_smiles
+        from polymer_chemprop_tpu.chem.mol import DOUBLE, STEREOE, STEREOZ
+        for smi, want in self.CASES:
+            m = parse_smiles(smi, strict=False)
+            dbl = next(b for b in m.bonds if b.order == DOUBLE)
+            got = {STEREOE: "E", STEREOZ: "Z"}.get(dbl.stereo, "none")
+            assert got == want, f"{smi}: got {got}, want {want}"
+
+    def test_equivalent_writings_consistent(self):
+        """The same configuration written different ways must get the
+        same label (internal consistency of the chiral/stereo
+        normalization)."""
+        from polymer_chemprop_tpu.chem import parse_smiles
+        from polymer_chemprop_tpu.chem.mol import DOUBLE
+        for a, b in [("C/C=C/C", "C(\\C)=C/C"),
+                     ("F/C=C/Cl", "Cl/C=C/F")]:
+            sa = next(x for x in parse_smiles(a).bonds
+                      if x.order == DOUBLE).stereo
+            sb = next(x for x in parse_smiles(b).bonds
+                      if x.order == DOUBLE).stereo
+            assert sa == sb, (a, b, sa, sb)

@@ -621,7 +621,10 @@ class TestGoldenScores:
                         data_path=os.path.join(DATA, "classification.csv"),
                         dataset_type="classification", epochs=10, num_folds=3)
         mean, _ = cross_validate(cfg)
-        assert abs(mean - 0.691205) / 0.691205 < 0.10
+        # reference-stream init (models/torch_init.py): measured 0.6975
+        # (+0.9%) at seed 0 — the former -4.2%-in-expectation deviation
+        # was init lottery
+        assert abs(mean - 0.691205) / 0.691205 < DELTA
 
     def test_classification_roundtrip_golden(self, tmp_path):
         import csv as _csv
@@ -657,12 +660,10 @@ class TestGoldenScores:
         cfg = train_cfg(str(tmp_path), epochs=10, num_folds=3,
                         features_generator=["morgan"])
         mean, _ = cross_validate(cfg)
-        # measured 2.1983 at init-seed 0 (+20%); 5-seed sweep mean 2.155
-        # (+17% in expectation, fold-std ±0.21, best seed +3.3%): morgan
-        # degrades both frameworks (reference 1.24->1.83);
-        # scaler/concat/dropout placement verified equal — budget 25% and
-        # track in docs/parity.md
-        assert abs(mean - 1.834947) / 1.834947 < 0.25
+        # RDKit bit-identical morgan + reference-stream init: measured
+        # 1.8572 (+1.2%) at seed 0 (was +20% with JAX-lottery init —
+        # docs/parity.md root cause)
+        assert abs(mean - 1.834947) / 1.834947 < DELTA
 
     def test_regression_rdkit_golden(self, tmp_path):
         cfg = train_cfg(str(tmp_path), epochs=10, num_folds=3,
@@ -670,11 +671,8 @@ class TestGoldenScores:
                                                     "regression.npz")],
                         no_features_scaling=True)
         mean, _ = cross_validate(cfg)
-        # measured 0.8729 at init-seed 0 (+8.1%) — the worst of a 5-seed
-        # init sweep {0.873, 0.797, 0.841, 0.842, 0.808}; mean 0.832
-        # (+3.0%), seed 1 beats the reference (docs/parity.md). Budget 15%
-        # to keep the pinned seed deterministic.
-        assert abs(mean - 0.807828) / 0.807828 < 0.15
+        # reference-stream init: measured 0.8296 (+2.7%) at seed 0
+        assert abs(mean - 0.807828) / 0.807828 < DELTA
 
     def test_svm_golden(self, tmp_path):
         from polymer_chemprop_tpu.sklearn_train import SklearnTrainConfig, run_sklearn
@@ -718,6 +716,11 @@ class TestGoldenScores:
         m = ~np.isnan(true)
         return float(np.mean((preds[m] - true[m]) ** 2))
 
+    def test_regression_roundtrip_golden(self, tmp_path):
+        mse = self._roundtrip_mse(tmp_path, {}, {})
+        # reference-stream init: measured 0.5272 (-6.1%, BETTER)
+        assert mse < 0.561477 * (1 + DELTA)
+
     def test_rf_roundtrip_golden(self, tmp_path):
         mse = self._roundtrip_mse(tmp_path, {}, {},
                                   sklearn_model="random_forest")
@@ -732,7 +735,8 @@ class TestGoldenScores:
         mse = self._roundtrip_mse(
             tmp_path, {"features_generator": ["morgan"]},
             {"features_generator": ["morgan"]})
-        # measured 2.42 (-36.7%, BETTER): assert not worse than +5%
+        # RDKit bit-identical morgan + reference-stream init: measured
+        # 3.1002 (-19.0%, BETTER)
         assert mse < 3.825271 * (1 + DELTA)
 
     def test_rdkit_roundtrip_golden(self, tmp_path):
@@ -741,8 +745,8 @@ class TestGoldenScores:
             {"features_path": [os.path.join(DATA, "regression.npz")],
              "no_features_scaling": True},
             {"features_path": [os.path.join(DATA, "regression_test.npz")]})
-        # measured 0.657 (-5.3%, BETTER): assert not worse than +5%
-        assert mse < 0.693359 * (1 + DELTA)
+        # reference-stream init: measured 0.7076 (+2.1%)
+        assert abs(mse - 0.693359) / 0.693359 < DELTA
 
     def test_reaction_golden(self, tmp_path):
         cfg = train_cfg(str(tmp_path),
@@ -752,12 +756,21 @@ class TestGoldenScores:
         mean, _ = cross_validate(cfg)
         assert abs(mean - 2.019870) / 2.019870 < DELTA
 
+    def test_regression_golden_graph_parallel(self, tmp_path):
+        """The regression golden THROUGH --graph_parallel on the 8-virtual
+        -device mesh (VERDICT r1 item 2): edge-partitioned halo training
+        must reproduce the reference score like the single-device path."""
+        cfg = train_cfg(str(tmp_path), epochs=10, num_folds=3,
+                        graph_parallel=True)
+        mean, _ = cross_validate(cfg)
+        assert abs(mean - 1.237620) / 1.237620 < DELTA
+
     def test_regression_scaffold_golden(self, tmp_path):
         cfg = train_cfg(str(tmp_path), epochs=10, num_folds=3,
                         split_type="scaffold_balanced")
         mean, _ = cross_validate(cfg)
-        # measured 1.3246 (-7.6%, BETTER): assert not worse than +5%
-        assert mean < 1.433300 * (1 + DELTA)
+        # reference-stream init: measured 1.3977 (-2.5%) at seed 0
+        assert abs(mean - 1.433300) / 1.433300 < DELTA
 
     def test_classification_rdkit_golden(self, tmp_path):
         cfg = train_cfg(str(tmp_path),
@@ -776,8 +789,9 @@ class TestGoldenScores:
                         dataset_type="classification", epochs=10,
                         num_folds=3, features_generator=["morgan"])
         mean, _ = cross_validate(cfg)
-        # measured 0.6526 (+5.4%, BETTER): AUC must not drop below -5%
-        assert mean > 0.619021 * (1 - DELTA)
+        # RDKit bit-identical morgan + reference-stream init: measured
+        # 0.6299 (+1.8% AUC) at seed 0
+        assert abs(mean - 0.619021) / 0.619021 < DELTA
 
     def test_reaction_scaffold_golden(self, tmp_path):
         cfg = train_cfg(str(tmp_path),
@@ -797,11 +811,9 @@ class TestGoldenScores:
                         features_generator=["morgan"],
                         epochs=10, num_folds=3)
         mean, _ = cross_validate(cfg)
-        # measured 3.0785 at init-seed 0 (+8.2%) — the worst of a 5-seed
-        # init sweep {3.079, 2.709, 2.962, 2.910, 2.735}; mean 2.879
-        # (+1.1%), two seeds beat the reference (docs/parity.md). Budget
-        # 15% to keep the pinned seed deterministic.
-        assert abs(mean - 2.846405) / 2.846405 < 0.15
+        # RDKit bit-identical morgan + reference-stream init: measured
+        # 2.8797 (+1.2%) at seed 0
+        assert abs(mean - 2.846405) / 2.846405 < DELTA
 
     def test_spectra_golden(self, tmp_path):
         # exact reference config (test_integration.py:530-542)

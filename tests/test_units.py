@@ -203,3 +203,58 @@ class TestSDFDescriptors:
         np.testing.assert_allclose(feats[0][:, 0], [0.1, 0.2, 0.3])
         with pytest.raises(ValueError):
             load_valid_atom_or_bond_features(p, ["CCN"])
+
+
+class TestReferenceInit:
+    """Reference-stream torch init (models/torch_init.py): deterministic,
+    per-member distinct, and shaped for every model family."""
+
+    def _cfg(self, **kw):
+        from polymer_chemprop_tpu.models import EncoderConfig, ModelConfig
+        enc = EncoderConfig(atom_fdim=133, bond_fdim=147, hidden_size=32,
+                            depth=2)
+        base = dict(encoder=enc, dataset_type="regression", num_tasks=1,
+                    ffn_hidden_size=32)
+        base.update(kw)
+        return ModelConfig(**base)
+
+    def test_deterministic_and_member_distinct(self):
+        import numpy as np
+        from polymer_chemprop_tpu.models.torch_init import (
+            reference_init_params,
+        )
+        cfg = self._cfg()
+        a = reference_init_params(cfg, 0, 0)
+        b = reference_init_params(cfg, 0, 0)
+        c = reference_init_params(cfg, 0, 1)
+        d = reference_init_params(cfg, 1, 0)
+        w = lambda p: p["encoders"][0]["W_i"]["w"]
+        assert np.array_equal(w(a), w(b))
+        assert not np.array_equal(w(a), w(c))  # next member, same stream
+        assert not np.array_equal(w(a), w(d))  # different seed
+        # biases start at zero (reference nn_utils.py:102-112)
+        assert (a["encoders"][0]["W_o"]["b"] == 0).all()
+        # xavier-normal scale sanity on W_h (fan 32+32)
+        assert abs(float(np.std(a["encoders"][0]["W_h"]["w"]))
+                   - (2 / 64) ** 0.5) < 0.01
+
+    def test_shapes_all_families(self):
+        from polymer_chemprop_tpu.models.torch_init import (
+            reference_init_params,
+        )
+        # multiclass: output = tasks x classes
+        cfg = self._cfg(dataset_type="multiclass", num_tasks=2,
+                        multiclass_num_classes=3)
+        p = reference_init_params(cfg, 0)
+        assert p["ffn"][-1]["w"].shape[1] == 6
+        # features_only consumes encoder RNG but emits no encoder params
+        cfg = self._cfg(features_only=True, features_size=16,
+                        use_input_features=True)
+        p = reference_init_params(cfg, 0)
+        assert "encoders" not in p and p["ffn"][0]["w"].shape[0] == 16
+        # multi-molecule shared encoder: one stream draw, two references
+        cfg = self._cfg(number_of_molecules=2, mpn_shared=True)
+        p = reference_init_params(cfg, 0)
+        import numpy as np
+        assert np.array_equal(p["encoders"][0]["W_i"]["w"],
+                              p["encoders"][1]["W_i"]["w"])

@@ -123,3 +123,64 @@ class TestWebApp:
         assert status == 303
         names = [c["ckpt_name"] for c in state.db.ckpts()]
         assert "imported" in names
+
+
+def _post_cookie(port, path, fields, cookie=None):
+    boundary = "XxX"
+    parts = []
+    for k, v in fields.items():
+        parts.append(f"--{boundary}\r\nContent-Disposition: form-data; "
+                     f'name="{k}"\r\n\r\n'.encode() +
+                     (v if isinstance(v, bytes) else str(v).encode()) +
+                     b"\r\n")
+    body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+    headers = {"Content-Type": f"multipart/form-data; boundary={boundary}"}
+    if cookie:
+        headers["Cookie"] = cookie
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request("POST", path, body=body, headers=headers)
+    resp = conn.getresponse()
+    data = resp.read()
+    set_cookie = resp.getheader("Set-Cookie")
+    conn.close()
+    return resp.status, data, set_cookie
+
+
+class TestPerUserFlows:
+    """Per-user scoping through the UI (reference web/app/views.py user
+    selection: datasets and checkpoints belong to the active user)."""
+
+    def test_user_switch_scopes_datasets(self, server):
+        port, state = server
+        # create a second user and switch to it via the cookie flow
+        st, _, _ = _post_cookie(port, "/create_user", {"username": "alice"})
+        assert st in (200, 303)
+        st, _, cookie = _post_cookie(port, "/set_user", {"user_id": 2})
+        assert st == 303 and "user_id=2" in (cookie or "")
+        csv_bytes = open(os.path.join(DATA, "regression.csv"), "rb").read()
+        # alice uploads a dataset; default user uploads another
+        _post_cookie(port, "/upload_data",
+                     {"name": "alice_ds", "class": "regression",
+                      "file": csv_bytes}, cookie="user_id=2")
+        _post_cookie(port, "/upload_data",
+                     {"name": "default_ds", "class": "regression",
+                      "file": csv_bytes}, cookie="user_id=1")
+        # each home view lists only the active user's datasets
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/", headers={"Cookie": "user_id=2"})
+        body2 = conn.getresponse().read().decode()
+        conn.request("GET", "/", headers={"Cookie": "user_id=1"})
+        body1 = conn.getresponse().read().decode()
+        conn.close()
+        assert "alice_ds" in body2 and "default_ds" not in body2
+        assert "default_ds" in body1 and "alice_ds" not in body1
+        assert state.db.datasets(user_id=2)[0]["dataset_name"] == "alice_ds"
+
+    def test_validate_smiles_endpoint(self, server):
+        port, _ = server
+        st, data, _ = _post_cookie(
+            port, "/validate_smiles",
+            {"smiles": "CCO\nnot_a_smiles((\nc1ccccc1"})
+        assert st == 200
+        out = json.loads(data)
+        assert [o["valid"] for o in out] == [True, False, True]
