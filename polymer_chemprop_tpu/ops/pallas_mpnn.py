@@ -1274,6 +1274,36 @@ def _atom_band_apply(msg_sorted, w_sorted, dst_sorted, ra, num_atoms,
     return fn(ra, msg_sorted, w2, d2)
 
 
+@functools.lru_cache(maxsize=64)
+def _atom_band_op(num_atoms: int, precision, w_exact: bool):
+    """custom_vjp wrapper of the banded atom aggregation with the aux
+    arrays as FORMAL arguments (closure-free: closed-over tracers break
+    shard_map AD — the banded halo path differentiates this inside
+    shard_map). int arrays get float0 cotangents; w's cotangent is zero
+    (bond weights are data, never differentiated — same contract as the
+    previous closure implementation)."""
+    import numpy as _np
+
+    @jax.custom_vjp
+    def op(m, w_sorted, dst_sorted, ra):
+        return _atom_band_apply(m, w_sorted, dst_sorted, ra, num_atoms,
+                                precision, w_exact)
+
+    def fwd(m, w_sorted, dst_sorted, ra):
+        out = _atom_band_apply(m, w_sorted, dst_sorted, ra, num_atoms,
+                               precision, w_exact)
+        return out, (w_sorted, dst_sorted, ra)
+
+    def bwd(res, g):
+        w_sorted, dst_sorted, ra = res
+        f0 = lambda x: _np.zeros(x.shape, jax.dtypes.float0)
+        return (w_sorted[:, None] * g[dst_sorted],
+                jnp.zeros_like(w_sorted), f0(dst_sorted), f0(ra))
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 def atom_readout_sorted(msg_sorted: jnp.ndarray, aux: dict,
                         num_atoms: int, out_dim: int,
                         precision=jax.lax.Precision.HIGHEST,
@@ -1290,21 +1320,11 @@ def atom_readout_sorted(msg_sorted: jnp.ndarray, aux: dict,
     if "ra" in aux and msg_sorted.shape[1] <= 768:
         w_sorted, dst_sorted, ra = (aux["w_sorted"], aux["dst_sorted"],
                                     aux["ra"])
-
-        @jax.custom_vjp
-        def op(m):
-            return _atom_band_apply(m, w_sorted, dst_sorted, ra, num_atoms,
-                                    precision, w_exact)
-
-        def fwd(m):
-            return _atom_band_apply(m, w_sorted, dst_sorted, ra, num_atoms,
-                                    precision, w_exact), None
-
-        def bwd(_, g):
-            return (w_sorted[:, None] * g[dst_sorted],)
-
-        op.defvjp(fwd, bwd)
-        return op(msg_sorted)[:, :out_dim]
+        # aux arrays travel as FORMAL custom_vjp args, not closures:
+        # closed-over tracers break shard_map AD (the banded halo path
+        # differentiates this op inside shard_map)
+        op = _atom_band_op(num_atoms, precision, w_exact)
+        return op(msg_sorted, w_sorted, dst_sorted, ra)[:, :out_dim]
     agg = jax.ops.segment_sum(
         msg_sorted * aux["w_sorted"][:, None], aux["dst_sorted"],
         num_segments=num_atoms, indices_are_sorted=False)

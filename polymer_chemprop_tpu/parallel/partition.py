@@ -270,19 +270,14 @@ def build_edge_shards_halo(arrays: Dict[str, np.ndarray], n_shards: int,
     return sharded, replicated
 
 
-def make_edge_parallel_forward_halo(cfg: EncoderConfig, mesh: Mesh,
-                                    axis: str = "ep"):
-    """Encoder forward over halo edge shards: per-layer neighbour
-    ppermute of (Aw, H) atom-window partials instead of a global (A, H)
-    psum; only the tiny (M, H) molecule readout is all-reduced."""
-    act = get_activation(cfg.activation)
+def _make_halo_combine(mesh: Mesh, axis: str):
+    """own partial + shifted neighbour partials (missing ppermute
+    sources deliver zeros, so the boundary shards need no masks)."""
     n = mesh.shape[axis]
     fwd_perm = [(i, i + 1) for i in range(n - 1)]   # s receives from s-1
     bwd_perm = [(i + 1, i) for i in range(n - 1)]   # s receives from s+1
 
     def combine(partial, off_prev, off_next):
-        """own partial + shifted neighbour partials (missing ppermute
-        sources deliver zeros, so the boundary shards need no masks)."""
         Aw = partial.shape[0]
         zeros = jnp.zeros_like(partial)
         from_prev = jax.lax.ppermute(partial, axis, fwd_perm)
@@ -292,6 +287,17 @@ def make_edge_parallel_forward_halo(cfg: EncoderConfig, mesh: Mesh,
         next_pad = jnp.concatenate([zeros, from_next], axis=0)
         shifted_next = jax.lax.dynamic_slice_in_dim(next_pad, off_next, Aw)
         return partial + shifted_prev + shifted_next
+
+    return combine
+
+
+def make_edge_parallel_forward_halo(cfg: EncoderConfig, mesh: Mesh,
+                                    axis: str = "ep"):
+    """Encoder forward over halo edge shards: per-layer neighbour
+    ppermute of (Aw, H) atom-window partials instead of a global (A, H)
+    psum; only the tiny (M, H) molecule readout is all-reduced."""
+    act = get_activation(cfg.activation)
+    combine = _make_halo_combine(mesh, axis)
 
     def local_forward(params, sharded, replicated):
         sh = jax.tree_util.tree_map(lambda x: x[0], sharded)
@@ -338,7 +344,7 @@ def make_edge_parallel_forward_halo(cfg: EncoderConfig, mesh: Mesh,
 
 
 def make_halo_train_step(mcfg, tx, mesh: Mesh, axis: str = "ep",
-                         target_weights=None):
+                         target_weights=None, band: bool = False):
     """Full training step with the encoder edge-partitioned over the mesh.
 
     The forward is :func:`make_edge_parallel_forward_halo` (per-layer
@@ -356,7 +362,9 @@ def make_halo_train_step(mcfg, tx, mesh: Mesh, axis: str = "ep",
     from ..models.model import apply_ffn
     from ..train.loss import get_loss_fn, masked_loss
 
-    enc_fwd = make_edge_parallel_forward_halo(mcfg.encoder, mesh, axis)
+    enc_fwd = (make_edge_parallel_forward_halo_band(mcfg.encoder, mesh,
+                                                    axis) if band else
+               make_edge_parallel_forward_halo(mcfg.encoder, mesh, axis))
     elementwise = get_loss_fn(mcfg.dataset_type, None)
 
     def loss_fn(params, sharded, replicated, targets, mask, weights):
@@ -377,3 +385,146 @@ def make_halo_train_step(mcfg, tx, mesh: Mesh, axis: str = "ep",
                 gnorm)
 
     return halo_train_step
+
+
+# ---------------------------------------------------------------------------
+# banded halo shards: the Pallas atom-aggregation band kernel INSIDE the
+# shard function (docs/kernels.md "Kernel selection inside the halo shard")
+# ---------------------------------------------------------------------------
+
+def build_edge_shards_halo_band(arrays: Dict[str, np.ndarray],
+                                n_shards: int,
+                                atom_window: int = None
+                                ) -> Tuple[Dict[str, np.ndarray],
+                                           Dict[str, np.ndarray]]:
+    """Halo shards + per-shard BAND layout, so each shard's atom
+    aggregation runs on the MXU band kernel instead of an XLA scatter.
+
+    The windows are molecule-contiguous, so banding is a shard-LOCAL
+    re-sort: each shard's bonds are dst-sorted against its own atom
+    window. Window slot 0 is reserved as the padding sink (the band aux
+    uses dst==0 as the padding sentinel, and the window's first atom is
+    REAL — so all local dst/src ids are shifted by +1 and the aggregation
+    table carries one extra leading row that is discarded before the halo
+    exchange). Raises ValueError when any shard's band windows are
+    infeasible (caller falls back to :func:`build_edge_shards_halo`)."""
+    from ..ops.pallas_mpnn import EXT_A, TILE_A, TILE_B, build_sorted_aux
+
+    sharded, replicated = build_edge_shards_halo(arrays, n_shards,
+                                                 atom_window)
+    Bs = sharded["f_bonds"].shape[1]
+    Bs_band = max(-(-Bs // TILE_B) * TILE_B, EXT_A)
+    Aw = sharded["f_atoms_win"].shape[1]
+    Aw1 = -(-(Aw + 1) // TILE_A) * TILE_A
+    pad_b = Bs_band - Bs
+
+    def padb(x):
+        width = [(0, 0), (0, pad_b)] + [(0, 0)] * (x.ndim - 2)
+        return np.pad(x, width)
+
+    f_bonds = padb(sharded["f_bonds"])
+    w_bonds = padb(sharded["w_bonds"])
+    dst_l = padb(sharded["b2dst_local"])
+    bmask = padb(sharded["bond_mask"])
+    rev = np.zeros((n_shards, Bs_band), np.int32)
+    idx = np.arange(1, Bs_band, dtype=np.int32)
+    swapped = np.where(idx % 2 == 1, idx + 1, idx - 1)
+    rev[:, 1:] = np.clip(swapped, 0, Bs_band - 1)
+    dst_shift = np.where(bmask > 0, dst_l + 1, 0).astype(np.int32)
+
+    f_sorted = np.zeros_like(f_bonds)
+    fields = {"srev": [], "rs": [], "dst_sorted": [], "w_sorted": [],
+              "ra": [], "src_sorted": []}
+    for s in range(n_shards):
+        aux = build_sorted_aux(dst_shift[s], rev[s], w_bonds[s],
+                               num_atoms=Aw1)
+        if aux.ra is None:
+            raise ValueError(
+                "banded halo: a shard's atom-tile windows exceed the band "
+                "kernel bound; use build_edge_shards_halo")
+        f_sorted[s] = f_bonds[s][aux.perm]
+        for k in fields:
+            fields[k].append(np.asarray(getattr(aux, k)))
+    band = {
+        "f_bonds_sorted": f_sorted,
+        **{k: np.stack(v) for k, v in fields.items()},
+    }
+    for k in ("f_atoms_win", "w_atoms_win", "a2mol_win", "own_mask",
+              "off_prev", "off_next"):
+        band[k] = sharded[k]
+    return band, replicated
+
+
+def make_edge_parallel_forward_halo_band(cfg: EncoderConfig, mesh: Mesh,
+                                         axis: str = "ep"):
+    """Halo encoder forward with the Pallas band kernel doing each
+    shard's atom aggregation (sorted-resident messages, one involution
+    gather per layer); per-layer neighbour ppermute as in the plain halo
+    path. Exact vs the single-device encoder (tests/test_parallel.py,
+    interpret mode on the CPU mesh)."""
+    act = get_activation(cfg.activation)
+    combine = _make_halo_combine(mesh, axis)
+
+    def local_forward(params, sharded, replicated):
+        from ..ops.pallas_mpnn import atom_readout_sorted
+        sh = jax.tree_util.tree_map(lambda x: x[0], sharded)
+        H = cfg.hidden_size
+        Hp = ((H + 127) // 128) * 128
+        Aw = sh["f_atoms_win"].shape[0]
+        Aw1 = sh["ra"].shape[0] * 512  # TILE_A
+        off_prev = sh["off_prev"].reshape(())
+        off_next = sh["off_next"].reshape(())
+        prec = {"highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH,
+                "default": jax.lax.Precision.DEFAULT}[cfg.band_precision]
+        aux = {"ra": sh["ra"], "w_sorted": sh["w_sorted"],
+               "dst_sorted": sh["dst_sorted"]}
+        wi = params["W_i"]
+        if Hp != H:
+            wi = dict(wi)
+            wi["w"] = jnp.pad(wi["w"], ((0, 0), (0, Hp - H)))
+            if "b" in wi:
+                wi["b"] = jnp.pad(wi["b"], (0, Hp - H))
+        wh = params["W_h"]
+        if Hp != H:
+            wh = dict(wh)
+            wh["w"] = jnp.pad(wh["w"], ((0, Hp - H), (0, Hp - H)))
+            if "b" in wh:
+                wh["b"] = jnp.pad(wh["b"], (0, Hp - H))
+        inputs = linear(wi, sh["f_bonds_sorted"])
+        message = act(inputs)
+        zero_row = jnp.zeros((1, Hp), jnp.float32)
+        for _ in range(cfg.depth - 1):
+            partials = atom_readout_sorted(message, aux, Aw1, Hp, prec,
+                                           cfg.unit_bond_weights)
+            a_win = combine(partials[1:Aw + 1], off_prev, off_next)
+            a_full = jnp.concatenate([zero_row, a_win], axis=0)
+            m_new = a_full[sh["src_sorted"]] - message[sh["srev"]]
+            message = act(inputs + linear(wh, m_new))
+        partials = atom_readout_sorted(message, aux, Aw1, Hp, prec,
+                                       cfg.unit_bond_weights)
+        a_win = combine(partials[1:Aw + 1], off_prev, off_next)[:, :H]
+        a_input = jnp.concatenate([sh["f_atoms_win"], a_win], axis=1)
+        atom_hiddens = act(linear(params["W_o"], a_input))
+        own_w = sh["w_atoms_win"] * sh["own_mask"]
+        num_mols = replicated["degree_of_polym"].shape[0]
+        wsum = jax.lax.psum(
+            weighted_segment_sum(atom_hiddens, own_w, sh["a2mol_win"],
+                                 num_mols), axis)
+        if cfg.aggregation == "mean":
+            denom = jax.lax.psum(
+                jax.ops.segment_sum(own_w, sh["a2mol_win"],
+                                    num_segments=num_mols), axis)
+            out = wsum / jnp.maximum(denom, 1e-12)[:, None]
+            out = jnp.where(denom[:, None] > 0, out, 0.0)
+        elif cfg.aggregation == "sum":
+            out = wsum
+        else:
+            out = wsum / cfg.aggregation_norm
+        return out * replicated["degree_of_polym"][:, None]
+
+    smapped = shard_map(local_forward, mesh=mesh,
+                        in_specs=(P(), P(axis), P()),
+                        out_specs=P(),
+                        check_vma=False)
+    return jax.jit(smapped)

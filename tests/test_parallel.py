@@ -426,3 +426,120 @@ class TestTrainerGraphParallel:
         with pytest.raises(ValueError, match="graph_parallel"):
             self._run(tmp_path, save_dir=str(tmp_path / "bad"),
                       graph_parallel=True, dropout=0.2)
+
+
+def test_trainer_gp_giant_molecule_fallback(tmp_path):
+    """A molecule spanning 3+ edge shards cannot be halo-partitioned; the
+    trainer must fall back to the single-device step for that batch and
+    still finish the fold (parallel/partition.py raises, trainer
+    catches)."""
+    import csv
+    import os
+    from polymer_chemprop_tpu.config import TrainConfig
+    from polymer_chemprop_tpu.data import get_data
+    from polymer_chemprop_tpu.train import run_training
+
+    path = tmp_path / "giant.csv"
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["smiles", "y"])
+        w.writerow(["C" * 180, 1.0])  # 180-atom chain: spans many shards
+        for i in range(19):
+            w.writerow(["CCO" if i % 2 else "CCN", 0.1 * i])
+    cfg = TrainConfig(data_path=str(path), dataset_type="regression",
+                      epochs=2, batch_size=20, seed=0, pytorch_seed=0,
+                      save_dir=str(tmp_path / "out"), quiet=True,
+                      graph_parallel=True, split_sizes=(0.5, 0.25, 0.25))
+    data = get_data(cfg.data_path, config=cfg.featurization(),
+                    smiles_columns=cfg.smiles_columns)
+    result = run_training(cfg, data)
+    assert np.isfinite(float(np.nanmean(result[cfg.metric])))
+
+
+def test_edge_partition_halo_band_matches_single_device(setup):
+    """BANDED halo forward: the Pallas atom-aggregation band kernel runs
+    INSIDE each shard (interpret mode on the CPU mesh) — must equal the
+    single-device encoder (closes the docs/kernels.md guarded-fallback
+    gap at test scale)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from polymer_chemprop_tpu.models import apply_encoder
+    from polymer_chemprop_tpu.parallel import (
+        build_edge_shards_halo_band,
+        make_edge_parallel_forward_halo_band,
+    )
+
+    model_cfg, params = setup
+    cfg = model_cfg.encoder
+    enc_params = params["encoders"][0]
+    smiles = ["CCO", "c1ccccc1", "CC(C)=CCCC(C)=CC(=O)",
+              "CCOc1ccc2nc(S(N)(=O)=O)sc2c1", "CCN", "c1ccncc1",
+              "CC(=O)Nc1ccc(O)cc1", "C1CCCCC1"] * 4
+    gb = mol2graph(smiles, pad_atoms=512, pad_bonds=1024,
+                   pad_mols=len(smiles))
+    arrays = gb.arrays()
+    single = np.asarray(apply_encoder(
+        enc_params, {k: jnp.asarray(v) for k, v in arrays.items()}, cfg))
+
+    for n_dev in (2, 4):
+        mesh = make_mesh(n_dev, ("ep",))
+        sharded, replicated = build_edge_shards_halo_band(arrays, n_dev)
+        sharded_dev = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P("ep"))),
+            sharded)
+        fwd = make_edge_parallel_forward_halo_band(cfg, mesh, "ep")
+        with pltpu.force_tpu_interpret_mode():
+            out = np.asarray(fwd(enc_params, sharded_dev, replicated))
+        np.testing.assert_allclose(out, single, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"n_dev={n_dev}")
+
+
+def test_halo_band_train_step_matches_single_device(setup):
+    """Training THROUGH the banded halo path: gradients flow back through
+    the band kernel's custom VJP (weighted row-gather), the involution
+    gather and the ppermutes — updated params must equal the
+    single-device step."""
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from polymer_chemprop_tpu.parallel import (
+        build_edge_shards_halo_band,
+        make_halo_train_step,
+    )
+
+    cfg, params = setup
+    tx = build_optimizer("sgd", lambda step: 0.1)
+    smiles = ["CCO", "c1ccccc1", "CC(C)=CCCC(C)=CC(=O)",
+              "CCOc1ccc2nc(S(N)(=O)=O)sc2c1", "CCN", "c1ccncc1",
+              "CC(=O)Nc1ccc(O)cc1", "C1CCCCC1"] * 2
+    targets = [1.0, -1.0, 0.5, 0.3, -0.2, 2.0, 0.1, 0.7] * 2
+    gb = mol2graph(smiles, pad_atoms=256, pad_bonds=512,
+                   pad_mols=len(smiles))
+    arrays = gb.arrays()
+    M = len(smiles)
+    batch = {
+        "graphs": [arrays],
+        "targets": np.asarray(targets, np.float32).reshape(M, 1),
+        "mask": np.ones((M, 1), np.float32),
+        "weights": np.ones((M, 1), np.float32),
+    }
+    sstep = make_train_step(cfg, tx)
+    sp, _, sloss, _ = sstep(params, tx.init(params), batch, None)
+
+    n_dev = 2
+    mesh = make_mesh(n_dev, ("ep",))
+    sharded, replicated = build_edge_shards_halo_band(arrays, n_dev)
+    sharded_dev = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P("ep"))), sharded)
+    hstep = make_halo_train_step(cfg, tx, mesh, "ep", band=True)
+    with pltpu.force_tpu_interpret_mode():
+        hp_, _, hloss, _ = hstep(params, tx.init(params), sharded_dev,
+                                 replicated, jnp.asarray(batch["targets"]),
+                                 jnp.asarray(batch["mask"]),
+                                 jnp.asarray(batch["weights"]))
+    assert abs(float(hloss) - float(sloss)) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(hp_),
+                    jax.tree_util.tree_leaves(sp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
