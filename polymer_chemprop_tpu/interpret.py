@@ -150,10 +150,19 @@ def interpret(args: PredictConfig,
               min_atoms: int = 8,
               c_puct: float = 10.0,
               prop_delta: float = 0.5,
-              writer=print) -> List[tuple]:
-    """Batch interpretation CLI core (reference interpret.py:296-342)."""
+              writer=print,
+              save_svg_dir: Optional[str] = None) -> List[tuple]:
+    """Batch interpretation CLI core (reference interpret.py:296-342).
+
+    With ``save_svg_dir``, each rationale is also rendered as an SVG of
+    the full molecule with the rationale atoms highlighted (our stand-in
+    for the RDKit drawing the reference ecosystem would use).
+    """
     import csv as _csv
     model = ChempropModel(args, property_id)
+    if save_svg_dir:
+        import os as _os
+        _os.makedirs(save_svg_dir, exist_ok=True)
 
     with open(data_path) as f:
         reader = _csv.reader(f)
@@ -180,6 +189,16 @@ def interpret(args: PredictConfig,
             rats = sorted(min_rationales, key=lambda x: x.P, reverse=True)
             writer(f"{smiles},{score:.3f},{rats[0].smiles},{rats[0].P:.3f}")
             results.append((smiles, score, rats[0].smiles, rats[0].P))
+            if save_svg_dir:
+                import os as _os
+                from .chem.depict import depict_svg
+                mol = parse_smiles(smiles, strict=False)
+                if mol is not None:
+                    svg = depict_svg(mol,
+                                     highlight_atoms=sorted(rats[0].atoms))
+                    fname = f"rationale_{len(results) - 1}.svg"
+                    with open(_os.path.join(save_svg_dir, fname), "w") as fh:
+                        fh.write(svg)
     return results
 
 
@@ -198,9 +217,12 @@ def chemprop_interpret(argv: Optional[List[str]] = None) -> None:
     parser.add_argument("--min_atoms", type=int, default=8)
     parser.add_argument("--c_puct", type=float, default=10.0)
     parser.add_argument("--prop_delta", type=float, default=0.5)
+    parser.add_argument("--save_svg_dir", default=None,
+                        help="write rationale-highlighted structure SVGs")
     ns = parser.parse_args(argv)
     args = PredictConfig(checkpoint_dir=ns.checkpoint_dir,
                          checkpoint_path=ns.checkpoint_path,
                          batch_size=ns.batch_size)
     interpret(args, ns.data_path, ns.property_id, ns.rollout, ns.max_atoms,
-              ns.min_atoms, ns.c_puct, ns.prop_delta)
+              ns.min_atoms, ns.c_puct, ns.prop_delta,
+              save_svg_dir=ns.save_svg_dir)

@@ -140,9 +140,25 @@ def make_handler(state: AppState):
                     urllib.parse.parse_qs(body.decode()).items()}
 
         def do_GET(self):
-            path = urllib.parse.urlparse(self.path).path
+            parsed = urllib.parse.urlparse(self.path)
+            path = parsed.path
             if path == "/":
                 self._send(_PAGE.format(body=self._home()))
+            elif path == "/depict":
+                # structure preview (the visual half of the reference's
+                # JSME editor page): server-side SVG from our own
+                # 2D-layout engine (chem/depict.py)
+                q = urllib.parse.parse_qs(parsed.query)
+                smiles = q.get("smiles", [""])[0]
+                w = int(q.get("w", ["320"])[0])
+                h = int(q.get("h", ["240"])[0])
+                from ..chem.depict import depict_smiles_svg
+                svg = depict_smiles_svg(smiles, width=min(w, 1600),
+                                        height=min(h, 1200))
+                if svg is None:
+                    self._send("unparseable SMILES", 400, ctype="text/plain")
+                else:
+                    self._send(svg, ctype="image/svg+xml")
             elif path.startswith("/progress/"):
                 ckpt_id = int(path.rsplit("/", 1)[1])
                 self._send(json.dumps(state.progress.get(
@@ -229,11 +245,16 @@ def make_handler(state: AppState):
                     f = self._form()
                     smiles, preds = state.predict(int(f["ckpt_id"]),
                                                   f["smiles"].decode())
-                    rows = "".join(f"<tr><td>{s}</td><td>{p}</td></tr>"
-                                   for s, p in zip(smiles, preds))
+                    rows = "".join(
+                        f"<tr><td><img src='/depict?smiles="
+                        f"{urllib.parse.quote(s)}&w=180&h=130' "
+                        f"alt='structure'/></td>"
+                        f"<td>{s}</td><td>{p}</td></tr>"
+                        for s, p in zip(smiles, preds))
                     self._send(_PAGE.format(
                         body=f"<h2>Predictions</h2><table>"
-                             f"<tr><th>smiles</th><th>prediction</th></tr>"
+                             f"<tr><th>structure</th><th>smiles</th>"
+                             f"<th>prediction</th></tr>"
                              f"{rows}</table><a href='/'>back</a>"))
                 elif path == "/create_user":
                     f = self._form()

@@ -128,6 +128,30 @@ def cmd_aggregate(args):
             print(f"{d:40s} <error: {e}>")
 
 
+def cmd_depict(args):
+    """Render a CSV of SMILES (or polymer ensemble strings) to SVG files."""
+    import csv
+    import os
+    from polymer_chemprop_tpu.chem.depict import depict_smiles_svg
+    os.makedirs(args.save_dir, exist_ok=True)
+    with open(args.data_path) as fh:
+        reader = csv.reader(fh)
+        next(reader)
+        rows = [r[0] for r in reader]
+    if args.max_mols:
+        rows = rows[:args.max_mols]
+    n_ok = 0
+    for i, smiles in enumerate(rows):
+        svg = depict_smiles_svg(smiles, width=args.width, height=args.height)
+        if svg is None:
+            print(f"  [skip] unparseable: {smiles}")
+            continue
+        with open(os.path.join(args.save_dir, f"mol_{i}.svg"), "w") as fh:
+            fh.write(svg)
+        n_ok += 1
+    print(f"wrote {n_ok}/{len(rows)} SVGs to {args.save_dir}")
+
+
 def cmd_check_hyperopt(args):
     from polymer_chemprop_tpu.hyperparameter_optimization import load_trials
     trials = load_trials(args.hyperopt_dir)
@@ -164,5 +188,11 @@ if __name__ == "__main__":
     s.add_argument("--results_dirs", nargs="+", required=True)
     s = sub.add_parser("check_hyperopt")
     s.add_argument("--hyperopt_dir", required=True)
+    s = sub.add_parser("depict")
+    s.add_argument("--data_path", required=True)
+    s.add_argument("--save_dir", required=True)
+    s.add_argument("--max_mols", type=int, default=0)
+    s.add_argument("--width", type=int, default=320)
+    s.add_argument("--height", type=int, default=240)
     args = p.parse_args()
     globals()[f"cmd_{args.cmd}"](args)

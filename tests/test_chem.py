@@ -200,3 +200,95 @@ class TestCIPStereoLabels:
             sb = next(x for x in parse_smiles(b).bonds
                       if x.order == DOUBLE).stereo
             assert sa == sb, (a, b, sa, sb)
+
+
+class TestDepiction:
+    """2D layout + SVG rendering (chem/depict.py) — the visual stand-in
+    for the reference's JSME editor / RDKit drawing assets."""
+
+    def _coords(self, smi):
+        from polymer_chemprop_tpu.chem import parse_smiles
+        from polymer_chemprop_tpu.chem.depict import compute_2d_coords
+        m = parse_smiles(smi, strict=False)
+        return m, compute_2d_coords(m)
+
+    def test_unit_bond_lengths(self):
+        import math
+        for smi in ["CC(=O)Oc1ccccc1C(=O)O", "c1ccc2ccccc2c1",
+                    "C1CC2(CC1)CCCC2", "CC#CC",
+                    "[*:1]c1ccc([*:2])cc1",
+                    "O=S1(=O)c2cc(ccc2-c2ccc(cc12)Br)Br"]:
+            m, pts = self._coords(smi)
+            for b in m.bonds:
+                d = math.hypot(pts[b.a1][0] - pts[b.a2][0],
+                               pts[b.a1][1] - pts[b.a2][1])
+                assert 0.8 < d < 1.3, (smi, b.a1, b.a2, d)
+
+    def test_no_atom_collisions(self):
+        import math
+        # includes the twin-phenyl case that needs diverging ring growth
+        for smi in ["CC(C)(c1ccccc1)c1ccc(O)cc1", "c1ccc2cc3ccccc3cc2c1",
+                    "O=P(O)(OCc1ccccc1)OCc1ccccc1"]:
+            m, pts = self._coords(smi)
+            for i in range(m.n_atoms):
+                for j in range(i + 1, m.n_atoms):
+                    if m.bond_between(i, j) is None:
+                        d = math.hypot(pts[i][0] - pts[j][0],
+                                       pts[i][1] - pts[j][1])
+                        assert d > 0.4, (smi, i, j, d)
+
+    def test_svg_well_formed_with_labels(self):
+        import xml.etree.ElementTree as ET
+        from polymer_chemprop_tpu.chem import parse_smiles
+        from polymer_chemprop_tpu.chem.depict import depict_svg
+        m = parse_smiles("N#Cc1ccccc1C(=O)[O-]")
+        svg = depict_svg(m)
+        root = ET.fromstring(svg)
+        assert root.tag.endswith("svg")
+        texts = [t.text for t in root.iter()
+                 if t.tag.endswith("text")]
+        assert "N" in texts         # nitrile N
+        assert "O-" in texts        # carboxylate
+        lines = [t for t in root.iter() if t.tag.endswith("line")]
+        # 14 bonds incl. one triple (3 lines), one C=O (2), 3 aromatic
+        # doubles (2 each) -> strictly more lines than bonds
+        assert len(lines) > m.n_bonds
+
+    def test_highlight_and_wildcards(self):
+        import xml.etree.ElementTree as ET
+        from polymer_chemprop_tpu.chem import parse_smiles
+        from polymer_chemprop_tpu.chem.depict import depict_svg
+        m = parse_smiles("[*:1]CC([*:2])C", strict=False)
+        svg = depict_svg(m, highlight_atoms=[1, 2])
+        root = ET.fromstring(svg)
+        texts = [t.text for t in root.iter() if t.tag.endswith("text")]
+        assert "*:1" in texts and "*:2" in texts
+        circles = [c for c in root.iter() if c.tag.endswith("circle")]
+        highlights = [c for c in circles
+                      if c.get("fill", "").startswith("#FFD")]
+        assert len(highlights) == 2
+
+    def test_polymer_ensemble_fragments_side_by_side(self):
+        from polymer_chemprop_tpu.chem.depict import depict_smiles_svg
+        svg = depict_smiles_svg(
+            "[*:1]c1ccc([*:2])cc1.[*:3]CC([*:4])C"
+            "|0.5|0.5|<1-3:0.5:0.5<2-4:0.5:0.5")
+        assert svg is not None and "<svg" in svg
+        assert depict_smiles_svg("not_a_smiles(((") is None
+
+    def test_fixture_sweep_never_crashes(self):
+        import csv
+        import xml.etree.ElementTree as ET
+        from polymer_chemprop_tpu.chem import parse_smiles
+        from polymer_chemprop_tpu.chem.depict import depict_svg
+        import os
+        path = os.path.join(os.path.dirname(__file__), "data",
+                            "regression.csv")
+        with open(path) as fh:
+            r = csv.reader(fh)
+            next(r)
+            smis = [row[0] for row in r][:150]
+        for s in smis:
+            m = parse_smiles(s, strict=False)
+            assert m is not None
+            ET.fromstring(depict_svg(m))

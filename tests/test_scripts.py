@@ -106,3 +106,14 @@ class TestSaveFeatures:
         from polymer_chemprop_tpu.features.utils import load_features
         feats = np.asarray(load_features(out))
         assert feats.shape[1] == 2048
+
+
+class TestDepictScript:
+    def test_depict_subcommand(self, tmp_path):
+        out = run("analysis_utils.py", "depict", "--data_path", REG,
+                  "--save_dir", str(tmp_path / "svgs"), "--max_mols", "5")
+        assert "wrote 5/5" in out
+        svgs = sorted(os.listdir(tmp_path / "svgs"))
+        assert len(svgs) == 5
+        with open(tmp_path / "svgs" / svgs[0]) as fh:
+            assert "<svg" in fh.read()

@@ -184,3 +184,19 @@ class TestPerUserFlows:
         assert st == 200
         out = json.loads(data)
         assert [o["valid"] for o in out] == [True, False, True]
+
+
+class TestDepictEndpoint:
+    def test_depict_svg_and_errors(self, server):
+        port, _ = server
+        import urllib.parse
+        q = urllib.parse.quote("CC(=O)Oc1ccccc1C(=O)O")
+        st, data = _get(port, f"/depict?smiles={q}&w=200&h=150")
+        assert st == 200
+        assert data.startswith(b"<svg")
+        # polymer ensemble strings depict their monomer part
+        q = urllib.parse.quote("[*:1]CC([*:2])C|1.0|<1-2:1.0:1.0")
+        st, data = _get(port, f"/depict?smiles={q}")
+        assert st == 200 and b"<svg" in data
+        st, _ = _get(port, "/depict?smiles=bogus(((")
+        assert st == 400
