@@ -182,6 +182,11 @@ class TrainConfig:
             }[self.dataset_type]
         if self.ffn_hidden_size is None:
             self.ffn_hidden_size = self.hidden_size
+        if self.atom_messages and self.undirected:
+            raise ValueError(
+                "Undirected is unnecessary when using atom_messages since "
+                "atom_messages are by their nature undirected. "
+                "(reference args.py:588-590)")
         self._validate_metrics()
 
     # -- derived ------------------------------------------------------------

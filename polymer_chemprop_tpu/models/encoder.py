@@ -104,10 +104,9 @@ def apply_encoder(params: Dict,
     keys = iter(jax.random.split(dropout_key, cfg.depth + 2)) \
         if dropout_key is not None else iter([None] * (cfg.depth + 2))
 
-    if cfg.atom_messages and "pallas_aux" in batch:
-        raise ValueError("atom_messages is not supported on the Pallas "
-                         "path (pallas batches carry dst-sorted f_bonds); "
-                         "build the loader with use_pallas=False")
+    if cfg.atom_messages and cfg.undirected:
+        raise ValueError("Undirected is unnecessary when using "
+                         "atom_messages (reference args.py:588-590)")
     pallas_aux = batch.get("pallas_aux")
     if pallas_aux is not None:
         # VMEM feasibility: very large hidden sizes overflow the band
@@ -125,21 +124,63 @@ def apply_encoder(params: Dict,
     if cfg.atom_messages:
         # atom-message mode consumes bond-only features: the last bond_fdim
         # columns of the concat(src-atom, bond) vectors (reference
-        # featurization.py:838-843 get_components slicing)
-        f_bonds = f_bonds[:, -cfg.bond_fdim:]
+        # featurization.py:838-843 get_components slicing). The reference
+        # layer is W_h(concat(sum_nei(message), sum_nei(f_bonds)))
+        # (mpn.py:104-108); the concat splits linearly through W_h, and the
+        # bond-feature half is LOOP-INVARIANT — hoist it out of the depth
+        # loop so each layer is one atom-adjacency aggregation + one
+        # (hidden x hidden) matmul.
+        H = cfg.hidden_size
+        f_bonds_b = f_bonds[:, -cfg.bond_fdim:]
         inputs = linear(params["W_i"], f_atoms, cdt)
         message = act(inputs)
+        wh = params["W_h"]
+        w1 = {"w": wh["w"][:H]}
+        w2 = {"w": wh["w"][H:]}
+        if "b" in wh:
+            w2 = dict(w2, b=wh["b"])
+        Hp = ((H + 127) // 128) * 128
+        if pallas_aux is not None:
+            # pallas batches carry f_bonds dst-SORTED; aggregation keys
+            # come from the sorted aux arrays
+            src_s = pallas_aux["src_sorted"]
+            dst_s = pallas_aux["dst_sorted"]
+            f_sum = segment_sum(f_bonds_b, dst_s, num_atoms)
+            use_band = ("ra" in pallas_aux and Hp <= 768 and cdt is None)
+        else:
+            f_sum = segment_sum(f_bonds_b, b2dst, num_atoms)
+            use_band = False
+        const = linear(w2, f_sum, cdt)
+        if use_band:
+            from ..ops.pallas_mpnn import (
+                atom_neighbor_sum_sorted,
+                pad_lane,
+                src_readout_sorted,
+            )
+            prec = {"highest": jax.lax.Precision.HIGHEST,
+                    "high": jax.lax.Precision.HIGH,
+                    "default": jax.lax.Precision.DEFAULT}[cfg.band_precision]
         for _ in range(cfg.depth - 1):
-            if cfg.undirected:
-                message = (message + message[b2revb]) / 2
-            # gather neighbour atom messages along bonds, concat bond feats,
-            # sum over incoming bonds (reference mpn.py:104-108)
-            nei = jnp.concatenate([message[b2a], f_bonds], axis=1)
-            message = segment_sum(nei, b2dst, num_atoms)
-            message = linear(params["W_h"], message, cdt)
-            message = act(inputs + message)
+            if use_band:
+                m = atom_neighbor_sum_sorted(pad_lane(message), pallas_aux,
+                                             num_atoms, prec)[:, :H]
+            elif pallas_aux is not None:
+                m = segment_sum(message[src_s], dst_s, num_atoms)
+            else:
+                m = segment_sum(message[b2a], b2dst, num_atoms)
+            message = act(inputs + linear(w1, m, cdt) + const)
             message = dropout(message, cfg.dropout, next(keys), deterministic)
-        a_message = weighted_segment_sum(message[b2a], w_bonds, b2dst, num_atoms)
+        if use_band:
+            a_message = src_readout_sorted(pad_lane(message), pallas_aux,
+                                           num_atoms, H, prec,
+                                           cfg.unit_bond_weights)
+        elif pallas_aux is not None:
+            a_message = weighted_segment_sum(message[src_s],
+                                             pallas_aux["w_sorted"],
+                                             dst_s, num_atoms)
+        else:
+            a_message = weighted_segment_sum(message[b2a], w_bonds, b2dst,
+                                             num_atoms)
     elif pallas_aux is not None:
         # sorted-resident Pallas path: messages stay in dst-sorted order for
         # the whole depth loop (row-wise ops commute with the permutation),

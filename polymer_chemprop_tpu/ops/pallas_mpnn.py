@@ -1348,3 +1348,88 @@ def bond_message_step_pallas(message: jnp.ndarray,
     m_new = permute_rows(z_sorted, aux_arrays["rev_rank"],
                          aux_arrays["rev_rank_inv"])
     return m_new[:, :H] if Hp != H else m_new
+
+
+# ---------------------------------------------------------------------------
+# atom-message mode: scatter-free neighbour aggregation over atoms
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def _atom_neighbor_op(num_atoms: int, precision):
+    """out[v] = sum_{u in N(v)} h[u] (bond multiplicity), as h[src] gather
+    + the banded atom aggregation. The operator is the (symmetric)
+    undirected adjacency, hence SELF-ADJOINT: its VJP is the same op
+    applied to the cotangent — no scatter in either direction. This is
+    the hot op of the reference's atom_messages mode (mpn.py:104-108)."""
+    import numpy as _np
+
+    @jax.custom_vjp
+    def op(h, ones_sorted, src_sorted, dst_sorted, ra):
+        return _atom_band_apply(h[src_sorted], ones_sorted, dst_sorted, ra,
+                                num_atoms, precision, True)
+
+    def fwd(h, ones_sorted, src_sorted, dst_sorted, ra):
+        return op(h, ones_sorted, src_sorted, dst_sorted, ra), \
+            (ones_sorted, src_sorted, dst_sorted, ra)
+
+    def bwd(res, g):
+        ones_sorted, src_sorted, dst_sorted, ra = res
+        f0 = lambda x: _np.zeros(x.shape, jax.dtypes.float0)
+        dh = _atom_band_apply(g[src_sorted], ones_sorted, dst_sorted, ra,
+                              num_atoms, precision, True)
+        return (dh, jnp.zeros_like(ones_sorted), f0(src_sorted),
+                f0(dst_sorted), f0(ra))
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def atom_neighbor_sum_sorted(h: jnp.ndarray, aux: dict, num_atoms: int,
+                             precision=jax.lax.Precision.HIGHEST
+                             ) -> jnp.ndarray:
+    """Banded unweighted neighbour sum for atom_messages (h: (A, Hp) f32,
+    lane-padded). Caller guards on "ra" in aux and Hp <= 768."""
+    op = _atom_neighbor_op(num_atoms, precision)
+    ones = jnp.ones_like(aux["w_sorted"])
+    return op(h, ones, aux["src_sorted"], aux["dst_sorted"], aux["ra"])
+
+
+@functools.lru_cache(maxsize=64)
+def _src_readout_op(num_atoms: int, precision, w_exact: bool):
+    """a[v] = sum_{c: dst(c)=v} w[c] * h[src(c)] — the atom_messages final
+    readout (reference mpn.py:126-131 with a2x = a2a). Scatter-free VJP via
+    the bond involution srev (src(c) = dst(srev(c))):
+    dh[u] = sum_{c: src(c)=u} w[c] g[dst(c)]
+          = sum_{c': dst(c')=u} w[srev(c')] g[src(c')]."""
+    import numpy as _np
+
+    @jax.custom_vjp
+    def op(h, w_sorted, w_srev, src_sorted, dst_sorted, ra):
+        return _atom_band_apply(h[src_sorted], w_sorted, dst_sorted, ra,
+                                num_atoms, precision, w_exact)
+
+    def fwd(h, w_sorted, w_srev, src_sorted, dst_sorted, ra):
+        return op(h, w_sorted, w_srev, src_sorted, dst_sorted, ra), \
+            (w_sorted, w_srev, src_sorted, dst_sorted, ra)
+
+    def bwd(res, g):
+        w_sorted, w_srev, src_sorted, dst_sorted, ra = res
+        f0 = lambda x: _np.zeros(x.shape, jax.dtypes.float0)
+        dh = _atom_band_apply(g[src_sorted], w_srev, dst_sorted, ra,
+                              num_atoms, precision, w_exact)
+        return (dh, jnp.zeros_like(w_sorted), jnp.zeros_like(w_srev),
+                f0(src_sorted), f0(dst_sorted), f0(ra))
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def src_readout_sorted(h: jnp.ndarray, aux: dict, num_atoms: int,
+                       out_dim: int,
+                       precision=jax.lax.Precision.HIGHEST,
+                       w_exact: bool = False) -> jnp.ndarray:
+    """Weighted src-gather readout for atom_messages (h: (A, Hp) f32)."""
+    op = _src_readout_op(num_atoms, precision, w_exact)
+    w_srev = aux["w_sorted"][aux["srev"]]
+    return op(h, aux["w_sorted"], w_srev, aux["src_sorted"],
+              aux["dst_sorted"], aux["ra"])[:, :out_dim]

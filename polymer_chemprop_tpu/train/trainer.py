@@ -344,8 +344,7 @@ def run_training(cfg: TrainConfig,
     set_cache_graph(len(data) <= cfg.cache_cutoff and not cfg.no_cache_mol)
     loader_kw = dict(batch_size=cfg.batch_size, num_workers=cfg.num_workers,
                      use_native=cfg.use_native_featurizer,
-                     # atom_messages is not supported on the Pallas path
-                     use_pallas=False if cfg.atom_messages else cfg.use_pallas)
+                     use_pallas=cfg.use_pallas)
     train_loader_kw = dict(loader_kw, batch_size=train_batch_size)
     if gp_enabled:
         # the halo partitioner needs the natural (fwd, rev) pair layout,
