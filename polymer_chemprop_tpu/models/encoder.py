@@ -108,19 +108,12 @@ def apply_encoder(params: Dict,
         raise ValueError("Undirected is unnecessary when using "
                          "atom_messages (reference args.py:588-590)")
     pallas_aux = batch.get("pallas_aux")
-    if pallas_aux is not None:
-        # VMEM feasibility: very large hidden sizes overflow the band
-        # kernels' ~16 MB scoped VMEM (Mosaic stack OOM). Degrade to the
-        # XLA segment path by unsorting f_bonds (the index arrays in the
-        # batch are natural-order already).
-        from ..ops.pallas_mpnn import band_paths_for, permute_rows
-        _hp = ((cfg.hidden_size + 127) // 128) * 128
-        _, _plain_ok = band_paths_for(f_bonds.shape[0],
-                                      int(pallas_aux["rs"].shape[0]), _hp)
-        if not _plain_ok:
-            f_bonds = permute_rows(f_bonds, pallas_aux["rank"],
-                                   pallas_aux["perm"])
-            pallas_aux = None
+    # VMEM note: very large hidden sizes overflow the band kernels'
+    # ~16 MB scoped VMEM per invocation; the plain band path and the
+    # atom readout run COLUMN-CHUNKED there (ops/pallas_mpnn
+    # _chunked_cols), so every hidden size stays on the MXU band path —
+    # only the W_h-fused epilogue falls back to the separate-matmul
+    # form (band_paths_for governs, checked below).
     if cfg.atom_messages:
         # atom-message mode consumes bond-only features: the last bond_fdim
         # columns of the concat(src-atom, bond) vectors (reference
@@ -146,7 +139,7 @@ def apply_encoder(params: Dict,
             src_s = pallas_aux["src_sorted"]
             dst_s = pallas_aux["dst_sorted"]
             f_sum = segment_sum(f_bonds_b, dst_s, num_atoms)
-            use_band = ("ra" in pallas_aux and Hp <= 768 and cdt is None)
+            use_band = ("ra" in pallas_aux and cdt is None)
         else:
             f_sum = segment_sum(f_bonds_b, b2dst, num_atoms)
             use_band = False

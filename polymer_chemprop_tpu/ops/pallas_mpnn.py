@@ -634,12 +634,37 @@ def to_sorted(x: jnp.ndarray, aux: dict) -> jnp.ndarray:
     return permute_rows(pad_lane(x), aux["perm"], aux["rank"])
 
 
+BAND_CHUNK = 768   # widest chunk the EXT=768-window bond kernels admit
+ATOM_CHUNK = 512   # the EXT_A=1536-window atom kernels hold double the
+# window rows, so their in-context VMEM bound is tighter (measured:
+# 17.3 MB > the 16 MB scoped limit at 768 inside the jitted train step)
+
+
+def _chunked_cols(fn, x: jnp.ndarray, chunk: int = BAND_CHUNK) -> jnp.ndarray:
+    """Apply fn per <=chunk-wide column slice and re-concatenate.
+
+    The band kernels hold an (2, EXT, Hp) f32 window in VMEM, which
+    overflows past Hp ~ 896; the banded contraction is columnwise-
+    independent, so wide hidden sizes (hyperopt searches up to 2400)
+    run as several narrow kernel invocations instead of degrading to
+    the XLA scatter path. Each slice/concat differentiates as a
+    slice/concat — the per-chunk custom VJPs keep both directions
+    scatter-free. Chunk widths stay multiples of 128 (lane tiling)."""
+    Hp = x.shape[1]
+    if Hp <= chunk:
+        return fn(x)
+    return jnp.concatenate([fn(x[:, c:c + chunk])
+                            for c in range(0, Hp, chunk)], axis=1)
+
+
 def band_message_step_sorted(msg_sorted: jnp.ndarray, aux: dict,
                              precision=jax.lax.Precision.HIGHEST,
                              w_exact: bool = False) -> jnp.ndarray:
-    """m_new (sorted order) = (S msg - msg)[srev]."""
-    z = _band_op(msg_sorted, aux["w_sorted"], aux["dst_sorted"], aux["rs"],
-                 precision, w_exact)
+    """m_new (sorted order) = (S msg - msg)[srev]. Column-chunked for
+    wide hidden sizes (see _chunked_cols)."""
+    z = _chunked_cols(
+        lambda m: _band_op(m, aux["w_sorted"], aux["dst_sorted"], aux["rs"],
+                           precision, w_exact), msg_sorted)
     return permute_rows(z, aux["srev"], aux["srev"])
 
 
@@ -1316,15 +1341,18 @@ def atom_readout_sorted(msg_sorted: jnp.ndarray, aux: dict,
     scatter in either direction."""
     # VMEM: the readout's (2, EXT_A, hp) windows + double-buffered out
     # tile measured 18.6 MB at hp=1024 (stack OOM; limit 16 MB) and
-    # project to ~16.2 MB at 896 — only hp <= 768 is safely inside
-    if "ra" in aux and msg_sorted.shape[1] <= 768:
+    # project to ~16.2 MB at 896 — hp <= 768 per kernel invocation is
+    # safely inside; wider messages run column-chunked (_chunked_cols)
+    if "ra" in aux:
         w_sorted, dst_sorted, ra = (aux["w_sorted"], aux["dst_sorted"],
                                     aux["ra"])
         # aux arrays travel as FORMAL custom_vjp args, not closures:
         # closed-over tracers break shard_map AD (the banded halo path
         # differentiates this op inside shard_map)
         op = _atom_band_op(num_atoms, precision, w_exact)
-        return op(msg_sorted, w_sorted, dst_sorted, ra)[:, :out_dim]
+        agg = _chunked_cols(lambda m: op(m, w_sorted, dst_sorted, ra),
+                            msg_sorted, chunk=ATOM_CHUNK)
+        return agg[:, :out_dim]
     agg = jax.ops.segment_sum(
         msg_sorted * aux["w_sorted"][:, None], aux["dst_sorted"],
         num_segments=num_atoms, indices_are_sorted=False)
@@ -1388,10 +1416,13 @@ def atom_neighbor_sum_sorted(h: jnp.ndarray, aux: dict, num_atoms: int,
                              precision=jax.lax.Precision.HIGHEST
                              ) -> jnp.ndarray:
     """Banded unweighted neighbour sum for atom_messages (h: (A, Hp) f32,
-    lane-padded). Caller guards on "ra" in aux and Hp <= 768."""
+    lane-padded). Caller guards on "ra" in aux; wide hidden sizes run
+    column-chunked."""
     op = _atom_neighbor_op(num_atoms, precision)
     ones = jnp.ones_like(aux["w_sorted"])
-    return op(h, ones, aux["src_sorted"], aux["dst_sorted"], aux["ra"])
+    return _chunked_cols(
+        lambda m: op(m, ones, aux["src_sorted"], aux["dst_sorted"],
+                     aux["ra"]), h, chunk=ATOM_CHUNK)
 
 
 @functools.lru_cache(maxsize=64)
@@ -1431,5 +1462,7 @@ def src_readout_sorted(h: jnp.ndarray, aux: dict, num_atoms: int,
     """Weighted src-gather readout for atom_messages (h: (A, Hp) f32)."""
     op = _src_readout_op(num_atoms, precision, w_exact)
     w_srev = aux["w_sorted"][aux["srev"]]
-    return op(h, aux["w_sorted"], w_srev, aux["src_sorted"],
-              aux["dst_sorted"], aux["ra"])[:, :out_dim]
+    agg = _chunked_cols(
+        lambda m: op(m, aux["w_sorted"], w_srev, aux["src_sorted"],
+                     aux["dst_sorted"], aux["ra"]), h, chunk=ATOM_CHUNK)
+    return agg[:, :out_dim]

@@ -343,6 +343,16 @@ def make_handler(state: AppState):
  checkpoint id <input name=ckpt_id size=4><br>
  <textarea name=smiles rows=4 cols=60 placeholder="one SMILES per line"></textarea><br>
  <button>predict</button>
+</form>
+<form onsubmit="return false" style='background:#f0f4f8'>
+ <b>Structure preview</b> (molecule or polymer ensemble string)<br>
+ <input id=prev_smiles size=60
+  placeholder='e.g. CC(=O)Oc1ccccc1C(=O)O or [*:1]CC([*:2])C|1.0|&lt;1-2:1.0:1.0'>
+ <button onclick="document.getElementById('prev_img').src=
+  '/depict?w=340&amp;h=240&amp;smiles='+
+  encodeURIComponent(document.getElementById('prev_smiles').value)">
+  preview</button><br>
+ <img id=prev_img alt=''>
 </form>"""
 
     return Handler
