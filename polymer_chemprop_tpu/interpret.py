@@ -159,9 +159,10 @@ def interpret(args: PredictConfig,
     for the RDKit drawing the reference ecosystem would use).
     """
     import csv as _csv
+    import os as _os
     model = ChempropModel(args, property_id)
     if save_svg_dir:
-        import os as _os
+        from .chem.depict import depict_svg
         _os.makedirs(save_svg_dir, exist_ok=True)
 
     with open(data_path) as f:
@@ -190,8 +191,6 @@ def interpret(args: PredictConfig,
             writer(f"{smiles},{score:.3f},{rats[0].smiles},{rats[0].P:.3f}")
             results.append((smiles, score, rats[0].smiles, rats[0].P))
             if save_svg_dir:
-                import os as _os
-                from .chem.depict import depict_svg
                 mol = parse_smiles(smiles, strict=False)
                 if mol is not None:
                     svg = depict_svg(mol,

@@ -123,6 +123,14 @@ def apply_encoder(params: Dict,
         # bond-feature half is LOOP-INVARIANT — hoist it out of the depth
         # loop so each layer is one atom-adjacency aggregation + one
         # (hidden x hidden) matmul.
+        #
+        # DELIBERATE deviation: the reference's atom_messages readout
+        # indexes the BOND-weight array with neighbour ATOM ids
+        # (mpn.py:126-131, a2x = a2a into w_bonds) — an indexing quirk
+        # that reads unrelated entries for weighted (polymer) data. We
+        # weight each contribution by its own bond's w instead. For every
+        # non-polymer config w_bonds is identically 1, where the two are
+        # equal (see docs/parity.md).
         H = cfg.hidden_size
         f_bonds_b = f_bonds[:, -cfg.bond_fdim:]
         inputs = linear(params["W_i"], f_atoms, cdt)
@@ -132,7 +140,6 @@ def apply_encoder(params: Dict,
         w2 = {"w": wh["w"][H:]}
         if "b" in wh:
             w2 = dict(w2, b=wh["b"])
-        Hp = ((H + 127) // 128) * 128
         if pallas_aux is not None:
             # pallas batches carry f_bonds dst-SORTED; aggregation keys
             # come from the sorted aux arrays

@@ -661,10 +661,14 @@ def band_message_step_sorted(msg_sorted: jnp.ndarray, aux: dict,
                              precision=jax.lax.Precision.HIGHEST,
                              w_exact: bool = False) -> jnp.ndarray:
     """m_new (sorted order) = (S msg - msg)[srev]. Column-chunked for
-    wide hidden sizes (see _chunked_cols)."""
+    wide hidden sizes (see _chunked_cols). The 1024-bond tile variant
+    holds 1280-row windows, so its chunk bound is tighter (probed OK
+    through hp=512, stack-OOM at 640 — band_paths_for)."""
+    tile_b = msg_sorted.shape[0] // int(aux["rs"].shape[0])
+    chunk = BAND_CHUNK if tile_b == 512 else 512
     z = _chunked_cols(
         lambda m: _band_op(m, aux["w_sorted"], aux["dst_sorted"], aux["rs"],
-                           precision, w_exact), msg_sorted)
+                           precision, w_exact), msg_sorted, chunk=chunk)
     return permute_rows(z, aux["srev"], aux["srev"])
 
 

@@ -157,7 +157,7 @@ def make_predictions(args: PredictConfig,
 
     loader = MoleculeDataLoader(test_data, fcfg, batch_size=args.batch_size,
                                 num_workers=args.num_workers,
-                                use_pallas=False if tcfg.atom_messages else None)
+                                use_pallas=None)
 
     sum_preds = None
     sq_preds = None

@@ -67,7 +67,7 @@ def molecule_fingerprint(args: FingerprintConfig) -> np.ndarray:
         return np.zeros((0, width))
     loader = MoleculeDataLoader(test_data, fcfg, batch_size=args.batch_size,
                                 num_workers=args.num_workers,
-                                use_pallas=False if tcfg.atom_messages else None)
+                                use_pallas=None)
 
     all_fps = []
     for ckpt in ckpts:

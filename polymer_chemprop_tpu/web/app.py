@@ -150,11 +150,16 @@ def make_handler(state: AppState):
                 # 2D-layout engine (chem/depict.py)
                 q = urllib.parse.parse_qs(parsed.query)
                 smiles = q.get("smiles", [""])[0]
-                w = int(q.get("w", ["320"])[0])
-                h = int(q.get("h", ["240"])[0])
+                try:
+                    w = int(q.get("w", ["320"])[0])
+                    h = int(q.get("h", ["240"])[0])
+                except ValueError:
+                    self._send("bad w/h", 400, ctype="text/plain")
+                    return
                 from ..chem.depict import depict_smiles_svg
-                svg = depict_smiles_svg(smiles, width=min(w, 1600),
-                                        height=min(h, 1200))
+                svg = depict_smiles_svg(smiles,
+                                        width=min(max(w, 32), 1600),
+                                        height=min(max(h, 32), 1200))
                 if svg is None:
                     self._send("unparseable SMILES", 400, ctype="text/plain")
                 else:
@@ -245,11 +250,13 @@ def make_handler(state: AppState):
                     f = self._form()
                     smiles, preds = state.predict(int(f["ckpt_id"]),
                                                   f["smiles"].decode())
+                    import html as _html
                     rows = "".join(
                         f"<tr><td><img src='/depict?smiles="
                         f"{urllib.parse.quote(s)}&w=180&h=130' "
                         f"alt='structure'/></td>"
-                        f"<td>{s}</td><td>{p}</td></tr>"
+                        f"<td>{_html.escape(s)}</td>"
+                        f"<td>{_html.escape(str(p))}</td></tr>"
                         for s, p in zip(smiles, preds))
                     self._send(_PAGE.format(
                         body=f"<h2>Predictions</h2><table>"
