@@ -612,3 +612,54 @@ class TestAtomMessagesPallas:
         lhs = float(jnp.vdot(Av, w))
         rhs = float(jnp.vdot(v, Aw))
         np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
+
+class TestChunkedCols:
+    def test_concat_matches_unchunked(self):
+        from polymer_chemprop_tpu.ops.pallas_mpnn import _chunked_cols
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(64, 1280)), dtype=jnp.float32)
+        calls = []
+
+        def fn(m):
+            calls.append(m.shape[1])
+            return m * 2.0
+        out = _chunked_cols(fn, x, chunk=768)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(x) * 2.0)
+        assert calls == [768, 512]
+        # narrow input: single call, no slicing
+        calls.clear()
+        out = _chunked_cols(fn, x[:, :384], chunk=768)
+        assert calls == [384]
+
+    def test_chunk_width_follows_band_tile(self):
+        """The 1024-bond tile's wider windows bound the chunk at 512
+        (band_paths_for probe: OK at 512, stack-OOM at 640)."""
+        from polymer_chemprop_tpu.features import mol2graph
+        from polymer_chemprop_tpu.ops import pallas_mpnn as pm
+        smiles = ["CCO", "c1ccccc1"] * 12
+        gb = mol2graph(smiles, pad_atoms=512, pad_bonds=2048,
+                       pad_mols=len(smiles))
+        widths = []
+        orig = pm._band_op
+
+        def spy(m, *a, **kw):
+            widths.append(m.shape[1])
+            return orig(m, *a, **kw)
+        pm._band_op = spy
+        try:
+            from jax.experimental.pallas import tpu as pltpu
+            with pltpu.force_tpu_interpret_mode():
+                for tile, want in ((512, [768, 768]), (1024, [512] * 3)):
+                    aux = pm.build_sorted_aux(gb.b2dst, gb.b2revb,
+                                              gb.w_bonds,
+                                              num_atoms=512, tile_b=tile)
+                    auxd = {k: jnp.asarray(getattr(aux, k))
+                            for k in aux._fields
+                            if getattr(aux, k) is not None}
+                    msg = jnp.zeros((2048, 1536), jnp.float32)
+                    widths.clear()
+                    pm.band_message_step_sorted(msg, auxd)
+                    assert widths == want, (tile, widths)
+        finally:
+            pm._band_op = orig
