@@ -20,7 +20,9 @@ Rendering: kekulized bond orders (alternating double bonds for aromatic
 rings), perpendicular-offset double/triple lines with in-ring doubles
 offset toward the ring center, heteroatom labels with implicit-H counts
 and charges, wildcard attachment points as ``*:n``, optional atom
-highlighting (used by interpret rationales).
+highlighting (used by interpret rationales), and wedge/hash stereo
+bonds on tetrahedral chiral centers (solid = toward viewer; chosen so
+the drawing matches the parity-normalized chiral tag).
 """
 
 from __future__ import annotations
@@ -408,6 +410,68 @@ def _chain_position(mol: Molecule, a: int, nb: int,
     return best  # type: ignore[return-value]
 
 
+def _det3(a, b, c) -> float:
+    return (a[0] * (b[1] * c[2] - b[2] * c[1])
+            - a[1] * (b[0] * c[2] - b[2] * c[0])
+            + a[2] * (b[0] * c[1] - b[1] * c[0]))
+
+
+def _wedge_assignments(mol: Molecule,
+                       pts: List[Tuple[float, float]]):
+    """Choose wedge/hash bonds for tetrahedral chiral centers.
+
+    chiral tags are parity-normalized to the molecule bond-list
+    neighbour order with implicit/bracket H LAST (chem/smiles.py
+    _normalize_chirality). By the SMILES definition ('@' = neighbours
+    2,3,4 counterclockwise viewed from neighbour 1),
+    '@' == CHI_TETRAHEDRAL_CCW  <=>  det[p2-p1, p3-p1, p4-p1] < 0.
+    One drawn single bond per center is rendered solid (toward viewer)
+    or hashed (away) so the drawing's determinant matches the tag.
+
+    Returns {bond_idx: (center_atom, solid)}.
+    """
+    from .mol import CHI_TETRAHEDRAL_CCW, CHI_TETRAHEDRAL_CW, SINGLE
+    out = {}
+    for atom in mol.atoms:
+        if atom.chiral_tag not in (CHI_TETRAHEDRAL_CW, CHI_TETRAHEDRAL_CCW):
+            continue
+        a = atom.idx
+        bonds = mol.atom_bonds(a)
+        heavy = [b.other(a) for b in bonds]
+        if len(heavy) + (1 if atom.num_hs else 0) != 4 or len(heavy) < 3:
+            continue
+        # wedge target: prefer acyclic single bonds to terminal atoms
+        def pref(b):
+            o = b.other(a)
+            return (b.order != SINGLE, b.in_ring, mol.degree(o) > 1,
+                    b.idx in out)
+        cand = [b for b in bonds if b.order == SINGLE]
+        if not cand:
+            continue
+        wb = min(cand, key=pref)
+        w_atom = wb.other(a)
+        cx, cy = pts[a]
+        # neighbour positions in tag order (implicit H virtual, LAST)
+        order3 = []
+        for nb in heavy:
+            order3.append((pts[nb][0] - cx, pts[nb][1] - cy, 0.0))
+        if atom.num_hs and len(heavy) == 3:
+            sx = sum(v[0] for v in order3)
+            sy = sum(v[1] for v in order3)
+            n = math.hypot(sx, sy)
+            hxy = (-sx / n, -sy / n) if n > 1e-6 else (0.3, 0.1)
+            order3.append((hxy[0], hxy[1], 0.0))
+        # tentative: wedge target toward the viewer (+z)
+        wi = heavy.index(w_atom)
+        order3[wi] = (order3[wi][0], order3[wi][1], 1.0)
+        d = _det3(*(tuple(x - y for x, y in zip(order3[k], order3[0]))
+                    for k in (1, 2, 3)))
+        want_neg = atom.chiral_tag == CHI_TETRAHEDRAL_CCW
+        solid = (d < 0) == want_neg
+        out[wb.idx] = (a, solid)
+    return out
+
+
 # ------------------------------------------------------------------ rendering
 
 def _atom_label(mol: Molecule, i: int) -> Optional[str]:
@@ -476,6 +540,7 @@ def depict_svg(mol: Molecule, width: int = 320, height: int = 240,
 
     ring_centers = [(set(r), _centroid(r, dict(enumerate(pts))))
                     for r in mol.sssr()]
+    wedges = _wedge_assignments(mol, pts)
 
     def shrink(x1, y1, x2, y2, frac1, frac2):
         dx, dy = x2 - x1, y2 - y1
@@ -496,7 +561,30 @@ def depict_svg(mol: Molecule, width: int = 320, height: int = 240,
         line = (lambda a1, b1, a2, b2:
                 f'<line x1="{a1:.1f}" y1="{b1:.1f}" x2="{a2:.1f}" '
                 f'y2="{b2:.1f}" stroke="black" stroke-width="1.6"/>')
-        if order == 2:
+        if b.idx in wedges and order == 1:
+            # stereo bond: narrow end at the chiral center
+            center_atom, solid = wedges[b.idx]
+            if center_atom == b.a2:
+                X1, Y1, X2, Y2 = X2, Y2, X1, Y1
+            hw = 0.14 * scale  # half-width of the broad end
+            if solid:
+                parts.append(
+                    f'<polygon points="{X1:.1f},{Y1:.1f} '
+                    f'{X2 + px * hw:.1f},{Y2 + py * hw:.1f} '
+                    f'{X2 - px * hw:.1f},{Y2 - py * hw:.1f}" '
+                    f'fill="black"/>')
+            else:
+                for k in range(6):
+                    t = (k + 1) / 6.0
+                    hx = X1 + (X2 - X1) * t
+                    hy = Y1 + (Y2 - Y1) * t
+                    parts.append(
+                        f'<line x1="{hx + px * hw * t:.1f}" '
+                        f'y1="{hy + py * hw * t:.1f}" '
+                        f'x2="{hx - px * hw * t:.1f}" '
+                        f'y2="{hy - py * hw * t:.1f}" '
+                        f'stroke="black" stroke-width="1.4"/>')
+        elif order == 2:
             if b.in_ring:
                 # main line on the bond, second line toward ring center
                 for rset, cent in ring_centers:

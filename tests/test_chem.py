@@ -292,3 +292,66 @@ class TestDepiction:
             m = parse_smiles(s, strict=False)
             assert m is not None
             ET.fromstring(depict_svg(m))
+
+
+class TestWedgeBonds:
+    """Tetrahedral stereo wedges: '@' == CHI_TETRAHEDRAL_CCW means
+    neighbours 2,3,4 counterclockwise viewed from neighbour 1 (SMILES
+    definition), i.e. det[p2-p1,p3-p1,p4-p1] < 0 in tag order."""
+
+    def _wedge(self, smi):
+        from polymer_chemprop_tpu.chem import parse_smiles
+        from polymer_chemprop_tpu.chem.depict import (
+            _wedge_assignments,
+            compute_2d_coords,
+        )
+        m = parse_smiles(smi)
+        return m, _wedge_assignments(m, compute_2d_coords(m))
+
+    def test_enantiomers_get_opposite_wedges(self):
+        for a, b in [("N[C@@H](C)C(=O)O", "N[C@H](C)C(=O)O"),
+                     ("C[C@](F)(Cl)Br", "C[C@@](F)(Cl)Br"),
+                     ("C[C@H]1CCCO1", "C[C@@H]1CCCO1")]:
+            ma, wa = self._wedge(a)
+            mb, wb = self._wedge(b)
+            assert len(wa) == 1 and len(wb) == 1, (a, wa, wb)
+            (bi_a, (_, sa)), = wa.items()
+            (bi_b, (_, sb)), = wb.items()
+            assert bi_a == bi_b and sa != sb, (a, b, wa, wb)
+
+    def test_wedge_prefers_acyclic_terminal_bond(self):
+        m, w = self._wedge("C[C@H]1CCCO1")
+        (bi, (center, _)), = w.items()
+        b = m.bonds[bi]
+        assert not b.in_ring  # the exocyclic C-CH3 bond, not a ring bond
+        assert m.degree(b.other(center)) == 1
+
+    def test_unspecified_centers_get_no_wedge(self):
+        _, w = self._wedge("NC(C)C(=O)O")
+        assert w == {}
+
+    def test_svg_renders_wedge_shapes(self):
+        import xml.etree.ElementTree as ET
+        from polymer_chemprop_tpu.chem import parse_smiles
+        from polymer_chemprop_tpu.chem.depict import depict_svg
+        solid = depict_svg(parse_smiles("N[C@H](C)C(=O)O"))
+        hashed = depict_svg(parse_smiles("N[C@@H](C)C(=O)O"))
+        ET.fromstring(solid)
+        ET.fromstring(hashed)
+        assert "<polygon" in solid and "<polygon" not in hashed
+
+    def test_fixture_sweep_with_stereocenters(self):
+        import csv
+        import os
+        import xml.etree.ElementTree as ET
+        from polymer_chemprop_tpu.chem import parse_smiles
+        from polymer_chemprop_tpu.chem.depict import depict_svg
+        path = os.path.join(os.path.dirname(__file__), "data",
+                            "classification.csv")
+        with open(path) as fh:
+            r = csv.reader(fh)
+            next(r)
+            smis = [row[0] for row in r if "@" in row[0]]
+        assert len(smis) > 50  # the fixture does contain stereo SMILES
+        for s in smis:
+            ET.fromstring(depict_svg(parse_smiles(s, strict=False)))
