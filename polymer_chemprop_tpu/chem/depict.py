@@ -646,5 +646,9 @@ def depict_smiles_svg(smiles: str, width: int = 320, height: int = 240,
     mol = parse_smiles(smiles.split("|")[0], strict=False)
     if mol is None:
         return None
+    # the collision-relaxation layout is O(n^2) per iteration; refuse
+    # pathological inputs rather than stalling the (single-threaded) caller
+    if mol.n_atoms > 300:
+        return None
     return depict_svg(mol, width=width, height=height,
                       highlight_atoms=highlight_atoms)

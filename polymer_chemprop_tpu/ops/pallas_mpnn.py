@@ -1375,8 +1375,12 @@ def bond_message_step_pallas(message: jnp.ndarray,
     Hp = ((H + LANE - 1) // LANE) * LANE
     msg_p = jnp.pad(message, ((0, 0), (0, Hp - H))) if Hp != H else message
     msg_sorted = permute_rows(msg_p, aux_arrays["perm"], aux_arrays["rank"])
-    z_sorted = _band_op(msg_sorted, aux_arrays["w_sorted"],
-                        aux_arrays["dst_sorted"], aux_arrays["rs"])
+    tile_b = msg_sorted.shape[0] // int(aux_arrays["rs"].shape[0])
+    chunk = BAND_CHUNK if tile_b == 512 else 512
+    z_sorted = _chunked_cols(
+        lambda m: _band_op(m, aux_arrays["w_sorted"],
+                           aux_arrays["dst_sorted"], aux_arrays["rs"]),
+        msg_sorted, chunk=chunk)
     m_new = permute_rows(z_sorted, aux_arrays["rev_rank"],
                          aux_arrays["rev_rank_inv"])
     return m_new[:, :H] if Hp != H else m_new

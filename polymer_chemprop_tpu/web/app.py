@@ -150,6 +150,9 @@ def make_handler(state: AppState):
                 # 2D-layout engine (chem/depict.py)
                 q = urllib.parse.parse_qs(parsed.query)
                 smiles = q.get("smiles", [""])[0]
+                if len(smiles) > 1000:
+                    self._send("smiles too long", 400, ctype="text/plain")
+                    return
                 try:
                     w = int(q.get("w", ["320"])[0])
                     h = int(q.get("h", ["240"])[0])

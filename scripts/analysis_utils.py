@@ -136,8 +136,17 @@ def cmd_depict(args):
     os.makedirs(args.save_dir, exist_ok=True)
     with open(args.data_path) as fh:
         reader = csv.reader(fh)
-        next(reader)
-        rows = [r[0] for r in reader]
+        first = next(reader, None)
+        if first is None:
+            print("empty CSV")
+            return
+        rows = [r[0] for r in reader if r]
+        # keep a headerless file's first molecule (a header cell never
+        # parses as SMILES-ish: it has no atoms we recognise)
+        from polymer_chemprop_tpu.chem.smiles import parse_smiles
+        if first and parse_smiles(first[0].split("|")[0],
+                                  strict=False) is not None:
+            rows.insert(0, first[0])
     if args.max_mols:
         rows = rows[:args.max_mols]
     n_ok = 0
