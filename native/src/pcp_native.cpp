@@ -1039,8 +1039,51 @@ void normalize_chirality(Mol& m, const SemOrder& sem) {
   }
 }
 
+// RDKit MolOps::cleanUp equivalent for nitrogen (chem/mol.py
+// _cleanup_hypervalent_nitrogen): hypervalent neutral N written as nitro
+// N(=O)=O / N-oxide n=O / azide N=N=N is charge-separated the way RDKit
+// sanitization does ([N+](=O)[O-], [n+][O-], N=[N+]=[N-]).
+void cleanup_hypervalent_nitrogen(Mol& m) {
+  for (int ai = 0; ai < (int)m.atoms.size(); ai++) {
+    Atom& at = m.atoms[ai];
+    if (at.z != 7 || at.charge != 0) continue;
+    double bos = 0.0;
+    for (int bi : m.adj[ai])
+      bos += m.bonds[bi].order == ORDER_AROMATIC ? 1.5 : m.bonds[bi].order;
+    if (at.explicit_h > 0) bos += at.explicit_h;
+    if (bos <= 3.0) continue;
+    bool done = false;
+    for (int bi : m.adj[ai]) {
+      Bond& b = m.bonds[bi];
+      int oi = m.other(bi, ai);
+      Atom& o = m.atoms[oi];
+      if (b.order == ORDER_DOUBLE && o.z == 8 && o.charge == 0 &&
+          m.adj[oi].size() == 1) {
+        b.order = ORDER_SINGLE;
+        o.charge = -1;
+        at.charge = 1;
+        done = true;
+        break;
+      }
+    }
+    if (done) continue;
+    for (int bi : m.adj[ai]) {
+      Bond& b = m.bonds[bi];
+      int oi = m.other(bi, ai);
+      Atom& o = m.atoms[oi];
+      if (b.order == ORDER_DOUBLE && o.z == 7 && o.charge == 0 &&
+          m.adj[oi].size() == 1) {
+        o.charge = -1;
+        at.charge = 1;
+        break;
+      }
+    }
+  }
+}
+
 bool perceive(Mol& m, bool keep_h = false) {
   if (!keep_h) fold_explicit_h(m);
+  cleanup_hypervalent_nitrogen(m);
   perceive_rings(m);
   perceive_aromaticity(m);
   bool ok = kekulize(m);

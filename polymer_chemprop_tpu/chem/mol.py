@@ -179,6 +179,7 @@ class Molecule:
 
     # ----------------------------------------------------------- perception
     def perceive(self, strict: bool = True) -> "Molecule":
+        self._cleanup_hypervalent_nitrogen()
         self._perceive_rings()
         self._perceive_aromaticity()
         self._kekulize(strict=strict)
@@ -191,6 +192,51 @@ class Molecule:
         from .stereo import assign_stereochemistry
         assign_stereochemistry(self)
         return self
+
+    def _cleanup_hypervalent_nitrogen(self) -> None:
+        """RDKit ``MolOps::cleanUp`` equivalent for nitrogen.
+
+        SMILES written with hypervalent neutral N — nitro ``N(=O)=O``,
+        N-oxide ``n=O`` / ``N(=O)`` with 4 bonds, azide ``N=N=N`` — are
+        normalized to the charge-separated forms RDKit produces on
+        sanitization (``[N+](=O)[O-]``, ``[n+][O-]``, ``N=[N+]=[N-]``).
+        The reference featurizer sees the sanitized charges
+        (featurization.py:190-211 one-hots GetFormalCharge), so parity
+        requires the same normalization here."""
+        for atom in self.atoms:
+            if atom.atomic_num != 7 or atom.formal_charge != 0:
+                continue
+            bos = 0.0
+            for b in self.atom_bonds(atom.idx):
+                bos += 1.5 if b.order == AROMATIC else b.order
+            bos += atom.explicit_hs or 0
+            if bos <= 3:
+                continue
+            # prefer separating a terminal =O (nitro / N-oxide): the
+            # double bond becomes single and O takes the negative charge
+            done = False
+            for b in self.atom_bonds(atom.idx):
+                o = self.atoms[b.other(atom.idx)]
+                if (b.order == DOUBLE and o.atomic_num == 8
+                        and o.formal_charge == 0
+                        and len(self._adj[o.idx]) == 1):
+                    b.order = SINGLE
+                    o.formal_charge = -1
+                    atom.formal_charge = 1
+                    done = True
+                    break
+            if done:
+                continue
+            # azide-style: keep the double bond, move charges
+            # (N=N=N -> N=[N+]=[N-])
+            for b in self.atom_bonds(atom.idx):
+                o = self.atoms[b.other(atom.idx)]
+                if (b.order == DOUBLE and o.atomic_num == 7
+                        and o.formal_charge == 0
+                        and len(self._adj[o.idx]) == 1):
+                    o.formal_charge = -1
+                    atom.formal_charge = 1
+                    break
 
     # ring membership: an edge is in a ring iff it is not a bridge.
     def _perceive_rings(self) -> None:
@@ -266,6 +312,67 @@ class Molecule:
                     if bb is not None:
                         covered.add(bb.idx)
         return rings
+
+    def symm_sssr(self) -> List[List[int]]:
+        """Symmetrized SSSR (RDKit ``GetSymmSSSR`` semantics).
+
+        The plain SSSR drops symmetry-equivalent rings (bicyclo[2.2.2]octane
+        keeps 2 of its 3 six-rings); RDKit's RingInfo — which backs the
+        RingCount/ring-class descriptors and the SMARTS R/r primitives —
+        re-adds every ring that is a *smallest* cycle through some ring
+        bond.  We therefore collect all distinct minimum-length cycles
+        through each ring bond (ties included)."""
+        rings: List[List[int]] = []
+        seen = set()
+        for b in self.bonds:
+            if not b.in_ring:
+                continue
+            for ring in self._all_shortest_cycles_through(b):
+                key = frozenset(ring)
+                if key not in seen:
+                    seen.add(key)
+                    rings.append(ring)
+        return rings
+
+    def _all_shortest_cycles_through(self, bond: Bond) -> List[List[int]]:
+        """All minimum-length cycles containing ``bond`` (BFS over ring
+        bonds from a1 to a2 avoiding the bond itself, keeping every
+        shortest predecessor)."""
+        from collections import deque
+        src, dst = bond.a1, bond.a2
+        dist = {src: 0}
+        preds: Dict[int, List[int]] = {src: []}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            if u == dst:
+                break
+            for nb in self.atom_bonds(u):
+                if nb.idx == bond.idx or not nb.in_ring:
+                    continue
+                v = nb.other(u)
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    preds[v] = [u]
+                    q.append(v)
+                elif dist[v] == dist[u] + 1:
+                    preds[v].append(u)
+        if dst not in dist:
+            return []
+        out: List[List[int]] = []
+
+        def walk(u, path):
+            if u == src:
+                out.append(list(reversed(path)))
+                return
+            for p in preds[u]:
+                if p in path:
+                    continue
+                path.append(p)
+                walk(p, path)
+                path.pop()
+        walk(dst, [dst])
+        return out
 
     def _shortest_cycle_through(self, bond: Bond) -> Optional[List[int]]:
         from collections import deque
