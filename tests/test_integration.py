@@ -674,6 +674,18 @@ class TestGoldenScores:
         # reference-stream init: measured 0.8296 (+2.7%) at seed 0
         assert abs(mean - 0.807828) / 0.807828 < DELTA
 
+    def test_regression_rdkit_live_generator_golden(self, tmp_path):
+        """Same golden as above but with the rdkit_2d_normalized features
+        computed LIVE by the standalone descriptor engine instead of the
+        precomputed --features_path file (the reference needs
+        descriptastorus installed for this; features_generators.py:
+        115-133). Measured 0.8361 (+3.5%) at seed 0."""
+        cfg = train_cfg(str(tmp_path), epochs=10, num_folds=3,
+                        features_generator=["rdkit_2d_normalized"],
+                        no_features_scaling=True)
+        mean, _ = cross_validate(cfg)
+        assert abs(mean - 0.807828) / 0.807828 < DELTA
+
     def test_svm_golden(self, tmp_path):
         from polymer_chemprop_tpu.sklearn_train import SklearnTrainConfig, run_sklearn
         cfg = SklearnTrainConfig(
@@ -785,6 +797,19 @@ class TestGoldenScores:
                         no_features_scaling=True)
         mean, _ = cross_validate(cfg)
         assert abs(mean - 0.659145) / 0.659145 < DELTA  # measured +2.8%
+
+    def test_classification_rdkit_live_generator_golden(self, tmp_path):
+        """classification/rdkit golden via the LIVE rdkit_2d_normalized
+        generator (no --features_path). Measured 0.6756 (+2.5%) at
+        seed 0."""
+        cfg = train_cfg(str(tmp_path),
+                        data_path=os.path.join(DATA, "classification.csv"),
+                        dataset_type="classification", epochs=10,
+                        num_folds=3,
+                        features_generator=["rdkit_2d_normalized"],
+                        no_features_scaling=True)
+        mean, _ = cross_validate(cfg)
+        assert abs(mean - 0.659145) / 0.659145 < DELTA
 
     def test_classification_morgan_golden(self, tmp_path):
         cfg = train_cfg(str(tmp_path),
