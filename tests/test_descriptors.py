@@ -28,7 +28,7 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 
 # columns with known approximate status: {name: minimum rank correlation}
 WEAK_COLUMNS = {
-    "BertzCT": 0.95,            # symmetry-class entropy approximation
+    "BertzCT": 0.995,           # connection-entropy formulation, near-exact
     "HallKierAlpha": 0.98,      # hybridization-table edge cases
     "Kappa3": 0.97,
     "BalabanJ": 0.99,
