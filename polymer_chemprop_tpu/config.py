@@ -157,9 +157,16 @@ class TrainConfig:
     # count exceeds one chip's sweet spot. None = auto (on for multi-device
     # runs whose bond envelope exceeds ~2x the single-chip optimum),
     # --graph_parallel to force (raises if the config is unsupported),
-    # --no_graph_parallel to disable. Supported: single-molecule-position
-    # regression/classification without extra features/descriptors,
-    # dropout 0, directed bond messages.
+    # --no_graph_parallel to disable. Supported: regression/classification/
+    # multiclass incl. dropout, multi-molecule positions, extra molecule
+    # features and atom descriptors; excluded: features_only (nothing to
+    # shard) and atom_messages/undirected (different aggregation operator).
+    graph_parallel_dp: int = 1               # data-parallel replicas
+    # composed with graph_parallel on a 2D (dp, ep) mesh: each replica
+    # edge-partitions its own batch over ep; total devices = dp x ep.
+    # On multi-host runs dp maps to hosts (DCN) and ep to in-host ICI.
+    graph_parallel_overlap: bool = True      # overlapped strip halo
+    # exchange (compute/communication overlap; row-exact vs unoverlapped)
     use_pallas: Optional[bool] = None        # fused band kernel for message
     # passing: None = auto (on whenever a TPU backend is attached; the
     # loader falls back to the XLA segment-sum path on CPU)

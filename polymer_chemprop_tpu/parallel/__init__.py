@@ -18,13 +18,20 @@ from .multihost import (global_batch_from_local, initialize_multihost,
 from .mesh import make_mesh
 from .gspmd import graph_shardings, make_gspmd_train_step
 from .partition import (build_edge_shards, build_edge_shards_halo,
+                        build_edge_shards_halo_dp,
+                        halo_strip_width,
+                        make_halo_dp_train_step,
                         make_halo_train_step,
                         build_edge_shards_halo_band,
                         make_edge_parallel_forward_halo_band,
                         make_edge_parallel_forward,
-                        make_edge_parallel_forward_halo)
+                        make_edge_parallel_forward_halo,
+                        make_edge_parallel_forward_halo_overlap)
 
 __all__ = ["build_edge_shards", "build_edge_shards_halo",
+           "build_edge_shards_halo_dp", "halo_strip_width",
+           "make_halo_dp_train_step",
+           "make_edge_parallel_forward_halo_overlap",
            "global_batch_from_local", "initialize_multihost",
            "make_hybrid_mesh", "process_batch_indices",
            "make_edge_parallel_forward_halo", "make_halo_train_step", "build_edge_shards_halo_band", "make_edge_parallel_forward_halo_band", "graph_shardings", "make_dp_train_step", "make_gspmd_train_step",

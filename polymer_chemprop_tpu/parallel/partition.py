@@ -124,7 +124,8 @@ def make_edge_parallel_forward(cfg: EncoderConfig, mesh: Mesh,
 # ---------------------------------------------------------------------------
 
 def build_edge_shards_halo(arrays: Dict[str, np.ndarray], n_shards: int,
-                           atom_window: int = None
+                           atom_window: int = None,
+                           atom_descriptors: np.ndarray = None
                            ) -> Tuple[Dict[str, np.ndarray],
                                       Dict[str, np.ndarray]]:
     """Host-side partitioner for the halo-exchange forward.
@@ -265,6 +266,21 @@ def build_edge_shards_halo(arrays: Dict[str, np.ndarray], n_shards: int,
     sharded["off_next"] = np.clip(np.array(
         [int(Aw + o[s] - o[s + 1]) for s in range(n_shards - 1)] + [Aw],
         np.int64), 0, Aw).astype(np.int32)
+
+    if atom_descriptors is not None:
+        D = atom_descriptors.shape[1]
+        d_win = np.zeros((n_shards, Aw, D), atom_descriptors.dtype)
+        for s in range(n_shards):
+            lo, hi = int(o[s]), min(int(o[s]) + Aw, A)
+            d_win[s, :hi - lo] = atom_descriptors[lo:hi]
+        sharded["atom_desc_win"] = d_win
+
+    # real (unpadded) window extents, for the overlapped strip exchange:
+    # rows >= ext are pure padding and carry no bond contributions
+    ext = np.clip(hi_atom - o, 0, Aw).astype(np.int32)
+    sharded["ext"] = ext
+    sharded["ext_prev"] = np.concatenate([[0], ext[:-1]]).astype(np.int32)
+    sharded["ext_next"] = np.concatenate([ext[1:], [0]]).astype(np.int32)
 
     replicated = {k: arrays[k] for k in ("degree_of_polym", "mol_mask")}
     return sharded, replicated
@@ -528,3 +544,350 @@ def make_edge_parallel_forward_halo_band(cfg: EncoderConfig, mesh: Mesh,
                         out_specs=P(),
                         check_vma=False)
     return jax.jit(smapped)
+
+
+# ---------------------------------------------------------------------------
+# overlapped halo exchange: strip-width ppermute issued before the interior
+# aggregation so XLA's scheduler can run the collective concurrently with
+# the bulk compute (docs/kernels.md "overlap projection", BASELINE.md:35-36)
+# ---------------------------------------------------------------------------
+
+def halo_strip_width(sharded: Dict[str, np.ndarray]) -> int:
+    """Static strip width for the overlapped halo exchange: the widest
+    window overlap across shards (host-side ints, so the resulting jit
+    signature is shape-stable)."""
+    Aw = int(sharded["f_atoms_win"].shape[-2])
+    off_prev = np.asarray(sharded["off_prev"]).reshape(-1)
+    off_next = np.asarray(sharded["off_next"]).reshape(-1)
+    ext = np.asarray(sharded["ext"]).reshape(-1)
+    ext_prev = np.asarray(sharded["ext_prev"]).reshape(-1)
+    # rows consumed from the prev neighbour: [off_prev, ext_prev)
+    w_prev = int(np.maximum(ext_prev - off_prev, 0).max()) if ext.size else 0
+    # rows consumed from the next neighbour: [0, ext_self - (Aw-off_next))
+    w_next = int(np.maximum(ext - (Aw - off_next), 0).max()) if ext.size else 0
+    sw = max(w_prev, w_next, 1)
+    sw = min((sw + 7) // 8 * 8, Aw)
+    return max(sw, 8)
+
+
+def _make_halo_combine_overlap(mesh: Mesh, axis: str, Aw: int, sw: int):
+    """Overlapped combine: only the two boundary STRIPS travel over ICI
+    (2*sw rows instead of the whole Aw window), and the ppermute's
+    operand (partial_strip) is available before the interior aggregation
+    runs, so the collective overlaps the bulk compute."""
+    n = mesh.shape[axis]
+    fwd_perm = [(i, i + 1) for i in range(n - 1)]   # s receives from s-1
+    bwd_perm = [(i + 1, i) for i in range(n - 1)]   # s receives from s+1
+
+    def combine(partial_interior, partial_strip, off_prev, off_next,
+                ext, ext_prev):
+        # the END strip is anchored at the REAL extent (rows >= ext are
+        # window padding with no contributions), the BEGIN strip at row 0
+        start = jnp.maximum(ext - sw, 0)
+        send_next = jax.lax.dynamic_slice_in_dim(partial_strip, start, sw)
+        send_prev = jax.lax.slice_in_dim(partial_strip, 0, sw)
+        from_prev_strip = jax.lax.ppermute(send_next, axis, fwd_perm)
+        from_next_strip = jax.lax.ppermute(send_prev, axis, bwd_perm)
+        partial = partial_interior + partial_strip
+        zeros = jnp.zeros_like(partial)
+        from_prev = jax.lax.dynamic_update_slice_in_dim(
+            zeros, from_prev_strip, jnp.maximum(ext_prev - sw, 0), 0)
+        from_next = jax.lax.dynamic_update_slice_in_dim(
+            zeros, from_next_strip, 0, 0)
+        prev_pad = jnp.concatenate([from_prev, zeros], axis=0)
+        shifted_prev = jax.lax.dynamic_slice_in_dim(prev_pad, off_prev, Aw)
+        next_pad = jnp.concatenate([zeros, from_next], axis=0)
+        shifted_next = jax.lax.dynamic_slice_in_dim(next_pad, off_next, Aw)
+        return partial + shifted_prev + shifted_next
+
+    return combine
+
+
+def make_edge_parallel_forward_halo_overlap(cfg: EncoderConfig, mesh: Mesh,
+                                            strip_width: int,
+                                            axis: str = "ep"):
+    """:func:`make_edge_parallel_forward_halo` with the overlapped strip
+    exchange. Row-exact vs the unoverlapped forward: every window row is
+    accumulated by exactly one of the two segment-sums (interior rows by
+    the interior sum, strip rows by the strip sum), so no float
+    reassociation is introduced."""
+    act = get_activation(cfg.activation)
+
+    def build(Aw):
+        combine = _make_halo_combine_overlap(mesh, axis, Aw, strip_width)
+
+        def aggregate(message, sh, off_prev, off_next):
+            dst = sh["b2dst_local"]
+            ext = sh["ext"].reshape(())
+            ext_prev = sh["ext_prev"].reshape(())
+            in_strip = ((dst < strip_width)
+                        | (dst >= ext - strip_width)).astype(message.dtype)
+            w = sh["w_bonds"]
+            partial_strip = weighted_segment_sum(
+                message, w * in_strip, dst, Aw)
+            partial_interior = weighted_segment_sum(
+                message, w * (1.0 - in_strip), dst, Aw)
+            return combine(partial_interior, partial_strip,
+                           off_prev, off_next, ext, ext_prev)
+        return aggregate
+
+    def local_forward(params, sharded, replicated):
+        sh = jax.tree_util.tree_map(lambda x: x[0], sharded)
+        Aw = sh["f_atoms_win"].shape[0]
+        aggregate = build(Aw)
+        off_prev = sh["off_prev"].reshape(())
+        off_next = sh["off_next"].reshape(())
+        bmask = sh["bond_mask"][:, None]
+        inputs = linear(params["W_i"], sh["f_bonds"])
+        message = act(inputs)
+        for _ in range(cfg.depth - 1):
+            a_win = aggregate(message, sh, off_prev, off_next)
+            m_new = a_win[sh["b2a_local"]] * bmask \
+                - message[sh["b2revb_local"]]
+            message = act(inputs + linear(params["W_h"], m_new))
+        a_win = aggregate(message, sh, off_prev, off_next)
+        a_input = jnp.concatenate([sh["f_atoms_win"], a_win], axis=1)
+        atom_hiddens = act(linear(params["W_o"], a_input))
+        own_w = sh["w_atoms_win"] * sh["own_mask"]
+        num_mols = replicated["degree_of_polym"].shape[0]
+        wsum = jax.lax.psum(
+            weighted_segment_sum(atom_hiddens, own_w, sh["a2mol_win"],
+                                 num_mols), axis)
+        if cfg.aggregation == "mean":
+            denom = jax.lax.psum(
+                jax.ops.segment_sum(own_w, sh["a2mol_win"],
+                                    num_segments=num_mols), axis)
+            out = wsum / jnp.maximum(denom, 1e-12)[:, None]
+            out = jnp.where(denom[:, None] > 0, out, 0.0)
+        elif cfg.aggregation == "sum":
+            out = wsum
+        else:
+            out = wsum / cfg.aggregation_norm
+        return out * replicated["degree_of_polym"][:, None]
+
+    smapped = shard_map(local_forward, mesh=mesh,
+                        in_specs=(P(), P(axis), P()),
+                        out_specs=P(),
+                        check_vma=False)
+    return jax.jit(smapped)
+
+
+# ---------------------------------------------------------------------------
+# GP x DP: a 2D (dp, ep) mesh — each data-parallel replica edge-partitions
+# its own batch over its ep row; gradients psum over both axes
+# ---------------------------------------------------------------------------
+
+def build_edge_shards_halo_dp(arrays_list, n_ep: int, atom_window: int,
+                              atom_descriptors_list=None):
+    """Partition one batch per dp replica and stack along a leading dp
+    axis: sharded leaves become (n_dp, n_ep, ...), replicated leaves
+    (n_dp, ...). All replicas must share the loader's padding envelopes
+    (the trainer's fixed ``atom_window`` guarantees it).
+
+    For multi-molecule datapoints pass each replica's entry as a LIST of
+    per-position array dicts; the result is then a tuple of per-position
+    (sharded, replicated) stacks matching make_halo_dp_train_step's
+    multi-position signature."""
+    multi = isinstance(arrays_list[0], (list, tuple))
+    if not multi:
+        arrays_list = [[a] for a in arrays_list]
+    n_pos = len(arrays_list[0])
+    out_sh, out_rep = [], []
+    for pos in range(n_pos):
+        shs, reps = [], []
+        for d, arrays in enumerate(arrays_list):
+            ad = (atom_descriptors_list[d]
+                  if atom_descriptors_list is not None and pos == 0
+                  else None)
+            sh, rep = build_edge_shards_halo(arrays[pos], n_ep,
+                                             atom_window=atom_window,
+                                             atom_descriptors=ad)
+            shs.append(sh)
+            reps.append(rep)
+        out_sh.append({k: np.stack([s[k] for s in shs]) for k in shs[0]})
+        out_rep.append({k: np.stack([r[k] for r in reps])
+                        for k in reps[0]})
+    if not multi:
+        return out_sh[0], out_rep[0]
+    return tuple(out_sh), tuple(out_rep)
+
+def _encoder_local_halo(mcfg, mesh, ep_axis, overlap, strip_width,
+                        dropout_rngs):
+    """Per-shard encoder body shared by the 2D train step: handles the
+    (un)overlapped halo aggregation, per-shard dropout streams, and the
+    optional windowed atom-descriptor head."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = mcfg.encoder
+    act = get_activation(cfg.activation)
+
+    def run(enc_params, sh, rep, rng):
+        Aw = sh["f_atoms_win"].shape[0]
+        off_prev = sh["off_prev"].reshape(())
+        off_next = sh["off_next"].reshape(())
+        bmask = sh["bond_mask"][:, None]
+        if overlap:
+            sw = strip_width
+            combine2 = _make_halo_combine_overlap(mesh, ep_axis, Aw, sw)
+            ext = sh["ext"].reshape(())
+            ext_prev = sh["ext_prev"].reshape(())
+
+            def aggregate(message):
+                dst = sh["b2dst_local"]
+                in_strip = ((dst < sw)
+                            | (dst >= ext - sw)).astype(message.dtype)
+                w = sh["w_bonds"]
+                ps = weighted_segment_sum(message, w * in_strip, dst, Aw)
+                pi = weighted_segment_sum(message, w * (1.0 - in_strip),
+                                          dst, Aw)
+                return combine2(pi, ps, off_prev, off_next, ext, ext_prev)
+        else:
+            combine1 = _make_halo_combine(mesh, ep_axis)
+
+            def aggregate(message):
+                partial = weighted_segment_sum(message, sh["w_bonds"],
+                                               sh["b2dst_local"], Aw)
+                return combine1(partial, off_prev, off_next)
+
+        keep = 1.0 - cfg.dropout if dropout_rngs else 1.0
+
+        def drop(x, key):
+            if not dropout_rngs or cfg.dropout <= 0.0:
+                return x
+            m = jax.random.bernoulli(key, keep, x.shape)
+            return jnp.where(m, x / keep, 0.0)
+
+        n_keys = cfg.depth + 2
+        rngs = (jax.random.split(rng.reshape(2), n_keys)
+                if dropout_rngs else [None] * n_keys)
+        inputs = linear(enc_params["W_i"], sh["f_bonds"])
+        message = act(inputs)
+        for layer in range(cfg.depth - 1):
+            a_win = aggregate(message)
+            m_new = a_win[sh["b2a_local"]] * bmask \
+                - message[sh["b2revb_local"]]
+            message = act(inputs + linear(enc_params["W_h"], m_new))
+            message = drop(message, rngs[layer])
+        a_win = aggregate(message)
+        a_input = jnp.concatenate([sh["f_atoms_win"], a_win], axis=1)
+        atom_hiddens = act(linear(enc_params["W_o"], a_input))
+        atom_hiddens = drop(atom_hiddens, rngs[cfg.depth - 1])
+        if "atom_desc_win" in sh:
+            atom_hiddens = jnp.concatenate(
+                [atom_hiddens, sh["atom_desc_win"]], axis=1)
+            atom_hiddens = linear(enc_params["W_d"], atom_hiddens)
+            atom_hiddens = drop(atom_hiddens, rngs[cfg.depth])
+        own_w = sh["w_atoms_win"] * sh["own_mask"]
+        num_mols = rep["degree_of_polym"].shape[0]
+        wsum = jax.lax.psum(
+            weighted_segment_sum(atom_hiddens, own_w, sh["a2mol_win"],
+                                 num_mols), ep_axis)
+        if cfg.aggregation == "mean":
+            denom = jax.lax.psum(
+                jax.ops.segment_sum(own_w, sh["a2mol_win"],
+                                    num_segments=num_mols), ep_axis)
+            out = wsum / jnp.maximum(denom, 1e-12)[:, None]
+            out = jnp.where(denom[:, None] > 0, out, 0.0)
+        elif cfg.aggregation == "sum":
+            out = wsum
+        else:
+            out = wsum / cfg.aggregation_norm
+        return out * rep["degree_of_polym"][:, None]
+
+    return run
+
+
+def make_halo_dp_train_step(mcfg, tx, mesh: Mesh,
+                            dp_axis: str = "dp", ep_axis: str = "ep",
+                            target_weights=None, overlap: bool = False,
+                            strip_width: int = None,
+                            dropout_rngs: bool = False,
+                            use_features: bool = False):
+    """Training step on a 2D (dp, ep) mesh: each dp replica runs the
+    halo-exchange edge-partitioned encoder over its ep row; the masked
+    loss is the exact GLOBAL mean over all replicas (the dp.py scheme:
+    one global denominator, so the update matches a single-device step on
+    the concatenated batches).
+
+    On a multi-host hybrid mesh (multihost.make_hybrid_mesh with
+    {"dp": n_hosts} outer / {"ep": local_devices} inner) the per-layer
+    halo ppermutes stay on ICI within a host and only the per-step
+    gradient psum crosses DCN.
+
+    Lifted restrictions (VERDICT r2 item 6): ``dropout_rngs`` threads a
+    (n_dp, n_ep, 2) per-shard key array through encoder+FFN dropout;
+    multi-molecule datapoints pass ``sharded``/``replicated`` as TUPLES
+    (one entry per molecule position, encoders applied per position and
+    embeddings concatenated, mpn_shared honoured); ``use_features``
+    appends the replicated (n_dp, M, F) extra-feature block before the
+    FFN; windowed atom descriptors ride the sharded dicts as
+    ``atom_desc_win`` (build_edge_shards_halo(atom_descriptors=...)).
+    ``features_only`` remains out of scope (no message passing to shard).
+    """
+    import optax
+
+    from ..models.model import apply_ffn
+    from ..train.loss import get_loss_fn, masked_loss  # noqa: F401
+
+    elementwise = get_loss_fn(mcfg.dataset_type, None)
+    run = _encoder_local_halo(mcfg, mesh, ep_axis, overlap, strip_width,
+                              dropout_rngs)
+    n_pos = mcfg.number_of_molecules
+
+    def encoder_local(params, sharded, replicated, rng):
+        embs = []
+        for i in range(n_pos):
+            pi = 0 if mcfg.mpn_shared else i
+            sh = jax.tree_util.tree_map(lambda x: x[0, 0], sharded[i])
+            rep = jax.tree_util.tree_map(lambda x: x[0], replicated[i])
+            embs.append(run(params["encoders"][pi], sh, rep,
+                            rng[0, 0] if dropout_rngs else rng))
+        emb = jnp.concatenate(embs, axis=1) if n_pos > 1 else embs[0]
+        return emb[None]        # restore the dp block axis
+
+    enc = shard_map(encoder_local, mesh=mesh,
+                    in_specs=(P(), P(dp_axis, ep_axis), P(dp_axis),
+                              P(dp_axis, ep_axis)),
+                    out_specs=P(dp_axis),
+                    check_vma=False)
+
+    def loss_fn(params, sharded, replicated, targets, mask, weights,
+                rngs, ffn_key, features):
+        embs = enc(params, sharded, replicated, rngs)
+        if use_features and features is not None:
+            embs = jnp.concatenate([embs, features], axis=2)
+        n_dp = embs.shape[0]
+
+        def head(emb, key):
+            return apply_ffn(params, emb, mcfg,
+                             dropout_key=key if dropout_rngs else None,
+                             deterministic=not dropout_rngs)
+        preds = jax.vmap(head)(embs, jax.random.split(ffn_key, n_dp))
+        if mcfg.dataset_type == "multiclass":
+            preds = preds.reshape(preds.shape[0], preds.shape[1], -1,
+                                  mcfg.multiclass_num_classes)
+        elem = elementwise(preds, targets)
+        x = elem * mask * weights
+        if target_weights is not None:
+            x = x * target_weights
+        # exact global masked mean over every replica's batch
+        return x.sum() / jnp.maximum(mask.sum(), 1.0)
+
+    @jax.jit
+    def step(params, opt_state, sharded, replicated, targets, mask,
+             weights, rngs, ffn_key, features=None):
+        if not isinstance(sharded, (tuple, list)):
+            sharded = (sharded,)
+            replicated = (replicated,)
+        sharded = tuple(sharded)
+        replicated = tuple(replicated)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, sharded, replicated, targets, mask, weights,
+            rngs, ffn_key, features)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        gnorm = optax.global_norm(grads)
+        return (optax.apply_updates(params, updates), opt_state, loss,
+                gnorm)
+
+    return step

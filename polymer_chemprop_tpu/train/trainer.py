@@ -317,20 +317,17 @@ def run_training(cfg: TrainConfig,
     gp_reasons = []
     if n_dev <= 1:
         gp_reasons.append("single device")
-    if cfg.number_of_molecules != 1:
-        gp_reasons.append("multi-molecule datapoints")
-    if cfg.dataset_type not in ("regression", "classification"):
+    if cfg.dataset_type not in ("regression", "classification",
+                                "multiclass"):
         gp_reasons.append(f"dataset_type {cfg.dataset_type}")
     if cfg.features_only:
-        gp_reasons.append("features_only")
-    if train_data.features_size():
-        gp_reasons.append("extra molecule features")
-    if train_data.atom_descriptors_size():
-        gp_reasons.append("atom descriptors")
-    if cfg.dropout > 0:
-        gp_reasons.append("dropout > 0 (the halo step is deterministic)")
+        gp_reasons.append("features_only (no message passing to shard)")
     if cfg.atom_messages or cfg.undirected:
         gp_reasons.append("atom_messages/undirected")
+    gp_dp = max(1, int(getattr(cfg, "graph_parallel_dp", 1)))
+    if gp_dp > 1 and n_dev % gp_dp:
+        gp_reasons.append(f"graph_parallel_dp {gp_dp} does not divide "
+                          f"device count {n_dev}")
     gp_supported = not gp_reasons
     gp_enabled = cfg.graph_parallel
     if gp_enabled and not gp_supported:
@@ -373,7 +370,9 @@ def run_training(cfg: TrainConfig,
     gp_enabled = bool(gp_enabled)
     if gp_enabled:
         info(f"Graph-parallel training: edge-partitioned halo exchange "
-             f"over {n_dev} devices")
+             f"over {n_dev} devices"
+             + (f" ({gp_dp} dp x {n_dev // gp_dp} ep)" if gp_dp > 1
+                else ""))
     elif dp_enabled:
         info(f"Data-parallel training over {n_dev} devices "
              f"(micro-batch {train_batch_size})")
@@ -482,12 +481,25 @@ def run_training(cfg: TrainConfig,
             cfg.spectra_target_floor if cfg.dataset_type == "spectra" else None)
         if gp_enabled:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            from ..parallel import (build_edge_shards_halo,
-                                    make_halo_train_step, make_mesh)
-            gp_mesh = make_mesh(n_dev, ("ep",))
-            gp_step = make_halo_train_step(model_cfg, tx, gp_mesh, "ep",
-                                           target_weights)
-            gp_shard = NamedSharding(gp_mesh, P("ep"))
+            from ..parallel import (build_edge_shards_halo_dp,
+                                    halo_strip_width,
+                                    make_halo_dp_train_step, make_mesh)
+            gp_n_ep = n_dev // gp_dp
+            gp_mesh = make_mesh(n_dev, ("dp", "ep"), shape=(gp_dp, gp_n_ep))
+            gp_dropout = cfg.dropout > 0
+            gp_use_features = bool(train_data.features_size())
+            gp_overlap = bool(getattr(cfg, "graph_parallel_overlap", True))
+            gp_steps = {}   # strip-width bucket -> compiled step
+
+            def gp_step_for(sw_bucket):
+                if sw_bucket not in gp_steps:
+                    gp_steps[sw_bucket] = make_halo_dp_train_step(
+                        model_cfg, tx, gp_mesh, target_weights=target_weights,
+                        overlap=gp_overlap, strip_width=sw_bucket,
+                        dropout_rngs=gp_dropout,
+                        use_features=gp_use_features)
+                return gp_steps[sw_bucket]
+            gp_shard = NamedSharding(gp_mesh, P("dp", "ep"))
             gp_fallback_warned = False
         if dp_enabled:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -583,34 +595,77 @@ def run_training(cfg: TrainConfig,
                     dp_flush()
             elif gp_enabled:
                 aw = (train_loader.estimated_pad_atoms() + 7) // 8 * 8
-                for batch in train_loader:
-                    d = batch_pytree(batch)
-                    arrays = d["graphs"][0]
+                gp_group = []
+
+                def gp_run_single(d):
+                    nonlocal params, opt_state, key
+                    key, sub = jax.random.split(key)
+                    p2, o2, loss, gnorm = train_step(params, opt_state,
+                                                     d, sub)
+                    params, opt_state = p2, o2
+                    losses.append(loss)
+                    gnorms.append(gnorm)
+
+                def gp_flush():
+                    nonlocal params, opt_state, key, gp_fallback_warned
+                    group = list(gp_group)
+                    gp_group.clear()
+                    n_real = len(group)
+                    while len(group) < gp_dp:
+                        group.append(_masked_out_copy(group[-1]))
                     try:
-                        sharded, replicated = build_edge_shards_halo(
-                            arrays, n_dev, atom_window=aw)
+                        sharded, replicated = build_edge_shards_halo_dp(
+                            [g["graphs"] for g in group], gp_n_ep,
+                            atom_window=aw,
+                            atom_descriptors_list=[
+                                g.get("atom_descriptors") for g in group]
+                            if group[0].get("atom_descriptors") is not None
+                            else None)
                     except ValueError as exc:
                         # a molecule spans 3+ edge shards (or the window
-                        # overflowed): run this batch single-device — the
+                        # overflowed): run the group single-device — the
                         # math is identical, only the sharding differs
                         if not gp_fallback_warned:
                             info(f"graph_parallel: single-device fallback "
                                  f"for an unshardable batch ({exc})")
                             gp_fallback_warned = True
-                        key, sub = jax.random.split(key)
-                        params, opt_state, loss, gnorm = train_step(
-                            params, opt_state, d, sub)
-                        losses.append(loss)
-                        gnorms.append(gnorm)
-                        continue
+                        for g in group[:n_real]:
+                            gp_run_single(g)
+                        return
+                    sw_list = (sharded if isinstance(sharded, tuple)
+                               else (sharded,))
+                    sw = max(halo_strip_width(sh) for sh in sw_list)
+                    bucket = 64
+                    while bucket < sw:
+                        bucket *= 2
+                    bucket = min(bucket, aw)
+                    step_fn = gp_step_for(bucket)
                     sharded = jax.tree_util.tree_map(
                         lambda x: jax.device_put(x, gp_shard), sharded)
-                    params, opt_state, loss, gnorm = gp_step(
+                    targets = np.stack([g["targets"] for g in group])
+                    mask = np.stack([g["mask"] for g in group])
+                    weights = np.stack([g["weights"] for g in group])
+                    feats = None
+                    if group[0].get("features") is not None:
+                        feats = np.stack([g["features"] for g in group])
+                    key, sub = jax.random.split(key)
+                    rngs = np.asarray(jax.random.split(
+                        sub, gp_dp * gp_n_ep)).reshape(gp_dp, gp_n_ep, 2)
+                    p2, o2, loss, gnorm = step_fn(
                         params, opt_state, sharded, replicated,
-                        jnp.asarray(d["targets"]), jnp.asarray(d["mask"]),
-                        jnp.asarray(d["weights"]))
+                        jnp.asarray(targets), jnp.asarray(mask),
+                        jnp.asarray(weights), jnp.asarray(rngs),
+                        sub, feats)
+                    params, opt_state = p2, o2
                     losses.append(loss)
                     gnorms.append(gnorm)
+
+                for batch in train_loader:
+                    gp_group.append(batch_pytree(batch))
+                    if len(gp_group) == gp_dp:
+                        gp_flush()
+                if gp_group:
+                    gp_flush()
             else:
                 for batch in train_loader:
                     key, sub = jax.random.split(key)

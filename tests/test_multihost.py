@@ -134,3 +134,106 @@ class TestMultihostDP:
         assert rc == 0, out[-3000:]
         oracle = _losses(out)
         np.testing.assert_allclose(l0, oracle, rtol=1e-6, atol=1e-8)
+
+
+WORKER_GP = r"""
+import os, sys
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                           + ("4" if nproc > 1 else "8"))
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, %(repo)r)
+from polymer_chemprop_tpu.parallel import (
+    initialize_multihost, make_hybrid_mesh,
+    build_edge_shards_halo_dp, halo_strip_width, make_halo_dp_train_step,
+)
+if nproc > 1:
+    initialize_multihost(f"localhost:{port}", nproc, pid)
+import numpy as np, jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from polymer_chemprop_tpu.features import mol2graph
+from polymer_chemprop_tpu.models import EncoderConfig, ModelConfig, init_model
+from polymer_chemprop_tpu.train.scheduler import build_optimizer, build_schedule
+
+# one batch per dp replica (= per host in the 2-process run); each host's
+# halo ppermutes stay inside its own 4-device ep row (ICI), only the
+# gradient psum crosses the host boundary (DCN)
+BATCHES = [["CCO", "c1ccccc1", "CCN", "CC(=O)O"],
+           ["c1ccncc1", "C1CCCCC1", "CC(C)O", "CCOCC"]]
+TGTS = [[0.0, 1.0, 2.0, 3.0], [4.0, 5.0, 6.0, 7.0]]
+pad = dict(pad_atoms=48, pad_bonds=96, pad_mols=4)
+arrays = [mol2graph(b, **pad).arrays() for b in BATCHES]
+
+enc = EncoderConfig(atom_fdim=133, bond_fdim=147, hidden_size=16, depth=2)
+mcfg = ModelConfig(encoder=enc, dataset_type="regression", num_tasks=1,
+                   ffn_hidden_size=16)
+params = init_model(jax.random.PRNGKey(0), mcfg)
+local_devices = 4 if nproc > 1 else 8
+n_ep = 4
+mesh = make_hybrid_mesh({"dp": nproc}, {"ep": local_devices}) \
+    if nproc > 1 else make_hybrid_mesh({"dp": 2}, {"ep": 4})
+
+sharded, replicated = build_edge_shards_halo_dp(arrays, n_ep,
+                                                atom_window=48)
+sw = halo_strip_width(sharded)
+spec = NamedSharding(mesh, P("dp", "ep"))
+sharded = jax.tree_util.tree_map(lambda x: jax.device_put(x, spec), sharded)
+targets = jnp.asarray(np.asarray(TGTS, np.float32)[..., None])
+mask = jnp.ones_like(targets); weights = jnp.ones_like(targets)
+schedule = build_schedule("constant", init_lr=1e-3, max_lr=1e-3,
+                          final_lr=1e-3, warmup_epochs=1, epochs=2,
+                          steps_per_epoch=1)
+tx = build_optimizer("adam", schedule)
+opt_state = tx.init(params)
+rep = NamedSharding(mesh, P())
+params = jax.device_put(params, rep); opt_state = jax.device_put(opt_state, rep)
+step = make_halo_dp_train_step(mcfg, tx, mesh, overlap=True, strip_width=sw)
+rngs = jnp.zeros((2, 4, 2), jnp.uint32)
+for i in range(2):
+    params, opt_state, loss, _g = step(params, opt_state, sharded,
+                                       replicated, targets, mask, weights,
+                                       rngs, jax.random.PRNGKey(0))
+    print(f"LOSS {i} {float(loss):.10f}", flush=True)
+"""
+
+
+class TestMultihostGraphParallel:
+    """Halo-exchange graph parallelism across a REAL 2-process cluster:
+    dp spans hosts (DCN), the halo ep row stays inside each host (ICI) —
+    the VERDICT r2 item 2b layout. Losses must agree across processes and
+    match a single-process 8-device oracle."""
+
+    def test_two_process_gp_dp_matches_single_process(self):
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs = []
+        for pid in range(2):
+            procs.append(subprocess.Popen(
+                [sys.executable, "-c", WORKER_GP % {"repo": REPO},
+                 str(pid), "2", str(port)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, cwd=REPO))
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=240)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+            outs.append((p.returncode, out))
+        for rc, out in outs:
+            assert rc == 0, out[-3000:]
+        l0, l1 = _losses(outs[0][1]), _losses(outs[1][1])
+        assert len(l0) == 2 and l0 == l1, (l0, l1)
+
+        p = subprocess.Popen(
+            [sys.executable, "-c", WORKER_GP % {"repo": REPO},
+             "0", "1", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO)
+        out, _ = p.communicate(timeout=240)
+        assert p.returncode == 0, out[-3000:]
+        np.testing.assert_allclose(l0, _losses(out), rtol=1e-6, atol=1e-8)
