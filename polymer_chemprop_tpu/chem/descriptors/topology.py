@@ -339,6 +339,7 @@ def ipc(mol: Molecule, avg: bool = False) -> float:
     if tot <= 0:
         return 0.0
     p = coeffs[coeffs > 0] / tot
+    p = p[p > 0]          # huge totals can underflow tiny coeffs to 0
     entropy = float(-(p * np.log2(p)).sum())
     if avg:
         return entropy

@@ -743,8 +743,13 @@ class TestGoldenScores:
 
     def test_svm_roundtrip_golden(self, tmp_path):
         mse = self._roundtrip_mse(tmp_path, {}, {}, sklearn_model="svm")
-        # measured +7.6% in MSE = +3.7% in RMSE terms; budget 12% MSE
-        assert abs(mse - 1.015136) / 1.015136 < 0.12
+        # ROOT-CAUSED 2026-08-21: the former +7.6% was residual Morgan-bit
+        # mismatch on hypervalent-N molecules (the fixture set is full of
+        # nitro compounds written N(=O)=O; RDKit sanitization charge-
+        # separates them and formal charge is a Morgan invariant). With
+        # the perception-level nitro cleanup the measured MSE is 1.0171
+        # (+0.2%) -- back on the reference's two-sided band.
+        assert abs(mse - 1.015136) / 1.015136 < DELTA
 
     def test_morgan_roundtrip_golden(self, tmp_path):
         mse = self._roundtrip_mse(
