@@ -144,6 +144,8 @@ def make_handler(state: AppState):
             path = parsed.path
             if path == "/":
                 self._send(_PAGE.format(body=self._home()))
+            elif path == "/sketcher":
+                self._send(_PAGE.format(body=_SKETCHER))
             elif path == "/depict":
                 # structure preview (the visual half of the reference's
                 # JSME editor page): server-side SVG from our own
@@ -234,6 +236,21 @@ def make_handler(state: AppState):
                     self.send_header("Set-Cookie",
                                      f"user_id={uid}; Path=/")
                     self.end_headers()
+                elif path == "/from_sketch":
+                    # the drawing half of the reference's JSME editor
+                    # (web/app/templates/ + bundled JSME assets): the
+                    # client-side canvas sketcher posts its atom/bond
+                    # graph here and the chemistry runtime turns it into
+                    # SMILES (validated by a full re-parse)
+                    length = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(length) or b"{}")
+                    try:
+                        smi = _sketch_to_smiles(payload)
+                        self._send(json.dumps({"smiles": smi}),
+                                   ctype="application/json")
+                    except Exception as e:
+                        self._send(json.dumps({"error": str(e)}), 400,
+                                   ctype="application/json")
                 elif path == "/validate_smiles":
                     # offline stand-in for the reference's JSME molecule
                     # editor (a bundled third-party JS asset that cannot
@@ -354,6 +371,10 @@ def make_handler(state: AppState):
  <textarea name=smiles rows=4 cols=60 placeholder="one SMILES per line"></textarea><br>
  <button>predict</button>
 </form>
+<p><a href=/sketcher><b>&#9998; molecule sketcher</b></a> — draw a
+structure instead of typing SMILES (the reference bundles the JSME
+editor for this; here it is an own canvas editor + the chemistry
+runtime's SMILES writer)</p>
 <form onsubmit="return false" style='background:#f0f4f8'>
  <b>Structure preview</b> (molecule or polymer ensemble string)<br>
  <input id=prev_smiles size=60
@@ -392,3 +413,166 @@ def chemprop_web() -> None:
     p.add_argument("--root", default=None)
     a = p.parse_args()
     run_web(a.host, a.port, a.root)
+
+
+def _sketch_to_smiles(payload: dict) -> str:
+    """Convert the sketcher's atom/bond graph to SMILES via the chemistry
+    runtime (perception + canonical-ish writer), validated by a re-parse."""
+    from ..chem import parse_smiles
+    from ..chem.mol import Atom, Molecule
+    from ..chem.periodic import SYMBOL_TO_NUM
+    from ..chem.write import write_smiles
+
+    atoms = payload.get("atoms", [])
+    bonds = payload.get("bonds", [])
+    if not atoms:
+        raise ValueError("empty structure")
+    if len(atoms) > 300:
+        raise ValueError("structure too large")
+    mol = Molecule()
+    for a in atoms:
+        el = str(a.get("el", "C"))
+        if el not in SYMBOL_TO_NUM:
+            raise ValueError(f"unknown element {el!r}")
+        mol.add_atom(Atom(atomic_num=SYMBOL_TO_NUM[el],
+                          formal_charge=int(a.get("charge", 0))))
+    for b in bonds:
+        i, j = int(b["a"]), int(b["b"])
+        order = int(b.get("order", 1))
+        if not (0 <= i < len(atoms) and 0 <= j < len(atoms)) or i == j:
+            raise ValueError("bad bond endpoints")
+        if order not in (1, 2, 3):
+            raise ValueError("bond order must be 1-3")
+        mol.add_bond(i, j, order)
+    mol.perceive(strict=False)
+    smi = write_smiles(mol)
+    if parse_smiles(smi, strict=False) is None:
+        raise ValueError("structure does not round-trip")
+    return smi
+
+
+_SKETCHER = """
+<p><a href=/>&larr; back</a></p>
+<h2>Molecule sketcher</h2>
+<p>Click empty canvas: add atom (bonded to the selected atom).
+Click atom: select; click another atom: add/cycle bond (1&rarr;2&rarr;3&rarr;none).
+Double-click atom: repaint with the current element. Right-click atom: delete.</p>
+<div>
+ <span id=palette></span>
+ &nbsp; charge <button onclick="chg(1)">+</button>
+ <button onclick="chg(-1)">&minus;</button>
+ &nbsp; <button onclick="clearAll()">clear</button>
+ <button onclick="toSmiles()"><b>&rarr; SMILES</b></button>
+</div>
+<canvas id=cv width=640 height=420
+ style="border:1px solid #999;background:#fff;margin-top:0.5em"></canvas>
+<p><input id=out size=70 readonly placeholder="SMILES appears here">
+ <button onclick="preview()">preview</button></p>
+<img id=sk_img alt=''>
+<script>
+const ELS = ["C","N","O","S","P","F","Cl","Br","I"];
+let el = "C", atoms = [], bonds = [], sel = -1;
+const cv = document.getElementById("cv"), cx = cv.getContext("2d");
+const pal = document.getElementById("palette");
+ELS.forEach(e => {
+  const b = document.createElement("button");
+  b.textContent = e; b.id = "el_" + e;
+  b.onclick = () => { el = e; paint(); };
+  pal.appendChild(b);
+});
+function hit(x, y) {
+  for (let i = 0; i < atoms.length; i++) {
+    const dx = atoms[i].x - x, dy = atoms[i].y - y;
+    if (dx * dx + dy * dy < 170) return i;
+  }
+  return -1;
+}
+function bondBetween(i, j) {
+  return bonds.findIndex(b => (b.a === i && b.b === j) ||
+                              (b.a === j && b.b === i));
+}
+cv.onclick = ev => {
+  const r = cv.getBoundingClientRect();
+  const x = ev.clientX - r.left, y = ev.clientY - r.top;
+  const i = hit(x, y);
+  if (i < 0) {
+    atoms.push({el: el, charge: 0, x: x, y: y});
+    if (sel >= 0) bonds.push({a: sel, b: atoms.length - 1, order: 1});
+    sel = atoms.length - 1;
+  } else if (sel < 0 || sel === i) {
+    sel = (sel === i) ? -1 : i;
+  } else {
+    const k = bondBetween(sel, i);
+    if (k < 0) bonds.push({a: sel, b: i, order: 1});
+    else if (bonds[k].order >= 3) bonds.splice(k, 1);
+    else bonds[k].order++;
+    sel = i;
+  }
+  paint();
+};
+cv.ondblclick = ev => {
+  const r = cv.getBoundingClientRect();
+  const i = hit(ev.clientX - r.left, ev.clientY - r.top);
+  if (i >= 0) { atoms[i].el = el; paint(); }
+};
+cv.oncontextmenu = ev => {
+  ev.preventDefault();
+  const r = cv.getBoundingClientRect();
+  const i = hit(ev.clientX - r.left, ev.clientY - r.top);
+  if (i < 0) return;
+  bonds = bonds.filter(b => b.a !== i && b.b !== i)
+               .map(b => ({a: b.a - (b.a > i), b: b.b - (b.b > i),
+                           order: b.order}));
+  atoms.splice(i, 1);
+  sel = -1;
+  paint();
+};
+function chg(d) { if (sel >= 0) { atoms[sel].charge += d; paint(); } }
+function clearAll() { atoms = []; bonds = []; sel = -1; paint(); }
+function paint() {
+  cx.clearRect(0, 0, cv.width, cv.height);
+  ELS.forEach(e => document.getElementById("el_" + e)
+    .style.background = (e === el) ? "#cde" : "");
+  bonds.forEach(b => {
+    const p = atoms[b.a], q = atoms[b.b];
+    const dx = q.x - p.x, dy = q.y - p.y, L = Math.hypot(dx, dy) || 1;
+    const ox = -dy / L * 3, oy = dx / L * 3;
+    for (let k = 0; k < b.order; k++) {
+      const off = (k - (b.order - 1) / 2) * 2;
+      cx.beginPath();
+      cx.moveTo(p.x + ox * off, p.y + oy * off);
+      cx.lineTo(q.x + ox * off, q.y + oy * off);
+      cx.strokeStyle = "#333"; cx.stroke();
+    }
+  });
+  atoms.forEach((a, i) => {
+    cx.beginPath();
+    cx.arc(a.x, a.y, 11, 0, 7);
+    cx.fillStyle = (i === sel) ? "#cde" : "#fff";
+    cx.fill(); cx.strokeStyle = (i === sel) ? "#06c" : "#999"; cx.stroke();
+    cx.fillStyle = "#000"; cx.textAlign = "center";
+    cx.textBaseline = "middle"; cx.font = "13px sans-serif";
+    const c = a.charge ? (a.charge > 0 ? "+" : "\\u2212")
+                         .repeat(Math.abs(a.charge)) : "";
+    cx.fillText(a.el + c, a.x, a.y);
+  });
+}
+async function toSmiles() {
+  const resp = await fetch("/from_sketch", {method: "POST",
+    headers: {"Content-Type": "application/json"},
+    body: JSON.stringify({atoms: atoms.map(a => ({el: a.el,
+                                                  charge: a.charge})),
+                          bonds: bonds})});
+  const d = await resp.json();
+  document.getElementById("out").value = d.smiles || ("error: " + d.error);
+  if (d.smiles) preview();
+}
+function preview() {
+  const s = document.getElementById("out").value;
+  if (s && !s.startsWith("error"))
+    document.getElementById("sk_img").src =
+      "/depict?w=340&h=240&smiles=" + encodeURIComponent(s);
+}
+paint();
+</script>
+"""

@@ -200,3 +200,63 @@ class TestDepictEndpoint:
         assert st == 200 and b"<svg" in data
         st, _ = _get(port, "/depict?smiles=bogus(((")
         assert st == 400
+
+
+def _post_json(port, path, payload):
+    body = json.dumps(payload).encode()
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("POST", path, body=body,
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, data
+
+
+class TestSketcher:
+    """The drawing input modality (reference: bundled JSME editor): the
+    canvas sketcher page + the /from_sketch graph->SMILES endpoint."""
+
+    def test_sketch_to_smiles(self, server):
+        port, _ = server
+        # phenol drawn in kekule form: perception aromatizes it
+        graph = {"atoms": [{"el": "C"}] * 6 + [{"el": "O"}],
+                 "bonds": [{"a": 0, "b": 1, "order": 2},
+                           {"a": 1, "b": 2, "order": 1},
+                           {"a": 2, "b": 3, "order": 2},
+                           {"a": 3, "b": 4, "order": 1},
+                           {"a": 4, "b": 5, "order": 2},
+                           {"a": 5, "b": 0, "order": 1},
+                           {"a": 0, "b": 6, "order": 1}]}
+        status, body = _post_json(port, "/from_sketch", graph)
+        assert status == 200
+        smi = json.loads(body)["smiles"]
+        from polymer_chemprop_tpu.chem import parse_smiles
+        mol = parse_smiles(smi)
+        assert mol is not None and mol.n_atoms == 7
+        assert sum(a.is_aromatic for a in mol.atoms) == 6
+
+    def test_sketch_charged(self, server):
+        port, _ = server
+        graph = {"atoms": [{"el": "N", "charge": 1},
+                           {"el": "O", "charge": -1},
+                           {"el": "O"}, {"el": "C"}],
+                 "bonds": [{"a": 0, "b": 1, "order": 1},
+                           {"a": 0, "b": 2, "order": 2},
+                           {"a": 0, "b": 3, "order": 1}]}
+        status, body = _post_json(port, "/from_sketch", graph)
+        assert status == 200 and b"[N+]" in body and b"[O-]" in body
+
+    def test_sketch_errors(self, server):
+        port, _ = server
+        status, _ = _post_json(port, "/from_sketch",
+                               {"atoms": [], "bonds": []})
+        assert status == 400
+        status, _ = _post_json(port, "/from_sketch",
+                               {"atoms": [{"el": "Xx"}], "bonds": []})
+        assert status == 400
+
+    def test_sketcher_page(self, server):
+        port, _ = server
+        status, body = _get(port, "/sketcher")
+        assert status == 200 and b"canvas" in body
