@@ -391,9 +391,17 @@ def run_training(cfg: TrainConfig,
     predict_step = make_predict_step(model_cfg)
 
     save_dir = cfg.save_dir
-    steps_per_epoch = max(1, len(train_loader))
+    # reference quirk kept for parity: the Noam schedule is built with
+    # steps_per_epoch = train_size // batch_size (utils.py:501 FLOOR on
+    # args.train_data_size) even though the trainer steps once per actual
+    # batch (ceil) — with a ragged last batch the LR therefore decays
+    # slightly faster than the nominal horizon and clamps at final_lr.
+    # This was the round-2 "better-side spectra drift": the spectra
+    # fixtures are the only golden configs whose train split (160) is not
+    # divisible by the batch size (50) (docs/parity.md).
+    steps_per_epoch = max(1, len(train_data) // cfg.batch_size)
     if dp_enabled:
-        steps_per_epoch = max(1, _math.ceil(len(train_loader) / n_dev))
+        steps_per_epoch = max(1, _math.ceil(steps_per_epoch / n_dev))
 
     # ---- ensemble loop (reference run_training.py:208-436) ----------------
     best_params_all = []
@@ -475,10 +483,16 @@ def run_training(cfg: TrainConfig,
 
         target_weights = (jnp.asarray(cfg.target_weights, jnp.float32)
                           if cfg.target_weights is not None else None)
+        # NOTE: the reference's spectra TRAINING loss runs with
+        # threshold=None (train.py:70-71 passes only preds/targets/mask;
+        # utils.py:362 returns the bare sid_loss) — the
+        # spectra_target_floor applies to TARGET normalization only
+        # (run_training.py:155). Passing the floor into the loss was the
+        # round-2 source of the better-side spectra drift (docs/parity.md
+        # "better-side drift, root-caused").
         train_step = make_train_step(
             model_cfg, tx, target_weights,
-            cfg.alternative_loss_function,
-            cfg.spectra_target_floor if cfg.dataset_type == "spectra" else None)
+            cfg.alternative_loss_function, None)
         if gp_enabled:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from ..parallel import (build_edge_shards_halo_dp,
@@ -508,9 +522,7 @@ def run_training(cfg: TrainConfig,
             dp_mesh = make_mesh(n_dev, ("dp",))
             dp_step = make_dp_train_step(
                 model_cfg, tx, dp_mesh, "dp", target_weights,
-                cfg.alternative_loss_function,
-                cfg.spectra_target_floor
-                if cfg.dataset_type == "spectra" else None)
+                cfg.alternative_loss_function, None)
             dp_shard = NamedSharding(dp_mesh, P("dp"))
             dp_replicate = NamedSharding(dp_mesh, P())
             params = jax.device_put(params, dp_replicate)

@@ -755,8 +755,9 @@ class TestGoldenScores:
         mse = self._roundtrip_mse(
             tmp_path, {"features_generator": ["morgan"]},
             {"features_generator": ["morgan"]})
-        # RDKit bit-identical morgan + reference-stream init: measured
-        # 3.1002 (-19.0%, BETTER)
+        # 10-sample estimator noise (docs/parity.md "better-side
+        # drift" item 2): measured 2.9218 (-23.6%) at seed 0, within the
+        # estimator's demonstrated +/-24% LOO / +/-12% init-seed spread
         assert mse < 3.825271 * (1 + DELTA)
 
     def test_rdkit_roundtrip_golden(self, tmp_path):
@@ -858,8 +859,9 @@ class TestGoldenScores:
                                                     "spectra_features.csv")],
                         epochs=10, num_folds=3)
         mean, _ = cross_validate(cfg)
-        # without features measured -12.2% (better); assert <= +5%
-        assert mean < 0.001737553 * (1 + DELTA)
+        # Noam floor quirk replicated (docs/parity.md "better-side
+        # drift"): measured 0.0017785 (+2.4%) at seed 0
+        assert abs(mean - 0.001737553) / 0.001737553 < DELTA
 
     def test_spectra_scaffold_golden(self, tmp_path):
         # exact reference config (test_integration.py:543-554)
@@ -871,8 +873,8 @@ class TestGoldenScores:
                                                     "spectra_features.csv")],
                         epochs=10, num_folds=3)
         mean, _ = cross_validate(cfg)
-        # reference-stream init: measured 0.001239 (-6.4%, BETTER)
-        assert mean < 0.001323930 * (1 + DELTA)
+        # Noam floor quirk replicated: measured 0.001261 (-4.8%)
+        assert abs(mean - 0.001323930) / 0.001323930 < DELTA
 
     def test_spectra_exclusions_golden(self, tmp_path):
         # exact reference config (test_integration.py:556-568)
@@ -885,8 +887,8 @@ class TestGoldenScores:
                                                     "spectra_features.csv")],
                         epochs=10, num_folds=3)
         mean, _ = cross_validate(cfg)
-        # measured -5.4% (better) with the near-exact config; <= +5%
-        assert mean < 0.001617717 * (1 + DELTA)
+        # Noam floor quirk replicated: measured 0.0015872 (-1.9%)
+        assert abs(mean - 0.001617717) / 0.001617717 < DELTA
 
     def test_spectra_phase_golden(self, tmp_path):
         # exact reference config (test_integration.py:569-583):
@@ -902,9 +904,9 @@ class TestGoldenScores:
                             DATA, "spectra_mask.csv"),
                         epochs=10, num_folds=3)
         mean, _ = cross_validate(cfg)
-        # measured 0.001213 (-14.6%, BETTER); the near-exact variant
-        # (features_path + no scaling) matched to -0.25%. Assert <= +5%.
-        assert mean < 0.001421315 * (1 + DELTA)
+        # Noam floor quirk replicated (the former -14.6%/-8.2% BETTER
+        # was the more-correct ceil schedule): measured 0.0014299 (+0.6%)
+        assert abs(mean - 0.001421315) / 0.001421315 < DELTA
 
 
 class TestInterpret:
