@@ -422,6 +422,35 @@ class TestTrainerGraphParallel:
         assert abs(scores[True] - scores[False]) / abs(scores[False]) \
             < 1e-3, scores
 
+    def test_trainer_gp_polymer(self, tmp_path):
+        """The fork's headline feature THROUGH graph parallelism: weighted
+        copolymer ensemble graphs (non-unit w_bonds/w_atoms, Xn) edge-
+        partitioned over the 8-device mesh must match the single-device
+        trainer (deterministic batches, dropout 0)."""
+        import os
+        rng = np.random.default_rng(3)
+        rows = ["smiles,target"]
+        mons = ["[*:1]CC[*:2]", "[*:1]c1ccc([*:2])cc1", "[*:1]CO[*:2]",
+                "[*:1]C(C)C[*:2]"]
+        for _ in range(48):
+            m1, m2 = rng.choice(mons, 2, replace=False)
+            m2 = m2.replace("[*:1]", "[*:3]").replace("[*:2]", "[*:4]")
+            w = rng.choice([0.25, 0.5, 0.75])
+            st = (f"{m1}.{m2}|{w}|{1 - w}|"
+                  f"<1-3:0.5:0.5<2-4:0.5:0.5~{rng.integers(2, 100)}")
+            rows.append(f'"{st}",{rng.normal():.4f}')
+        csv_path = tmp_path / "poly.csv"
+        csv_path.write_text("\n".join(rows))
+        scores = {}
+        for gp in (False, True):
+            scores[gp] = self._run(
+                tmp_path, data_path=str(csv_path), polymer=True,
+                batch_size=12, max_data_size=None,
+                save_dir=str(tmp_path / f"poly_{gp}"), graph_parallel=gp)
+        assert np.isfinite(scores[True])
+        assert abs(scores[True] - scores[False]) / abs(scores[False]) \
+            < 1e-3, scores
+
     def test_unsupported_config_raises(self, tmp_path):
         with pytest.raises(ValueError, match="graph_parallel"):
             self._run(tmp_path, save_dir=str(tmp_path / "bad"),
