@@ -360,8 +360,16 @@ class Molecule:
         if dst not in dist:
             return []
         out: List[List[int]] = []
+        # dense polycyclic cages (fullerene-like) can have combinatorially
+        # many shortest paths through a bond; cap the enumeration and fall
+        # back to a single shortest cycle beyond it (plain-SSSR behavior)
+        MAX_CYCLES = 256
+        steps = [0]
 
         def walk(u, path):
+            if len(out) >= MAX_CYCLES or steps[0] > 100_000:
+                return
+            steps[0] += 1
             if u == src:
                 out.append(list(reversed(path)))
                 return
@@ -372,6 +380,9 @@ class Molecule:
                 walk(p, path)
                 path.pop()
         walk(dst, [dst])
+        if not out:
+            one = self._shortest_cycle_through(bond)
+            return [one] if one else []
         return out
 
     def _shortest_cycle_through(self, bond: Bond) -> Optional[List[int]]:

@@ -236,7 +236,32 @@ def rdkit_2d_normalized_features_generator(mol: Mol) -> np.ndarray:
     raw = rdkit2d_raw(_as_mol(mol))
     x, y, off = _cdf_table()
     out = np.empty(200, dtype=np.float64)
+    clamped = 0
     for k in range(200):
-        out[k] = np.interp(raw[k], x[off[k]:off[k + 1]],
-                           y[off[k]:off[k + 1]])
+        xs = x[off[k]:off[k + 1]]
+        if raw[k] < xs[0] or raw[k] > xs[-1]:
+            clamped += 1
+        out[k] = np.interp(raw[k], xs, y[off[k]:off[k + 1]])
+    _note_clamp(clamped)
     return out
+
+
+_CLAMP_STATS = [0, 0]  # molecules seen, clamped columns
+_CLAMP_WARNED = [False]
+
+
+def _note_clamp(clamped: int) -> None:
+    """One-time coverage warning: the CDF table is fit on ~1,020 fixture
+    molecules; chemistry far outside that range clamps to the nearest
+    observed quantile (advisor r3, generators.py:231)."""
+    _CLAMP_STATS[0] += 1
+    _CLAMP_STATS[1] += clamped
+    if (not _CLAMP_WARNED[0] and _CLAMP_STATS[0] >= 100
+            and _CLAMP_STATS[1] / (200 * _CLAMP_STATS[0]) > 0.20):
+        _CLAMP_WARNED[0] = True
+        import warnings
+        warnings.warn(
+            "rdkit_2d_normalized: >20% of descriptor values fall outside "
+            "the fitted CDF range and clamp to the nearest observed "
+            "quantile — this chemistry is poorly covered by the vendored "
+            "normalization table (docs/parity.md)")

@@ -402,6 +402,10 @@ def run_training(cfg: TrainConfig,
     steps_per_epoch = max(1, len(train_data) // cfg.batch_size)
     if dp_enabled:
         steps_per_epoch = max(1, _math.ceil(steps_per_epoch / n_dev))
+    elif gp_enabled and gp_dp > 1:
+        # each gp optimizer step consumes gp_dp loader batches (one per dp
+        # row of the 2D mesh) — shrink the Noam horizon to the steps taken
+        steps_per_epoch = max(1, _math.ceil(steps_per_epoch / gp_dp))
 
     # ---- ensemble loop (reference run_training.py:208-436) ----------------
     best_params_all = []
@@ -506,6 +510,10 @@ def run_training(cfg: TrainConfig,
             gp_steps = {}   # strip-width bucket -> compiled step
 
             def gp_step_for(sw_bucket):
+                if not gp_overlap:
+                    # strip_width is unused by the unoverlapped step —
+                    # collapse all buckets onto one compiled executable
+                    sw_bucket = 64
                 if sw_bucket not in gp_steps:
                     gp_steps[sw_bucket] = make_halo_dp_train_step(
                         model_cfg, tx, gp_mesh, target_weights=target_weights,

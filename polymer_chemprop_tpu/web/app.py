@@ -242,9 +242,12 @@ def make_handler(state: AppState):
                     # client-side canvas sketcher posts its atom/bond
                     # graph here and the chemistry runtime turns it into
                     # SMILES (validated by a full re-parse)
-                    length = int(self.headers.get("Content-Length", 0))
-                    payload = json.loads(self.rfile.read(length) or b"{}")
                     try:
+                        length = int(self.headers.get("Content-Length", 0))
+                        if length > 1_000_000:
+                            raise ValueError("sketch payload too large")
+                        payload = json.loads(
+                            self.rfile.read(length) or b"{}")
                         smi = _sketch_to_smiles(payload)
                         self._send(json.dumps({"smiles": smi}),
                                    ctype="application/json")
