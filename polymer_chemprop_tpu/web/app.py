@@ -459,11 +459,16 @@ _SKETCHER = """
 <h2>Molecule sketcher</h2>
 <p>Click empty canvas: add atom (bonded to the selected atom).
 Click atom: select; click another atom: add/cycle bond (1&rarr;2&rarr;3&rarr;none).
-Double-click atom: repaint with the current element. Right-click atom: delete.</p>
+Double-click atom: repaint with the current element. Right-click atom: delete.
+Ring buttons arm a template: the next click stamps the ring (on an atom:
+attaches it there, like JSME's template toolbar).</p>
 <div>
  <span id=palette></span>
  &nbsp; charge <button onclick="chg(1)">+</button>
  <button onclick="chg(-1)">&minus;</button>
+ &nbsp; <button id=tpl6 onclick="armRing(6)">&#x2B21; 6-ring</button>
+ <button id=tpl5 onclick="armRing(5)">&#x2B20; 5-ring</button>
+ <label><input type=checkbox id=arom checked> aromatic</label>
  &nbsp; <button onclick="clearAll()">clear</button>
  <button onclick="toSmiles()"><b>&rarr; SMILES</b></button>
 </div>
@@ -494,10 +499,42 @@ function bondBetween(i, j) {
   return bonds.findIndex(b => (b.a === i && b.b === j) ||
                               (b.a === j && b.b === i));
 }
+let ringN = 0;   // armed ring-template size (0 = off)
+function armRing(n) { ringN = (ringN === n) ? 0 : n; paint(); }
+function stampRing(n, i, x, y) {
+  // aromatic 6-rings stamp kekulized (alternating single/double); the
+  // server's perception re-aromatizes them (reference: JSME templates)
+  const arom = document.getElementById("arom").checked && n === 6;
+  const R = 34, base = atoms.length;
+  let cxr = x, cyr = y, start = -Math.PI / 2;
+  if (i >= 0) {
+    // attach at atom i: ring center sits R beyond i, away from the
+    // molecule centroid so the new ring points outward
+    let mx = 0, my = 0;
+    atoms.forEach(a => { mx += a.x; my += a.y; });
+    mx /= atoms.length; my /= atoms.length;
+    let dx = atoms[i].x - mx, dy = atoms[i].y - my;
+    const L = Math.hypot(dx, dy);
+    if (L < 1) { dx = 0; dy = -1; } else { dx /= L; dy /= L; }
+    cxr = atoms[i].x + dx * (R + 22); cyr = atoms[i].y + dy * (R + 22);
+    start = Math.atan2(atoms[i].y - cyr, atoms[i].x - cxr) + Math.PI / n;
+  }
+  for (let k = 0; k < n; k++) {
+    const th = start + 2 * Math.PI * k / n;
+    atoms.push({el: "C", charge: 0,
+                x: cxr + R * Math.cos(th), y: cyr + R * Math.sin(th)});
+  }
+  for (let k = 0; k < n; k++)
+    bonds.push({a: base + k, b: base + (k + 1) % n,
+                order: arom ? (k % 2 ? 2 : 1) : 1});
+  if (i >= 0) bonds.push({a: i, b: base, order: 1});
+  sel = -1; ringN = 0;
+}
 cv.onclick = ev => {
   const r = cv.getBoundingClientRect();
   const x = ev.clientX - r.left, y = ev.clientY - r.top;
   const i = hit(x, y);
+  if (ringN) { stampRing(ringN, i, x, y); paint(); return; }
   if (i < 0) {
     atoms.push({el: el, charge: 0, x: x, y: y});
     if (sel >= 0) bonds.push({a: sel, b: atoms.length - 1, order: 1});
@@ -536,6 +573,10 @@ function paint() {
   cx.clearRect(0, 0, cv.width, cv.height);
   ELS.forEach(e => document.getElementById("el_" + e)
     .style.background = (e === el) ? "#cde" : "");
+  document.getElementById("tpl6").style.background =
+    (ringN === 6) ? "#cde" : "";
+  document.getElementById("tpl5").style.background =
+    (ringN === 5) ? "#cde" : "";
   bonds.forEach(b => {
     const p = atoms[b.a], q = atoms[b.b];
     const dx = q.x - p.x, dy = q.y - p.y, L = Math.hypot(dx, dy) || 1;

@@ -260,3 +260,35 @@ class TestSketcher:
         port, _ = server
         status, body = _get(port, "/sketcher")
         assert status == 200 and b"canvas" in body
+        # ring-template toolbar (reference: JSME template buttons)
+        assert b"armRing" in body and b"stampRing" in body
+        assert b"aromatic" in body
+
+    def test_template_stamped_benzene(self, server):
+        """Exactly the graph the 6-ring template stamps with the aromatic
+        toggle on (stampRing in the sketcher JS: alternating kekulized
+        bond orders) must come back as benzene."""
+        port, _ = server
+        graph = {"atoms": [{"el": "C", "charge": 0}] * 6,
+                 "bonds": [{"a": k, "b": (k + 1) % 6,
+                            "order": 2 if k % 2 else 1}
+                           for k in range(6)]}
+        status, body = _post_json(port, "/from_sketch", graph)
+        assert status == 200
+        assert json.loads(body)["smiles"] == "c1ccccc1"
+
+    def test_template_attached_ring(self, server):
+        """Template stamped onto an existing atom: phenyl attached via a
+        single bond (the sketcher's attach-at-atom branch)."""
+        port, _ = server
+        graph = {"atoms": [{"el": "C", "charge": 0}] * 7,
+                 "bonds": [{"a": 1 + k, "b": 1 + (k + 1) % 6,
+                            "order": 2 if k % 2 else 1}
+                           for k in range(6)]
+                 + [{"a": 0, "b": 1, "order": 1}]}
+        status, body = _post_json(port, "/from_sketch", graph)
+        assert status == 200
+        from polymer_chemprop_tpu.chem import parse_smiles
+        mol = parse_smiles(json.loads(body)["smiles"])
+        assert mol.n_atoms == 7
+        assert sum(a.is_aromatic for a in mol.atoms) == 6
