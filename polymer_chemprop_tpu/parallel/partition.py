@@ -733,20 +733,19 @@ def _encoder_local_halo(mcfg, mesh, ep_axis, overlap, strip_width,
             ext = sh["ext"].reshape(())
             ext_prev = sh["ext_prev"].reshape(())
 
-            def aggregate(message):
+            def aggregate(vals, w):
                 dst = sh["b2dst_local"]
                 in_strip = ((dst < sw)
-                            | (dst >= ext - sw)).astype(message.dtype)
-                w = sh["w_bonds"]
-                ps = weighted_segment_sum(message, w * in_strip, dst, Aw)
-                pi = weighted_segment_sum(message, w * (1.0 - in_strip),
+                            | (dst >= ext - sw)).astype(vals.dtype)
+                ps = weighted_segment_sum(vals, w * in_strip, dst, Aw)
+                pi = weighted_segment_sum(vals, w * (1.0 - in_strip),
                                           dst, Aw)
                 return combine2(pi, ps, off_prev, off_next, ext, ext_prev)
         else:
             combine1 = _make_halo_combine(mesh, ep_axis)
 
-            def aggregate(message):
-                partial = weighted_segment_sum(message, sh["w_bonds"],
+            def aggregate(vals, w):
+                partial = weighted_segment_sum(vals, w,
                                                sh["b2dst_local"], Aw)
                 return combine1(partial, off_prev, off_next)
 
@@ -761,15 +760,45 @@ def _encoder_local_halo(mcfg, mesh, ep_axis, overlap, strip_width,
         n_keys = cfg.depth + 2
         rngs = (jax.random.split(rng.reshape(2), n_keys)
                 if dropout_rngs else [None] * n_keys)
-        inputs = linear(enc_params["W_i"], sh["f_bonds"])
-        message = act(inputs)
-        for layer in range(cfg.depth - 1):
-            a_win = aggregate(message)
-            m_new = a_win[sh["b2a_local"]] * bmask \
-                - message[sh["b2revb_local"]]
-            message = act(inputs + linear(enc_params["W_h"], m_new))
-            message = drop(message, rngs[layer])
-        a_win = aggregate(message)
+        if cfg.atom_messages:
+            # atom-message mode on the halo mesh: messages live on the
+            # ATOM WINDOW (Aw, H); the neighbour sum is the same bond-
+            # keyed segment sum + halo combine as the bond path, applied
+            # to the src-gathered window messages (encoder.py:117-183
+            # single-device semantics, incl. the loop-invariant hoist of
+            # W_h's bond-feature half and the own-bond-weight readout)
+            H = cfg.hidden_size
+            f_bonds_b = sh["f_bonds"][:, -cfg.bond_fdim:]
+            inputs = linear(enc_params["W_i"], sh["f_atoms_win"])
+            message = act(inputs)
+            wh = enc_params["W_h"]
+            w1 = {"w": wh["w"][:H]}
+            w2 = {"w": wh["w"][H:]}
+            if "b" in wh:
+                w2 = dict(w2, b=wh["b"])
+            ones = sh["bond_mask"]
+            const = linear(w2, aggregate(f_bonds_b, ones))
+            for layer in range(cfg.depth - 1):
+                m = aggregate(message[sh["b2a_local"]] * bmask, ones)
+                message = act(inputs + linear(w1, m) + const)
+                message = drop(message, rngs[layer])
+            a_win = aggregate(message[sh["b2a_local"]] * bmask,
+                              sh["w_bonds"])
+        else:
+            inputs = linear(enc_params["W_i"], sh["f_bonds"])
+            message = act(inputs)
+            for layer in range(cfg.depth - 1):
+                if cfg.undirected:
+                    # rev pairs are co-located per shard, so the
+                    # symmetrization stays local (mpn.py:101-102)
+                    message = (message
+                               + message[sh["b2revb_local"]]) / 2
+                a_win = aggregate(message, sh["w_bonds"])
+                m_new = a_win[sh["b2a_local"]] * bmask \
+                    - message[sh["b2revb_local"]]
+                message = act(inputs + linear(enc_params["W_h"], m_new))
+                message = drop(message, rngs[layer])
+            a_win = aggregate(message, sh["w_bonds"])
         a_input = jnp.concatenate([sh["f_atoms_win"], a_win], axis=1)
         atom_hiddens = act(linear(enc_params["W_o"], a_input))
         atom_hiddens = drop(atom_hiddens, rngs[cfg.depth - 1])

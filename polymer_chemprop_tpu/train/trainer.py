@@ -322,8 +322,6 @@ def run_training(cfg: TrainConfig,
         gp_reasons.append(f"dataset_type {cfg.dataset_type}")
     if cfg.features_only:
         gp_reasons.append("features_only (no message passing to shard)")
-    if cfg.atom_messages or cfg.undirected:
-        gp_reasons.append("atom_messages/undirected")
     gp_dp = max(1, int(getattr(cfg, "graph_parallel_dp", 1)))
     if gp_dp > 1 and n_dev % gp_dp:
         gp_reasons.append(f"graph_parallel_dp {gp_dp} does not divide "

@@ -454,7 +454,33 @@ class TestTrainerGraphParallel:
     def test_unsupported_config_raises(self, tmp_path):
         with pytest.raises(ValueError, match="graph_parallel"):
             self._run(tmp_path, save_dir=str(tmp_path / "bad"),
-                      graph_parallel=True, atom_messages=True)
+                      graph_parallel=True, features_only=True,
+                      features_generator=["morgan"])
+
+    def test_trainer_gp_atom_messages(self, tmp_path):
+        """VERDICT r3 item 3: atom_messages rides graph parallelism —
+        window-resident atom messages with the same bond-keyed halo
+        combine; must match the single-device trainer exactly."""
+        scores = {}
+        for gp in (False, True):
+            scores[gp] = self._run(
+                tmp_path, save_dir=str(tmp_path / f"gpam_{gp}"),
+                graph_parallel=gp, atom_messages=True)
+        assert np.isfinite(scores[True])
+        assert abs(scores[True] - scores[False]) / abs(scores[False]) \
+            < 1e-3, scores
+
+    def test_trainer_gp_undirected(self, tmp_path):
+        """undirected symmetrization is shard-local (rev pairs are
+        co-located), so GP must match single-device."""
+        scores = {}
+        for gp in (False, True):
+            scores[gp] = self._run(
+                tmp_path, save_dir=str(tmp_path / f"gpu_{gp}"),
+                graph_parallel=gp, undirected=True)
+        assert np.isfinite(scores[True])
+        assert abs(scores[True] - scores[False]) / abs(scores[False]) \
+            < 1e-3, scores
 
     def test_trainer_gp_dropout_and_features(self, tmp_path):
         """VERDICT r2 item 6: dropout>0 and extra molecule features now
