@@ -19,7 +19,11 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <map>
+#include <memory>
+#include <mutex>
+#include <tuple>
 #include <set>
 #include <string>
 #include <thread>
@@ -1980,3 +1984,5 @@ int pcp_count_reaction_h(const char** smiles, int n, int* atoms_out,
 }
 
 }  // extern "C"
+
+#include "pcp_descriptors.inc"

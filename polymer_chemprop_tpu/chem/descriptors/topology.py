@@ -90,7 +90,10 @@ def _chi_from_deltas(mol: Molecule, deltas, order: int) -> float:
     for path in _paths_of_length(mol, order):
         prod = 1.0
         ok = True
-        for a in set(path):      # ring walks: each atom counted once
+        # ring walks: each atom counted once; SORTED so the product's
+        # rounding order is portable (the native port multiplies in the
+        # same order — tests/test_native.py bit-equality)
+        for a in sorted(set(path)):
             if deltas[a] <= 0:
                 ok = False
                 break
@@ -207,8 +210,17 @@ def balaban_j(mol: Molecule) -> float:
     if n < 2 or mol.n_bonds == 0:
         return 0.0
     d = _weighted_distances(mol)
-    finite = np.isfinite(d)
-    s = np.where(finite, d, 0.0).sum(axis=1)
+    # explicit left-to-right accumulation (numpy's pairwise summation is
+    # not portable to the native port's serial loop)
+    s = [0.0] * n
+    for i in range(n):
+        acc = 0.0
+        di = d[i]
+        for j in range(n):
+            v = di[j]
+            if v != float("inf"):
+                acc += v
+        s[i] = acc
     q = mol.n_bonds
     # cyclomatic number; count components so disconnected inputs (salts,
     # multi-fragment SMILES) do not make mu+1 vanish

@@ -215,13 +215,27 @@ def _cdf_table():
     return _CDF_TABLE
 
 
+def _rdkit2d_raw_any(mol: Mol) -> np.ndarray:
+    """Raw 200-descriptor vector: the C++ engine for SMILES input (~60x
+    the Python engine, bit-identical — tests/test_native.py), the Python
+    engine for Molecule objects or native parse failures."""
+    if isinstance(mol, str):
+        from .. import native_ext
+        if native_ext.rdkit2d_available():
+            vals, ok = native_ext.rdkit2d_batch_native([mol], n_threads=1)
+            if ok[0]:
+                return vals[0]
+    from ..chem.descriptors import rdkit2d_raw
+    return rdkit2d_raw(_as_mol(mol))
+
+
 @register_features_generator("rdkit_2d")
 def rdkit_2d_features_generator(mol: Mol) -> np.ndarray:
     """The 200 raw RDKit 2D descriptors, computed LIVE by the standalone
-    descriptor engine (chem/descriptors/) — the reference needs
+    descriptor engine (chem/descriptors/ + the native port in
+    native/src/pcp_descriptors.inc) — the reference needs
     descriptastorus+rdkit for this (features_generators.py:92-112)."""
-    from ..chem.descriptors import rdkit2d_raw
-    return rdkit2d_raw(_as_mol(mol))
+    return _rdkit2d_raw_any(mol)
 
 
 @register_features_generator("rdkit_2d_normalized")
@@ -232,8 +246,7 @@ def rdkit_2d_normalized_features_generator(mol: Mol) -> np.ndarray:
     interpolated from the vendored reference outputs (values outside the
     fitted range clamp to the nearest observed quantile — see
     docs/parity.md for the per-column validation status)."""
-    from ..chem.descriptors import rdkit2d_raw
-    raw = rdkit2d_raw(_as_mol(mol))
+    raw = _rdkit2d_raw_any(mol)
     x, y, off = _cdf_table()
     out = np.empty(200, dtype=np.float64)
     clamped = 0

@@ -95,6 +95,12 @@ def _load():
         lib.pcp_count_reaction_h.restype = ctypes.c_int
         lib.pcp_count_reaction_h.argtypes = (
             lib.pcp_count.argtypes + [ctypes.c_int] * 4)
+    if hasattr(lib, "pcp_rdkit2d_batch"):
+        lib.pcp_rdkit2d_batch.restype = ctypes.c_int
+        lib.pcp_rdkit2d_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_ubyte),
+        ]
     _LIB = lib
     return lib
 
@@ -141,6 +147,33 @@ def polymer_hydrogens_available() -> bool:
     """keep_h / add_h support for polymer ensemble strings."""
     lib = _load()
     return lib is not None and hasattr(lib, "pcp_featurize_polymer_batch_h")
+
+
+def rdkit2d_available() -> bool:
+    """Native 200-descriptor rdkit_2d engine (bit-identical to the
+    Python oracle in chem/descriptors/ — tests/test_native.py)."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "pcp_rdkit2d_batch")
+
+
+def rdkit2d_batch_native(smiles: List[str], n_threads: int = 2):
+    """Raw 200-column rdkit_2d descriptors for a SMILES batch.
+
+    Returns (values ndarray (n, 200) float64, ok ndarray (n,) bool);
+    rows with ok=False (parse failures) must fall back to the Python
+    engine. ~2.4k mol/s on 2 cores vs ~40 mol/s for the Python engine
+    (docs/parity.md)."""
+    import numpy as np
+    lib = _load()
+    n = len(smiles)
+    arr, _keep = _c_strings(smiles)
+    out = np.zeros((n, 200), dtype=np.float64)
+    ok = np.zeros(n, dtype=np.uint8)
+    lib.pcp_rdkit2d_batch(
+        arr, n, n_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    return out, ok.astype(bool)
 
 
 def _c_strings(smiles: List[str]):

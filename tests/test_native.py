@@ -631,3 +631,88 @@ def test_loader_native_bond_extras_parity():
                                 num_workers=1)
     with pytest.raises(ValueError, match="differs from extra bond"):
         list(loader)
+
+
+@pytest.mark.skipif(not getattr(native_ext, "rdkit2d_available",
+                                lambda: False)(),
+                    reason="native rdkit_2d engine not built")
+class TestRdkit2dNative:
+    """The C++ 200-descriptor rdkit_2d engine (native/src/
+    pcp_descriptors.inc) must be BIT-IDENTICAL to the Python oracle
+    (chem/descriptors/) on every fixture molecule — same algorithms,
+    same floating-point operation order (incl. CPython's Neumaier
+    sum()). Ipc alone is tolerance-compared: numpy's characteristic
+    polynomial rides LAPACK eigenvalues, the port Jacobi rotations."""
+
+    def _compare(self, smis):
+        import warnings
+
+        import numpy as np
+
+        from polymer_chemprop_tpu.chem import parse_smiles
+        from polymer_chemprop_tpu.chem.descriptors import (
+            RDKIT2D_NAMES,
+            rdkit2d_raw,
+        )
+        warnings.filterwarnings("ignore")
+        vals, ok = native_ext.rdkit2d_batch_native(smis, n_threads=2)
+        assert ok.all()
+        py = np.array([rdkit2d_raw(parse_smiles(s)) for s in smis])
+        ipc = RDKIT2D_NAMES.index("Ipc")
+        mism = []
+        for k in range(200):
+            if k == ipc:
+                rel = (np.abs(py[:, k] - vals[:, k])
+                       / np.maximum(np.abs(py[:, k]), 1e-12))
+                assert rel.max() < 1e-6, ("Ipc", rel.max())
+                continue
+            if not np.array_equal(py[:, k], vals[:, k]):
+                mism.append((RDKIT2D_NAMES[k],
+                             int((py[:, k] != vals[:, k]).sum())))
+        assert not mism, mism
+
+    def test_bit_identical_regression(self):
+        self._compare(_smiles("regression.csv", 120))
+
+    def test_bit_identical_classification(self):
+        self._compare(_smiles("classification.csv", 120))
+
+    def test_parse_failure_flagged(self):
+        vals, ok = native_ext.rdkit2d_batch_native(
+            ["CCO", "not_a_smiles((", "c1ccccc1"])
+        assert list(ok) == [True, False, True]
+        assert (vals[1] == 0).all()
+
+    def test_generator_uses_native(self):
+        """The rdkit_2d generators ride the native engine for string
+        input and stay identical to the Python engine."""
+        import warnings
+
+        import numpy as np
+
+        from polymer_chemprop_tpu.chem import parse_smiles
+        from polymer_chemprop_tpu.chem.descriptors import rdkit2d_raw
+        from polymer_chemprop_tpu.features.generators import (
+            get_features_generator,
+        )
+        warnings.filterwarnings("ignore")
+        g = get_features_generator("rdkit_2d")
+        gn = get_features_generator("rdkit_2d_normalized")
+        for s in _smiles("regression.csv", 5):
+            ref = rdkit2d_raw(parse_smiles(s))
+            got = g(s)
+            mask = np.arange(200) != 33  # Ipc column
+            assert np.array_equal(ref[mask], got[mask])
+            assert np.isfinite(gn(s)).all()
+
+    def test_throughput(self):
+        """The port must beat the Python engine by a wide margin (the
+        r3 verdict's floor is 2k mol/s on 4 threads of a full machine;
+        this smoke asserts a conservative 300 mol/s so CI boxes pass)."""
+        import time
+        smis = _smiles("regression.csv", 200)
+        t0 = time.time()
+        _vals, ok = native_ext.rdkit2d_batch_native(smis, n_threads=4)
+        dt = time.time() - t0
+        assert ok.all()
+        assert len(smis) / dt > 300, f"{len(smis) / dt:.0f} mol/s"
