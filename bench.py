@@ -161,6 +161,11 @@ def bench_tpu(pallas: bool = False, bf16: bool = False,
     edges_per_s = n_real_edges / dt
     kernel = ("pallas-band" if pallas else "xla-segment") + \
         ("+bf16" if bf16 else "") + ("+polymer" if polymer else "")
+    from polymer_chemprop_tpu.ops.pallas_mpnn import fallback_stats
+    fs = fallback_stats()
+    if pallas and fs["rev_fallback"]:
+        print(f"# band fallback: {fs['rev_fallback']}/{fs['batches']} "
+              f"batches lost the rev-fused layer", file=sys.stderr)
     return {
         "metric": "wD-MPNN train-step throughput (real directed edges/s, "
                   f"batch {BATCH_MOLS} mols, hidden {HIDDEN}, depth {DEPTH}, "

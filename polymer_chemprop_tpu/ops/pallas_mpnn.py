@@ -122,6 +122,22 @@ class SortedBondAux(NamedTuple):
     rs_rev: "np.ndarray | None" = None
 
 
+# running counts of band-layout decisions (VERDICT r3 item 8): when a
+# tile's same-src/same-dst span exceeds the kernel window EXT, the batch
+# silently loses the REV-FUSED layer (rs_rev=None -> srev-gather path).
+# The trainer/bench read these to surface the per-run fallback rate.
+FALLBACK_STATS = {"batches": 0, "rev_fallback": 0, "atom_fallback": 0}
+
+
+def fallback_stats() -> dict:
+    return dict(FALLBACK_STATS)
+
+
+def reset_fallback_stats() -> None:
+    for k in FALLBACK_STATS:
+        FALLBACK_STATS[k] = 0
+
+
 def build_sorted_aux(b2dst: np.ndarray, b2revb: np.ndarray,
                      w_bonds: np.ndarray,
                      num_atoms: "int | None" = None,
@@ -235,6 +251,11 @@ def build_sorted_aux(b2dst: np.ndarray, b2revb: np.ndarray,
             ra_arr[t] = start
         if ok:
             ra = ra_arr
+    FALLBACK_STATS["batches"] += 1
+    if rs_rev is None:
+        FALLBACK_STATS["rev_fallback"] += 1
+    if ra is None and num_atoms is not None:
+        FALLBACK_STATS["atom_fallback"] += 1
     return SortedBondAux(perm, rank, rev_rank, rev_rank_inv, srev, rs,
                          dst_sorted, w_sorted, ra, src_sorted, rs_rev)
 

@@ -792,6 +792,17 @@ def run_training(cfg: TrainConfig,
         with open(os.path.join(save_dir, "test_scores.json"), "w") as f:
             json.dump(ensemble_scores, f, indent=4, sort_keys=True)
 
+    # band-layout fallback accounting (VERDICT r3 item 8): batches whose
+    # molecule spans overflow the kernel window silently lose the
+    # rev-fused layer — surface the rate so it is never invisible
+    from ..ops.pallas_mpnn import fallback_stats
+    fs = fallback_stats()
+    if fs["batches"] and (fs["rev_fallback"] or fs["atom_fallback"]):
+        info(f"Pallas band layout: {fs['rev_fallback']}/{fs['batches']} "
+             f"batches fell back to the srev-gather path, "
+             f"{fs['atom_fallback']} lost the banded atom readout "
+             f"(molecule spans exceed the kernel window; docs/kernels.md)")
+
     return ensemble_scores
 
 

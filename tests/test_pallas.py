@@ -663,3 +663,41 @@ class TestChunkedCols:
                     assert widths == want, (tile, widths)
         finally:
             pm._band_op = orig
+
+
+class TestBandFallbackInstrumentation:
+    """VERDICT r3 item 8: the rev-fused band silently publishes rs_rev
+    only when every tile's molecule span fits the kernel window EXT; the
+    fallback decision is now counted (pallas_mpnn.FALLBACK_STATS) and
+    logged by the trainer/bench. A macrocycle of >EXT/2 atoms pins the
+    boundary: its ring closure puts same-atom bonds ~2*n_atoms apart in
+    dst-sorted order."""
+
+    def _aux_for(self, n_atoms):
+        from polymer_chemprop_tpu.features.batching import batch_graphs
+        from polymer_chemprop_tpu.features.config import (
+            FeaturizationConfig,
+        )
+        from polymer_chemprop_tpu.features.featurization import MolGraph
+        fcfg = FeaturizationConfig()
+        smi = "C1" + "C" * (n_atoms - 2) + "C1"
+        g = batch_graphs([MolGraph(smi, fcfg)], pad_bonds=1024,
+                         pad_atoms=512)
+        return g.arrays(pallas=True)["pallas_aux"]
+
+    def test_small_ring_keeps_rev_fused(self):
+        from polymer_chemprop_tpu.ops import pallas_mpnn as P
+        P.reset_fallback_stats()
+        aux = self._aux_for(100)
+        assert aux["rs_rev"] is not None
+        assert P.fallback_stats()["rev_fallback"] == 0
+
+    def test_giant_macrocycle_falls_back_and_counts(self):
+        from polymer_chemprop_tpu.ops import pallas_mpnn as P
+        P.reset_fallback_stats()
+        # 385-ring = 770 directed bonds > EXT(768): the ring-closure
+        # atom's incoming bonds span the whole sorted order
+        aux = self._aux_for(385)
+        assert aux.get("rs_rev") is None
+        fs = P.fallback_stats()
+        assert fs["batches"] == 1 and fs["rev_fallback"] == 1
