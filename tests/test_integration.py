@@ -730,18 +730,26 @@ class TestGoldenScores:
 
     def test_regression_roundtrip_golden(self, tmp_path):
         mse = self._roundtrip_mse(tmp_path, {}, {})
-        # measured 0.4806 (-14.4%) at seed 0; across init seeds the
-        # 10-sample MSE swings {-14.4%, +10.0%, -6.2%} (docs/parity.md
-        # "better-side drift" item 2)
+        # TWO-FRAMEWORK MEASUREMENT (r4, scripts/forensic_roundtrip_
+        # torch.py): a reference-equivalent TORCH trainer run through
+        # this exact protocol at the same seeds measures 0.5302 (-5.6%
+        # vs the pinned 0.561477) — the better-side landing is the
+        # protocol's, not this framework's. JAX measures 0.4806 at
+        # seed 0 (init-seed spread {-14.4%, +10.0%, -6.2%}).
         assert mse < 0.561477 * (1 + DELTA)
+        assert abs(mse - 0.5302) / 0.5302 < 0.35  # torch-replica anchor
 
     def test_rf_roundtrip_golden(self, tmp_path):
         mse = self._roundtrip_mse(tmp_path, {}, {},
                                   sklearn_model="random_forest")
-        # measured 0.6878 (-27.3%) at seed 0 with the r3 nitro-fixed
-        # bits: 10-sample estimator noise (docs/parity.md "better-side
-        # drift" item 2) on top of a modern-sklearn forest
+        # TWO-FRAMEWORK MEASUREMENT (r4): the reference sklearn_train
+        # formula applied DIRECTLY (outside our wrapper,
+        # scripts/forensic_roundtrip_torch.py roundtrip_rf) measures
+        # 0.6878 — bit-for-bit our value. The -27.3% vs the pinned
+        # 0.945589 is sklearn-version drift in the forest itself
+        # (reference CI pinned scikit-learn<=0.22), not this codebase.
         assert mse < 0.945589 * (1 + DELTA)
+        assert abs(mse - 0.6878) / 0.6878 < 0.05  # sklearn-direct anchor
 
     def test_svm_roundtrip_golden(self, tmp_path):
         mse = self._roundtrip_mse(tmp_path, {}, {}, sklearn_model="svm")
@@ -757,10 +765,13 @@ class TestGoldenScores:
         mse = self._roundtrip_mse(
             tmp_path, {"features_generator": ["morgan"]},
             {"features_generator": ["morgan"]})
-        # 10-sample estimator noise (docs/parity.md "better-side
-        # drift" item 2): measured 2.9218 (-23.6%) at seed 0, within the
-        # estimator's demonstrated +/-24% LOO / +/-12% init-seed spread
+        # TWO-FRAMEWORK MEASUREMENT (r4, scripts/forensic_roundtrip_
+        # torch.py): the reference-equivalent TORCH trainer through this
+        # protocol measures 2.9977 (-21.6% vs the pinned 3.825271) —
+        # within 3% of the JAX 2.9218 (-23.6%). Both frameworks land
+        # far below the pin; the pinned value is the 2021-CI outlier.
         assert mse < 3.825271 * (1 + DELTA)
+        assert abs(mse - 2.9977) / 2.9977 < 0.35  # torch-replica anchor
 
     def test_rdkit_roundtrip_golden(self, tmp_path):
         mse = self._roundtrip_mse(
