@@ -260,8 +260,11 @@ def apply_encoder(params: Dict,
             if not deterministic and cfg.dropout > 0:
                 message = pad_lane(dropout(message[:, :H], cfg.dropout,
                                            key_l, deterministic))
+        # keep the aggregation at the lane-padded width (columns >= H are
+        # identically zero): slicing here would put a (B, Hp) pad on the
+        # backward path; the padding rows of W_o below are zeroed instead
         a_message = atom_readout_sorted(message, aux, num_atoms,
-                                        cfg.hidden_size, prec,
+                                        Hp, prec,
                                         cfg.unit_bond_weights)
     else:
         inputs = linear(params["W_i"], f_bonds, cdt)
@@ -277,7 +280,15 @@ def apply_encoder(params: Dict,
         a_message = atom_readout(message, w_bonds, b2dst, num_atoms)
 
     a_input = jnp.concatenate([f_atoms, a_message], axis=1)
-    atom_hiddens = act(linear(params["W_o"], a_input, cdt))
+    wo = params["W_o"]
+    if a_message.shape[1] != cfg.hidden_size:
+        # lane-padded a_message: extend W_o with zero rows for the padded
+        # (identically-zero) columns — exact, and pad-free in the backward
+        wo = dict(wo)
+        wo["w"] = jnp.concatenate(
+            [wo["w"], jnp.zeros((a_message.shape[1] - cfg.hidden_size,
+                                 wo["w"].shape[1]), wo["w"].dtype)])
+    atom_hiddens = act(linear(wo, a_input, cdt))
     atom_hiddens = dropout(atom_hiddens, cfg.dropout, next(keys), deterministic)
 
     if atom_descriptors is not None:
