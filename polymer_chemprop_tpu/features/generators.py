@@ -259,6 +259,22 @@ def rdkit_2d_normalized_features_generator(mol: Mol) -> np.ndarray:
     return out
 
 
+def rdkit2d_normalize_batch(raw: np.ndarray) -> np.ndarray:
+    """CDF-normalize a (n, 200) batch of RAW descriptors — the batch
+    twin of the per-molecule generator (same table, same clamp
+    accounting), used by scripts/save_features.py's native fast path."""
+    x, y, off = _cdf_table()
+    out = np.empty_like(raw, dtype=np.float64)
+    clamped = 0
+    for k in range(200):
+        xs = x[off[k]:off[k + 1]]
+        out[:, k] = np.interp(raw[:, k], xs, y[off[k]:off[k + 1]])
+        clamped += int(((raw[:, k] < xs[0]) | (raw[:, k] > xs[-1])).sum())
+    _CLAMP_STATS[0] += raw.shape[0] - 1
+    _note_clamp(clamped)   # adds the final molecule + runs the check
+    return out
+
+
 _CLAMP_STATS = [0, 0]  # molecules seen, clamped columns
 _CLAMP_WARNED = [False]
 

@@ -126,16 +126,32 @@ class SortedBondAux(NamedTuple):
 # tile's same-src/same-dst span exceeds the kernel window EXT, the batch
 # silently loses the REV-FUSED layer (rs_rev=None -> srev-gather path).
 # The trainer/bench read these to surface the per-run fallback rate.
+# Lock-guarded: the loader featurizes batches from a thread pool, and
+# a lost increment would misreport the very rate this exists to surface.
+import threading as _threading
+
 FALLBACK_STATS = {"batches": 0, "rev_fallback": 0, "atom_fallback": 0}
+_FALLBACK_LOCK = _threading.Lock()
+
+
+def _note_layout(rev_fallback: bool, atom_fallback: bool) -> None:
+    with _FALLBACK_LOCK:
+        FALLBACK_STATS["batches"] += 1
+        if rev_fallback:
+            FALLBACK_STATS["rev_fallback"] += 1
+        if atom_fallback:
+            FALLBACK_STATS["atom_fallback"] += 1
 
 
 def fallback_stats() -> dict:
-    return dict(FALLBACK_STATS)
+    with _FALLBACK_LOCK:
+        return dict(FALLBACK_STATS)
 
 
 def reset_fallback_stats() -> None:
-    for k in FALLBACK_STATS:
-        FALLBACK_STATS[k] = 0
+    with _FALLBACK_LOCK:
+        for k in FALLBACK_STATS:
+            FALLBACK_STATS[k] = 0
 
 
 def build_sorted_aux(b2dst: np.ndarray, b2revb: np.ndarray,
@@ -251,11 +267,7 @@ def build_sorted_aux(b2dst: np.ndarray, b2revb: np.ndarray,
             ra_arr[t] = start
         if ok:
             ra = ra_arr
-    FALLBACK_STATS["batches"] += 1
-    if rs_rev is None:
-        FALLBACK_STATS["rev_fallback"] += 1
-    if ra is None and num_atoms is not None:
-        FALLBACK_STATS["atom_fallback"] += 1
+    _note_layout(rs_rev is None, ra is None and num_atoms is not None)
     return SortedBondAux(perm, rank, rev_rank, rev_rank_inv, srev, rs,
                          dst_sorted, w_sorted, ra, src_sorted, rs_rev)
 

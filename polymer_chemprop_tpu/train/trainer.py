@@ -175,6 +175,8 @@ def run_training(cfg: TrainConfig,
     (reference run_training.py:28-499)."""
     log = logger or get_logger("train", cfg.save_dir, cfg.quiet)
     debug, info = log.debug, log.info
+    from ..ops.pallas_mpnn import fallback_stats as _fb_stats
+    _fb_start = _fb_stats()   # per-run delta for the fallback report
     fcfg = cfg.featurization()
     # widen featurization with dataset-provided extra atom/bond features
     # (reference cross_validate.py:83-91 descriptor-size plumbing)
@@ -794,9 +796,11 @@ def run_training(cfg: TrainConfig,
 
     # band-layout fallback accounting (VERDICT r3 item 8): batches whose
     # molecule spans overflow the kernel window silently lose the
-    # rev-fused layer — surface the rate so it is never invisible
+    # rev-fused layer — surface the rate so it is never invisible.
+    # Reported as the DELTA over this run (folds/trials in one process
+    # each report their own counts).
     from ..ops.pallas_mpnn import fallback_stats
-    fs = fallback_stats()
+    fs = {k: v - _fb_start.get(k, 0) for k, v in fallback_stats().items()}
     if fs["batches"] and (fs["rev_fallback"] or fs["atom_fallback"]):
         info(f"Pallas band layout: {fs['rev_fallback']}/{fs['batches']} "
              f"batches fell back to the srev-gather path, "

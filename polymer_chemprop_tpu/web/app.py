@@ -120,9 +120,28 @@ def make_handler(state: AppState):
                     return int(v)
             return 1
 
-        def _form(self):
+        # request bodies are bounded here, in the shared read path (CSV
+        # uploads are the largest legitimate payload)
+        MAX_BODY = 64 * 1024 * 1024
+
+        def _read_body(self, cap=MAX_BODY):
+            """Read the request body, draining up to ``cap`` bytes so an
+            oversized request still gets its error response delivered
+            (closing with unread data triggers a client-visible RST)."""
             length = int(self.headers.get("Content-Length", 0))
-            body = self.rfile.read(length)
+            if length > cap:
+                # drain what we can without buffering it, then refuse
+                left = min(length, cap)
+                while left > 0:
+                    chunk = self.rfile.read(min(left, 1 << 20))
+                    if not chunk:
+                        break
+                    left -= len(chunk)
+                raise ValueError(f"request body too large ({length} bytes)")
+            return self.rfile.read(length)
+
+        def _form(self):
+            body = self._read_body()
             ctype = self.headers.get("Content-Type", "")
             if ctype.startswith("multipart/form-data"):
                 boundary = ctype.split("boundary=")[1].encode()
@@ -243,11 +262,8 @@ def make_handler(state: AppState):
                     # graph here and the chemistry runtime turns it into
                     # SMILES (validated by a full re-parse)
                     try:
-                        length = int(self.headers.get("Content-Length", 0))
-                        if length > 1_000_000:
-                            raise ValueError("sketch payload too large")
                         payload = json.loads(
-                            self.rfile.read(length) or b"{}")
+                            self._read_body(cap=1_000_000) or b"{}")
                         smi = _sketch_to_smiles(payload)
                         self._send(json.dumps({"smiles": smi}),
                                    ctype="application/json")

@@ -49,15 +49,9 @@ def generate_and_save_features(args):
                         vals[j] = raw_fg(chunk[j])
                 if args.features_generator == "rdkit_2d_normalized":
                     from polymer_chemprop_tpu.features.generators import (
-                        _cdf_table,
+                        rdkit2d_normalize_batch,
                     )
-                    x, y, off = _cdf_table()
-                    out = np.empty_like(vals)
-                    for k in range(200):
-                        out[:, k] = np.interp(vals[:, k],
-                                              x[off[k]:off[k + 1]],
-                                              y[off[k]:off[k + 1]])
-                    return out
+                    return rdkit2d_normalize_batch(vals)
                 return vals
         return np.array(pool.map(fg, chunk))
 

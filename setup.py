@@ -34,7 +34,7 @@ setup(
         "scikit-learn",
         "pandas",
     ],
-    python_requires=">=3.10",
+    python_requires=">=3.12",
     keywords=["chemistry", "machine learning", "property prediction",
               "message passing neural network", "polymer", "TPU", "JAX"],
 )
