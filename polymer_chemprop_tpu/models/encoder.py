@@ -260,11 +260,15 @@ def apply_encoder(params: Dict,
             if not deterministic and cfg.dropout > 0:
                 message = pad_lane(dropout(message[:, :H], cfg.dropout,
                                            key_l, deterministic))
-        # keep the aggregation at the lane-padded width (columns >= H are
-        # identically zero): slicing here would put a (B, Hp) pad on the
-        # backward path; the padding rows of W_o below are zeroed instead
+        # TRAINING keeps the aggregation at the lane-padded width
+        # (columns >= H are identically zero): slicing here would put a
+        # (B, Hp) pad on the backward path; the padding rows of W_o
+        # below are zeroed instead. INFERENCE slices — there is no
+        # backward, and the sliced concat (433 -> 512 XLA pad) tiles the
+        # W_o matmul better than the widened one (517 -> 640).
+        ro_dim = cfg.hidden_size if deterministic else Hp
         a_message = atom_readout_sorted(message, aux, num_atoms,
-                                        Hp, prec,
+                                        ro_dim, prec,
                                         cfg.unit_bond_weights)
     else:
         inputs = linear(params["W_i"], f_bonds, cdt)
