@@ -254,3 +254,24 @@ class TestNormalizedGenerator:
         assert d["TPSA"] == pytest.approx(20.23, abs=0.01)
         assert d["MolLogP"] == pytest.approx(1.3922, abs=1e-3)
         assert d["RingCount"] == 1
+
+
+class TestBatchNormalizeHelper:
+    def test_matches_per_molecule_generator(self):
+        """rdkit2d_normalize_batch (the save_features bulk path) must
+        equal the per-molecule rdkit_2d_normalized generator."""
+        import numpy as np
+
+        from polymer_chemprop_tpu.features.generators import (
+            get_features_generator,
+            rdkit2d_normalize_batch,
+        )
+        warnings.filterwarnings("ignore")
+        smis, _ = _load("regression")
+        smis = smis[:8]
+        raw_g = get_features_generator("rdkit_2d")
+        norm_g = get_features_generator("rdkit_2d_normalized")
+        raw = np.array([raw_g(s) for s in smis])
+        batch = rdkit2d_normalize_batch(raw)
+        per_mol = np.array([norm_g(s) for s in smis])
+        assert np.array_equal(batch, per_mol)
