@@ -37,15 +37,18 @@ FRAGMENT_SMARTS: Dict[str, str] = {
     "fr_NH1": "[NH1,nH1]",
     "fr_NH2": "[NH2,nH2]",
     "fr_N_O": "[N!$(N=O)](-[O!$(O-N=O)])-[#6]",
-    # XCCNR groups: an amine with an X-C-C-N chain (X = aliphatic N,
-    # alkene C, ether/hydroxy O, carbonyl O on non-amides, or an aromatic
-    # atom over clean middles). Empirically reconstructed against the
-    # vendored reference counts (44 positives / 1,020 molecules; binary
-    # agreement 0.948) — see docs/parity.md "fragment reconstruction"
+    # XCCNR groups: an amine carrying a dealkylatable alpha-carbon
+    # (CH3, or CH2 with at most the N as heteroatom neighbour) AND an
+    # X-C-C chain (X = aliphatic N/O, alkene C, or aromatic over clean
+    # middles). Empirically reconstructed against the vendored reference
+    # counts: regression-set EXACT (rho 1.0); the classification sets
+    # retain oracle label contradictions (docs/parity.md)
     "fr_Ndealkylation1":
         "[#7X3,#7X4+;!$([N]-[!#6;!#1]);!$([N]=*);!$([NX3H2]);"
         "!$([NX3H1]-a);!$([N](@[#6])(@[#6])@[#6]);"
         "!$([N](-[#6]=[OX1])-[#6]=[OX1]);"
+        "$([N]-[CX4;H3]),"
+        "$([N]-[CX4;H2;!$([CX4](-[!#6;!#1])-[!#6;!#1])]);"
         "$([N]-[#6;A]-[#6;A]~[$([#7;A]),$([#8;A]),$([#6]=[#6])]),"
         "$([N]-[#6;A;!$([#6]=[OX1])]-[#6;A;!$([#6]=[OX1])]-[a])]",
     # tert-alicyclic amine: ring N, three carbon substituents, none

@@ -55,10 +55,10 @@ WEAK_COLUMNS = {
     "VSA_EState8": 0.97,        # [6.45,7.0)
     "VSA_EState9": 0.97,        # [7.0,11.0): exact membership, ES tail
     "VSA_EState10": 0.99,       # >=11: S/Cl/Br/I, exact membership
-    # reconstructed against the reference counts (r4): d2 is fixture-
-    # exact; d1 retains ~50 label contradictions no SMARTS resolves
-    # (near-identical substructures labeled differently by the oracle)
-    "fr_Ndealkylation1": 0.55, "fr_Ndealkylation2": 0.995,
+    # reconstructed against the reference counts (r4): both now
+    # regression-set exact; d1's classification-set tail retains oracle
+    # label contradictions no SMARTS resolves (docs/parity.md)
+    "fr_Ndealkylation1": 0.99, "fr_Ndealkylation2": 0.995,
     # r4: fr_aryl_methyl / fr_para_hydroxylation /
     # fr_phenol_noOrthoHbond were reconstructed to fixture-exact
     # patterns and now ride the default floor
@@ -195,7 +195,7 @@ class TestRankAgreement:
         assert not failures, failures
 
     def test_exact_column_count(self, regression_raw):
-        """At least 146/200 columns rank essentially exactly (r4: 147
+        """At least 147/200 columns rank essentially exactly (r4: 148
         after the ASA calibration and fragment reconstruction)."""
         from scipy.stats import spearmanr
         raw, ref = regression_raw
@@ -209,7 +209,7 @@ class TestRankAgreement:
             rho = spearmanr(raw[finite, k], r[finite]).correlation
             if np.isfinite(rho) and rho > 0.9995:
                 exact += 1
-        assert exact >= 146, exact
+        assert exact >= 147, exact
 
 
 class TestNormalizedGenerator:
