@@ -146,6 +146,12 @@ def hall_kier_alpha(mol: Molecule) -> float:
         if sym is None:
             continue
         hyb = "SP2" if a.is_aromatic else a.hybridization
+        # conjugating N/O lone pairs (amide/carbamate N, ester O) are SP2
+        # in RDKit's hybridization model (r4: HallKierAlpha 0.989->0.997,
+        # Kappa1 -> exact, Kappa2 -> 0.9999; same rule as gasteiger.py)
+        if hyb == "SP3" and a.atomic_num in (7, 8) and \
+                any(b.conjugated for b in mol.atom_bonds(a.idx)):
+            hyb = "SP2"
         v = _ALPHAS.get((sym, hyb))
         if v is None:
             v = _ALPHAS.get((sym, "SP3"), 0.0)
