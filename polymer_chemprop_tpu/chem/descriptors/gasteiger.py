@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import List, Tuple
 
 from ..mol import AROMATIC, Molecule
+from .hybrid import conjugated_lone_pair_sp2
 
 # (a, b, c) by (element, hybridization-ish key). Values from the original
 # Gasteiger-Marsili parameter set as shipped by RDKit.
@@ -67,8 +68,7 @@ def _atom_params(mol: Molecule, idx: int) -> Tuple[float, float, float]:
         key = "sp"
     elif hyb == "SP2":
         key = "sp2"
-    elif (a.atomic_num in (7, 8)
-          and any(b.conjugated for b in mol.atom_bonds(idx))):
+    elif conjugated_lone_pair_sp2(mol, idx):
         # conjugating lone pair (ester/phenol O, amide/aniline N):
         # RDKit's hybridization model calls these SP2 — validated against
         # the vendored reference outputs (phenol O -0.5080, clean-subset

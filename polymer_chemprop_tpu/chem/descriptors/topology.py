@@ -18,6 +18,7 @@ import numpy as np
 from ..mol import AROMATIC, Molecule
 from ..periodic import outer_electrons
 from .estate import _principal_quantum_number
+from .hybrid import conjugated_lone_pair_sp2
 
 
 def _simple_deltas(mol: Molecule) -> List[int]:
@@ -146,11 +147,9 @@ def hall_kier_alpha(mol: Molecule) -> float:
         if sym is None:
             continue
         hyb = "SP2" if a.is_aromatic else a.hybridization
-        # conjugating N/O lone pairs (amide/carbamate N, ester O) are SP2
-        # in RDKit's hybridization model (r4: HallKierAlpha 0.989->0.997,
-        # Kappa1 -> exact, Kappa2 -> 0.9999; same rule as gasteiger.py)
-        if hyb == "SP3" and a.atomic_num in (7, 8) and \
-                any(b.conjugated for b in mol.atom_bonds(a.idx)):
+        # conjugating N/O lone pairs are SP2 in RDKit's model (r4:
+        # HallKierAlpha 0.989->0.997, Kappa1 exact, Kappa2 0.9999)
+        if hyb == "SP3" and conjugated_lone_pair_sp2(mol, a.idx):
             hyb = "SP2"
         v = _ALPHAS.get((sym, hyb))
         if v is None:

@@ -263,9 +263,13 @@ def apply_encoder(params: Dict,
         # TRAINING keeps the aggregation at the lane-padded width
         # (columns >= H are identically zero): slicing here would put a
         # (B, Hp) pad on the backward path; the padding rows of W_o
-        # below are zeroed instead. INFERENCE slices — there is no
-        # backward, and the sliced concat (433 -> 512 XLA pad) tiles the
-        # W_o matmul better than the widened one (517 -> 640).
+        # below are zeroed instead. The deterministic path slices — the
+        # sliced concat (433 -> 512 XLA pad) tiles the W_o matmul better
+        # than the widened one (517 -> 640). NOTE: `deterministic` is a
+        # dropout-key proxy for "will be differentiated"; a grad taken
+        # with no dropout key pays the (B, Hp) backward pad again —
+        # perf-only, gradients stay correct (the train step always
+        # passes a key).
         ro_dim = cfg.hidden_size if deterministic else Hp
         a_message = atom_readout_sorted(message, aux, num_atoms,
                                         ro_dim, prec,

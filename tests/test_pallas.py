@@ -701,3 +701,60 @@ class TestBandFallbackInstrumentation:
         assert aux.get("rs_rev") is None
         fs = P.fallback_stats()
         assert fs["batches"] == 1 and fs["rev_fallback"] == 1
+
+
+class TestTrainingReadoutPath:
+    """The r4 TRAIN-side readout (full lane-padded width feeding a
+    zero-row-extended W_o, taken when deterministic=False) must match
+    the inference-sliced branch exactly, forward AND gradients — the
+    2.71 ms headline path must not lose fast-suite coverage to the
+    deterministic gating (r4 self-review)."""
+
+    def test_train_branch_matches_inference_branch(self, interpret_mode):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from polymer_chemprop_tpu.features.batching import batch_graphs
+        from polymer_chemprop_tpu.features.config import (
+            FeaturizationConfig,
+        )
+        from polymer_chemprop_tpu.features.featurization import MolGraph
+        from polymer_chemprop_tpu.models.encoder import (
+            EncoderConfig,
+            apply_encoder,
+            init_encoder,
+        )
+        fcfg = FeaturizationConfig()
+        smis = ["CCO", "c1ccccc1", "CC(=O)Nc1ccc(O)cc1", "C1CCCCC1O"]
+        gb = batch_graphs([MolGraph(s, fcfg) for s in smis],
+                          pad_bonds=1024, pad_atoms=512)
+        arrays = {k: jnp.asarray(v) if not isinstance(v, dict) else
+                  {kk: (jnp.asarray(vv) if vv is not None else None)
+                   for kk, vv in v.items()}
+                  for k, v in gb.arrays(pallas=True).items()}
+        cfg = EncoderConfig(atom_fdim=fcfg.atom_fdim,
+                            bond_fdim=fcfg.bond_fdim(), hidden_size=300,
+                            depth=3, dropout=0.0, unit_bond_weights=True)
+        params = init_encoder(jax.random.PRNGKey(0), cfg)
+        key = jax.random.PRNGKey(1)
+
+        def emb_train(p):
+            # dropout 0: the rng only flips the deterministic gate
+            return apply_encoder(p, arrays, cfg, dropout_key=key,
+                                 deterministic=False)
+
+        def emb_infer(p):
+            return apply_encoder(p, arrays, cfg, deterministic=True)
+
+        out_t = emb_train(params)
+        out_i = emb_infer(params)
+        # same math, different W_o contraction width (517 vs 433) ->
+        # XLA reduction-order ulps only
+        np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_i),
+                                   rtol=1e-5, atol=1e-7)
+        g_t = jax.grad(lambda p: jnp.sum(emb_train(p) ** 2))(params)
+        g_i = jax.grad(lambda p: jnp.sum(emb_infer(p) ** 2))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g_t),
+                        jax.tree_util.tree_leaves(g_i)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
