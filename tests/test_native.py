@@ -45,6 +45,32 @@ def test_exact_parity_with_python(fname):
     assert gb_n.n_bonds_real == gb_p.n_bonds_real
 
 
+def test_exact_parity_on_rewritten_smiles():
+    """The C++ parser must agree with Python on write_smiles output too —
+    rewritten SMILES place ring-closure digits and brackets differently
+    from the corpus originals, exercising different parser paths."""
+    from polymer_chemprop_tpu.chem import parse_smiles
+    from polymer_chemprop_tpu.chem.write import write_smiles
+    smiles = _smiles("regression.csv") + _smiles("classification.csv")
+    rewritten = []
+    for smi in smiles[::3]:
+        m = parse_smiles(smi, strict=False)
+        if m is not None:
+            rewritten.append(write_smiles(m))
+    assert len(rewritten) > 300
+    gb_n, valid = native_ext.featurize_batch_native(
+        rewritten, pad_atoms=20480, pad_bonds=40960)
+    assert valid.all()
+    gb_p = mol2graph(rewritten, pad_atoms=20480, pad_bonds=40960,
+                     pad_mols=len(rewritten))
+    for k in ("f_atoms", "f_bonds", "w_atoms", "w_bonds",
+              "b2a", "b2dst", "b2revb", "a2mol"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(gb_n, k), dtype=float),
+            np.asarray(getattr(gb_p, k), dtype=float),
+            atol=1e-5, err_msg=f"array {k} differs")
+
+
 def test_invalid_smiles_flagged():
     gb, valid = native_ext.featurize_batch_native(
         ["CCO", "not_a_smiles", "c1ccccc1"], pad_atoms=256, pad_bonds=256)
