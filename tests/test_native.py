@@ -703,6 +703,21 @@ class TestRdkit2dNative:
     def test_bit_identical_classification(self):
         self._compare(_smiles("classification.csv", 120))
 
+    def test_bit_identical_on_rewritten_smiles(self):
+        """The engine's own parser sees write_smiles output (different
+        ring-digit/bracket placements); C++/Python equality must hold
+        there too."""
+        from polymer_chemprop_tpu.chem import parse_smiles
+        from polymer_chemprop_tpu.chem.write import write_smiles
+        smis = _smiles("regression.csv") + _smiles("classification.csv")
+        rewritten = []
+        for smi in smis[::20]:
+            m = parse_smiles(smi, strict=False)
+            if m is not None:
+                rewritten.append(write_smiles(m))
+        assert len(rewritten) >= 45
+        self._compare(rewritten)
+
     def test_parse_failure_flagged(self):
         vals, ok = native_ext.rdkit2d_batch_native(
             ["CCO", "not_a_smiles((", "c1ccccc1"])
