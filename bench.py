@@ -83,6 +83,10 @@ def bench_tpu(pallas: bool = False, bf16: bool = False,
     from polymer_chemprop_tpu.train import make_train_step
     from polymer_chemprop_tpu.train.scheduler import build_optimizer, build_schedule
 
+    # per-variant fallback accounting: --compare/--baseline runs build
+    # several batches in one process, and the counters are process-global
+    from polymer_chemprop_tpu.ops.pallas_mpnn import reset_fallback_stats
+    reset_fallback_stats()
     gb = _load_batch(polymer=polymer)
     arrays = gb.arrays(pallas=pallas)
     n_real_edges = gb.n_bonds_real - 1

@@ -42,31 +42,6 @@ _DEFAULT_RVDW = 1.8
 _DEFAULT_RCOV = 1.1
 
 
-def _bond_length(mol: Molecule, b) -> float:
-    """Idealized bond length: covalent-radii sum with order correction."""
-    r1 = _RCOV.get(mol.atoms[b.a1].atomic_num, _DEFAULT_RCOV)
-    r2 = _RCOV.get(mol.atoms[b.a2].atomic_num, _DEFAULT_RCOV)
-    d = r1 + r2
-    if b.is_aromatic or b.order == AROMATIC:
-        d -= 0.14
-    elif b.order == 2:
-        d -= 0.21
-    elif b.order == 3:
-        d -= 0.38
-    return d
-
-
-def _cap_area(ri: float, rj: float, d: float) -> float:
-    """Spherical-cap area removed from sphere i by neighbour j at
-    distance d (clamped into the geometrically valid range)."""
-    d = min(max(d, abs(ri - rj)), ri + rj)
-    if d <= 0:
-        return 0.0
-    h = ri - (d * d + ri * ri - rj * rj) / (2.0 * d)
-    h = min(max(h, 0.0), 2.0 * ri)
-    return 2.0 * math.pi * ri * h
-
-
 # ---------------------------------------------------------------------------
 # Per-atom Labute ASA contributions — calibrated additive model
 # ---------------------------------------------------------------------------
@@ -140,7 +115,10 @@ def _asa_delta(zi: int, zj: int, bc: int) -> float:
     v = _ASA_DELTA.get((zi, 6, bc))
     if v is not None:
         return v
-    # geometric cap fallback for pairs outside the calibration set
+    # spherical-cap fallback for pairs outside the calibration set:
+    # pi*ri*(rj^2-(ri-d)^2)/d == 2*pi*ri*h (cap area at the idealized
+    # bond length d). Float-op order is pinned — the C++ port
+    # (native/src/pcp_descriptors.inc asa_delta) mirrors it bit-exactly.
     ri = _RCOV.get(zi, _DEFAULT_RCOV)
     rj = _RCOV.get(zj, _DEFAULT_RCOV)
     d = max(abs(ri - rj), ri + rj - _ASA_FALLBACK_CORR[bc])

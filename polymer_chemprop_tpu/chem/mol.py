@@ -365,9 +365,11 @@ class Molecule:
         # back to a single shortest cycle beyond it (plain-SSSR behavior)
         MAX_CYCLES = 256
         steps = [0]
+        capped = [False]
 
         def walk(u, path):
             if len(out) >= MAX_CYCLES or steps[0] > 100_000:
+                capped[0] = True
                 return
             steps[0] += 1
             if u == src:
@@ -380,7 +382,11 @@ class Molecule:
                 walk(p, path)
                 path.pop()
         walk(dst, [dst])
-        if not out:
+        if capped[0] or not out:
+            # a truncated enumeration would be an arbitrary, walk-order-
+            # dependent prefix — discard it and use the deterministic
+            # single shortest cycle instead (plain-SSSR behavior, same
+            # as the native featurizer's SSSR-lite)
             one = self._shortest_cycle_through(bond)
             return [one] if one else []
         return out

@@ -270,8 +270,7 @@ def rdkit2d_normalize_batch(raw: np.ndarray) -> np.ndarray:
         xs = x[off[k]:off[k + 1]]
         out[:, k] = np.interp(raw[:, k], xs, y[off[k]:off[k + 1]])
         clamped += int(((raw[:, k] < xs[0]) | (raw[:, k] > xs[-1])).sum())
-    _CLAMP_STATS[0] += raw.shape[0] - 1
-    _note_clamp(clamped)   # adds the final molecule + runs the check
+    _note_clamp(clamped, n_mols=raw.shape[0])
     return out
 
 
@@ -279,11 +278,11 @@ _CLAMP_STATS = [0, 0]  # molecules seen, clamped columns
 _CLAMP_WARNED = [False]
 
 
-def _note_clamp(clamped: int) -> None:
+def _note_clamp(clamped: int, n_mols: int = 1) -> None:
     """One-time coverage warning: the CDF table is fit on ~1,020 fixture
     molecules; chemistry far outside that range clamps to the nearest
     observed quantile (advisor r3, generators.py:231)."""
-    _CLAMP_STATS[0] += 1
+    _CLAMP_STATS[0] += n_mols
     _CLAMP_STATS[1] += clamped
     if (not _CLAMP_WARNED[0] and _CLAMP_STATS[0] >= 100
             and _CLAMP_STATS[1] / (200 * _CLAMP_STATS[0]) > 0.20):

@@ -258,6 +258,10 @@ def build_edge_shards_halo(arrays: Dict[str, np.ndarray], n_shards: int,
     sharded["w_atoms_win"] = w_win
     sharded["a2mol_win"] = mol_win
     sharded["own_mask"] = own
+    # global atom index of window row 0: dropout on window-resident
+    # tensors is keyed by GLOBAL row so the replicated halo rows draw
+    # identical masks on both owning shards (see _encoder_local_halo)
+    sharded["win_start"] = o.astype(np.int32)
     # shift offsets, clipped so an out-of-range neighbour (empty shard /
     # no overlap) lands entirely in the zero half of the padded buffer
     sharded["off_prev"] = np.clip(np.array(
@@ -760,6 +764,31 @@ def _encoder_local_halo(mcfg, mesh, ep_axis, overlap, strip_width,
         n_keys = cfg.depth + 2
         rngs = (jax.random.split(rng.reshape(2), n_keys)
                 if dropout_rngs else [None] * n_keys)
+        # Window-resident tensors (atom messages, atom_hiddens) REPLICATE
+        # the halo atoms across adjacent shards. A per-shard mask stream
+        # would drop the two copies of one atom differently — a dropout
+        # structure no single-device run can produce (the bond path is
+        # immune: bond messages are disjointly partitioned). Key those
+        # masks by GLOBAL atom row instead, from a stream shared across
+        # the ep row (its first shard's key), so every replica of a row
+        # draws the same mask — and the step is invariant to the ep
+        # split (tests/test_parallel.py::test_gp_atom_messages_dropout).
+        if dropout_rngs and cfg.dropout > 0.0:
+            key_row = jax.lax.all_gather(rng.reshape(2), ep_axis)[0]
+            wkeys = jax.random.split(key_row, n_keys)
+            row_ids = sh["win_start"].reshape(()) + jnp.arange(Aw)
+            row_of = jax.vmap(jax.random.fold_in, (None, 0))
+
+            def drop_win(x, lkey):
+                rk = row_of(lkey, row_ids)
+                m = jax.vmap(lambda k: jax.random.bernoulli(
+                    k, keep, (x.shape[1],)))(rk)
+                return jnp.where(m, x / keep, 0.0)
+        else:
+            wkeys = [None] * n_keys
+
+            def drop_win(x, lkey):
+                return x
         if cfg.atom_messages:
             # atom-message mode on the halo mesh: messages live on the
             # ATOM WINDOW (Aw, H); the neighbour sum is the same bond-
@@ -781,7 +810,7 @@ def _encoder_local_halo(mcfg, mesh, ep_axis, overlap, strip_width,
             for layer in range(cfg.depth - 1):
                 m = aggregate(message[sh["b2a_local"]] * bmask, ones)
                 message = act(inputs + linear(w1, m) + const)
-                message = drop(message, rngs[layer])
+                message = drop_win(message, wkeys[layer])
             a_win = aggregate(message[sh["b2a_local"]] * bmask,
                               sh["w_bonds"])
         else:
@@ -801,12 +830,15 @@ def _encoder_local_halo(mcfg, mesh, ep_axis, overlap, strip_width,
             a_win = aggregate(message, sh["w_bonds"])
         a_input = jnp.concatenate([sh["f_atoms_win"], a_win], axis=1)
         atom_hiddens = act(linear(enc_params["W_o"], a_input))
-        atom_hiddens = drop(atom_hiddens, rngs[cfg.depth - 1])
+        # atom_hiddens is window-resident too; its halo rows are masked
+        # out of the readout by own_mask, but row-keyed masks keep the
+        # whole encoder invariant to the ep split
+        atom_hiddens = drop_win(atom_hiddens, wkeys[cfg.depth - 1])
         if "atom_desc_win" in sh:
             atom_hiddens = jnp.concatenate(
                 [atom_hiddens, sh["atom_desc_win"]], axis=1)
             atom_hiddens = linear(enc_params["W_d"], atom_hiddens)
-            atom_hiddens = drop(atom_hiddens, rngs[cfg.depth])
+            atom_hiddens = drop_win(atom_hiddens, wkeys[cfg.depth])
         own_w = sh["w_atoms_win"] * sh["own_mask"]
         num_mols = rep["degree_of_polym"].shape[0]
         wsum = jax.lax.psum(

@@ -95,6 +95,10 @@ class AppState:
         return [s[0] for s in smiles], rows
 
 
+class _BodyTooLarge(ValueError):
+    """Request body exceeds the endpoint's cap — rendered as 413."""
+
+
 def make_handler(state: AppState):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -125,19 +129,20 @@ def make_handler(state: AppState):
         MAX_BODY = 64 * 1024 * 1024
 
         def _read_body(self, cap=MAX_BODY):
-            """Read the request body, draining up to ``cap`` bytes so an
-            oversized request still gets its error response delivered
-            (closing with unread data triggers a client-visible RST)."""
+            """Read the request body; an oversized one is drained TO THE
+            END (bounded 1 MB chunks, never buffered) so the error
+            response is deliverable — any unread remainder at close
+            triggers a client-visible RST that eats the message."""
             length = int(self.headers.get("Content-Length", 0))
             if length > cap:
-                # drain what we can without buffering it, then refuse
-                left = min(length, cap)
+                left = length
                 while left > 0:
                     chunk = self.rfile.read(min(left, 1 << 20))
                     if not chunk:
                         break
                     left -= len(chunk)
-                raise ValueError(f"request body too large ({length} bytes)")
+                raise _BodyTooLarge(
+                    f"request body too large ({length} bytes)")
             return self.rfile.read(length)
 
         def _form(self):
@@ -328,6 +333,8 @@ def make_handler(state: AppState):
                     self._redirect()
                 else:
                     self._send("not found", 404)
+            except _BodyTooLarge as e:
+                self._send(_PAGE.format(body=f"<p>error: {e}</p>"), 413)
             except Exception as e:
                 traceback.print_exc()
                 self._send(_PAGE.format(body=f"<p>error: {e}</p>"), 500)

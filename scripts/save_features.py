@@ -44,9 +44,15 @@ def generate_and_save_features(args):
                 vals, ok = native_ext.rdkit2d_batch_native(
                     chunk, n_threads=args.num_workers)
                 if not ok.all():
-                    raw_fg = get_features_generator("rdkit_2d")
+                    # the Python engine directly: routing through the
+                    # generator would retry the native parse that just
+                    # failed for these exact SMILES
+                    from polymer_chemprop_tpu.chem import parse_smiles
+                    from polymer_chemprop_tpu.chem.descriptors import (
+                        rdkit2d_raw,
+                    )
                     for j in np.nonzero(~ok)[0]:
-                        vals[j] = raw_fg(chunk[j])
+                        vals[j] = rdkit2d_raw(parse_smiles(chunk[j]))
                 if args.features_generator == "rdkit_2d_normalized":
                     from polymer_chemprop_tpu.features.generators import (
                         rdkit2d_normalize_batch,

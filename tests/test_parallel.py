@@ -796,3 +796,59 @@ def test_halo_dp_2d_dropout(setup):
     assert out["a"][0] != out["b"][0]           # rng-sensitive
     for x, y in zip(out["a"][1], out["a2"][1]):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_gp_atom_messages_dropout_ep_invariant(setup):
+    """atom_messages GP dropout: window-resident atom messages REPLICATE
+    halo atoms across adjacent shards, so masks are keyed by GLOBAL atom
+    row (partition.py drop_win) — a per-shard stream would drop the two
+    copies of one atom differently. With the per-ep-row key held fixed,
+    the dropped train step must therefore be invariant to the ep split."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from polymer_chemprop_tpu.parallel import (
+        build_edge_shards_halo_dp,
+        make_halo_dp_train_step,
+        make_mesh,
+    )
+
+    enc = EncoderConfig(atom_fdim=133, bond_fdim=14, hidden_size=16,
+                        depth=3, dropout=0.35, atom_messages=True)
+    cfg = ModelConfig(encoder=enc, dataset_type="regression", num_tasks=1,
+                      ffn_hidden_size=16)
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    tx = build_optimizer("sgd", lambda step: 0.1)
+    pad = dict(pad_atoms=96, pad_bonds=192, pad_mols=6)
+    # molecules sized so shard boundaries cut through them (halo atoms)
+    arr = mol2graph(["CC(=O)Nc1ccc(O)cc1", "CC(C)=CCCC(C)=CC(=O)",
+                     "c1ccc2ccccc2c1", "CCOC(C)=O", "CCN", "CCCCCC"],
+                    **pad).arrays()
+    targets = np.asarray([[0.3], [1.0], [-0.5], [0.2], [0.8], [-1.0]],
+                         np.float32)[None]
+    mask = np.ones_like(targets)
+    key_row = np.asarray(jax.random.PRNGKey(7), np.uint32)
+    out = {}
+    for n_ep in (2, 4):
+        mesh = make_mesh(n_ep, ("dp", "ep"), shape=(1, n_ep))
+        sharded, replicated = build_edge_shards_halo_dp([arr], n_ep,
+                                                        atom_window=96)
+        spec = NamedSharding(mesh, P("dp", "ep"))
+        sharded_dev = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, spec), sharded)
+        # every ep shard of the row carries the SAME key: drop_win reads
+        # the row's first shard key, so masks agree across splits
+        rngs = np.broadcast_to(key_row, (1, n_ep, 2))
+        step = make_halo_dp_train_step(cfg, tx, mesh, dropout_rngs=True)
+        _, _, loss, _ = step(params, tx.init(params), sharded_dev,
+                             replicated, jnp.asarray(targets),
+                             jnp.asarray(mask), jnp.asarray(mask),
+                             jnp.asarray(rngs), jax.random.PRNGKey(9))
+        out[n_ep] = float(loss)
+        # dropout actually fires: a no-dropout step lands elsewhere
+        step0 = make_halo_dp_train_step(cfg, tx, mesh)
+        _, _, loss0, _ = step0(params, tx.init(params), sharded_dev,
+                               replicated, jnp.asarray(targets),
+                               jnp.asarray(mask), jnp.asarray(mask),
+                               jnp.asarray(rngs), jax.random.PRNGKey(9))
+        assert abs(out[n_ep] - float(loss0)) > 1e-6
+    assert abs(out[2] - out[4]) < 1e-5 * max(1.0, abs(out[2])), out
