@@ -60,8 +60,8 @@ class GraphBatch:
         fused MXU band kernel when the ``pallas_aux`` key is present), and
         ``f_bonds`` is emitted in dst-SORTED order (the host permute is
         free here and removes a 2x-B-row gather per training step).
-        ``band_tile`` overrides the band-kernel tile size (512 or 1024;
-        the default is 512, see ops/pallas_mpnn._EXT_FOR)."""
+        ``band_tile`` overrides the band-kernel tile size (256/512/1024;
+        the default is 256, see ops/pallas_mpnn._EXT_FOR)."""
         d = {k: getattr(self, k) for k in (
             "f_atoms", "f_bonds", "w_atoms", "w_bonds",
             "b2a", "b2dst", "b2revb", "a2mol", "degree_of_polym", "mol_mask")}

@@ -46,15 +46,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-TILE_B = 512     # bonds per output tile (default)
+TILE_B = 256     # bonds per output tile (default, r4: fastest measured)
 # Extended window: must cover TILE_B + left alignment slack (<=127) + one
-# max in-degree run on each side (molecular in-degree <= ~6). 768 = 6 lanes
-# of headroom; the window-invariant test guards the bound.
-EXT = 768
+# max in-degree run on each side (molecular in-degree <= ~6). 512 = 2
+# lanes of headroom; the window-invariant test guards the bound. NOTE the
+# rev-fused span budget is ext - tile = 256 at EVERY supported size, so
+# shrinking the tile does not shrink the largest-molecule tolerance.
+EXT = 512
 # Supported tile sizes and their windows. Larger tiles amortize the
-# alignment slack: the band matmul does EXT/TILE x the minimal FLOPs
-# (1.5x at 512/768, 1.25x at 1024/1280) at the cost of more VMEM.
-_EXT_FOR = {512: 768, 1024: 1280}
+# alignment slack (the band matmul does EXT/TILE x the minimal window
+# FLOPs: 2x at 256/512, 1.5x at 512/768, 1.25x at 1024/1280) but measure
+# SLOWER on v5e — the wider window burns more q@win MXU passes than the
+# slack costs. Measured train step (28k edges, h300 d3, healthy tunnel):
+# 256: 2.669 ms / 512: 2.702 / 1024: 4.3+; polymer 2.69 vs 2.93;
+# inference 1.32 vs 1.41 (docs/kernels.md "r4: smaller band tiles").
+_EXT_FOR = {256: 512, 512: 768, 1024: 1280}
 LANE = 128
 # Atom-readout band kernel: TILE_A atoms per output tile; their incoming
 # bonds (contiguous in sorted order) must fit an EXT_A window (~2 bonds per
@@ -76,6 +82,11 @@ def band_paths_for(B: int, nblocks: int, hp: int):
     grid-indexed block tile — recalibrate with an in-context compile
     probe if TILE_B/EXT change."""
     tile_b = B // nblocks
+    if tile_b <= 256:
+        # tile 256 (window 512): the halved window lifts the fused
+        # ceiling — probed on chip (2026-08-21): full train step runs at
+        # hp=1024 (10.7 ms vs 13.1-13.5 chunked), compile-OOM at 1152
+        return hp <= 1024, hp <= 1024
     if tile_b == 512:
         return hp <= 896, hp <= 896
     # tile 1024 (window 1280): probed OK through hp=512, OOM at 640
@@ -160,7 +171,7 @@ def build_sorted_aux(b2dst: np.ndarray, b2revb: np.ndarray,
                      tile_b: int = TILE_B) -> SortedBondAux:
     """Precompute sorted-band indices for one GraphBatch (cache per batch).
 
-    ``tile_b`` picks the band-kernel tile size (512 or 1024); the kernels
+    ``tile_b`` picks the band-kernel tile size (256/512/1024); the kernels
     infer it back from ``len(rs)`` so no extra plumbing is needed."""
     ext = _EXT_FOR[tile_b]
     B = int(b2dst.shape[0])
@@ -241,12 +252,22 @@ def build_sorted_aux(b2dst: np.ndarray, b2revb: np.ndarray,
             src_hi[real_dst])
         for j in range(nblocks):
             a, b = j * tile_b, min((j + 1) * tile_b, pad_start)
+            t_end = min((j + 1) * tile_b, B)
             if a >= pad_start:
-                rs_rev[j] = max(0, B - ext)
+                # all-padding tile: srev(t) = t (padding bonds are their
+                # own reverse), so the window must cover the tile's OWN
+                # rows — clamping to B - ext alone can start the window
+                # past the tile when tile_b < ext (caught by
+                # TestRevFusedBand at tile 256)
+                rs_rev[j] = min(a, B - ext)
                 continue
-            start = int(lo_all[a:b].min()) & ~127
+            # cover the tile's own span too: its padding tail (rows
+            # [b, t_end)) needs m[srev(t)] = m[t] in-window
+            lo = min(int(lo_all[a:b].min()), a)
+            hi = max(int(hi_all[a:b].max()), t_end)
+            start = lo & ~127
             start = min(max(start, 0), B - ext)
-            if int(hi_all[a:b].max()) - start > ext:
+            if hi - start > ext:
                 rs_rev = None
                 break
             rs_rev[j] = start

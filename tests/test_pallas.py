@@ -120,34 +120,40 @@ class TestBandKernel:
             assert peers.max() < aux.rs[j] + EXT, \
                 f"window overflow in tile {j}"
 
-    def test_large_tile_window_invariant(self, batch):
-        """tile_b=1024 (window 1280): same coverage invariant."""
+    @pytest.mark.parametrize("tile_b,ext", [(512, 768), (1024, 1280)])
+    def test_large_tile_window_invariant(self, batch, tile_b, ext):
+        """Non-default tile sizes (512/768 and 1024/1280 windows): same
+        coverage invariant as the 256/512 default."""
         gb = batch
-        aux = build_sorted_aux(gb.b2dst, gb.b2revb, gb.w_bonds, tile_b=1024)
+        aux = build_sorted_aux(gb.b2dst, gb.b2revb, gb.w_bonds,
+                               tile_b=tile_b)
         B = gb.f_bonds.shape[0]
-        assert len(aux.rs) == B // 1024
-        for j in range(B // 1024):
-            tile = slice(j * 1024, (j + 1) * 1024)
+        assert len(aux.rs) == B // tile_b
+        for j in range(B // tile_b):
+            tile = slice(j * tile_b, (j + 1) * tile_b)
             dsts = {d for d in aux.dst_sorted[tile].tolist() if d > 0}
             if not dsts:
                 continue
             peers = np.nonzero(np.isin(aux.dst_sorted, list(dsts)))[0]
             assert peers.min() >= aux.rs[j]
-            assert peers.max() < aux.rs[j] + 1280, \
+            assert peers.max() < aux.rs[j] + ext, \
                 f"window overflow in tile {j}"
 
-    def test_encoder_large_tile_matches_xla(self, interpret_mode, batch):
-        """Full encoder with 1024-bond band tiles must match the XLA path
-        (forward + gradients), like the 512-tile default."""
+    @pytest.mark.parametrize("tile_b", [512, 1024])
+    def test_encoder_large_tile_matches_xla(self, interpret_mode, batch,
+                                            tile_b):
+        """Full encoder with non-default band tiles (512/1024) must match
+        the XLA path (forward + gradients), like the 256-tile default
+        (covered by every other test in this file)."""
         from polymer_chemprop_tpu.models import EncoderConfig, apply_encoder, init_encoder
         gb = batch
         cfg = EncoderConfig(atom_fdim=133, bond_fdim=147, hidden_size=24,
                             depth=3)
         params = init_encoder(jax.random.PRNGKey(2), cfg)
         a_x = {k: jnp.asarray(v) for k, v in gb.arrays().items()}
-        a_p = jax.tree_util.tree_map(jnp.asarray,
-                                     gb.arrays(pallas=True, band_tile=1024))
-        # the rev-fused path must be active at the large tile size too
+        a_p = jax.tree_util.tree_map(
+            jnp.asarray, gb.arrays(pallas=True, band_tile=tile_b))
+        # the rev-fused path must be active at non-default tiles too
         assert "rs_rev" in a_p["pallas_aux"]
         out_x = np.asarray(apply_encoder(params, a_x, cfg))
         out_p = np.asarray(apply_encoder(params, a_p, cfg))
