@@ -91,12 +91,19 @@ def bench_tpu(pallas: bool = False, bf16: bool = False,
     arrays = gb.arrays(pallas=pallas)
     n_real_edges = gb.n_bonds_real - 1
 
+    # band-exact bond weights (multiples of 1/256 in [0,1] — then w and
+    # w-1 are both bf16-exact) ride the 2-pass band, bitwise-identical —
+    # true for unit weights AND for the polymer batch here (edge-rule
+    # weights 0.5); the trainer detects this per dataset
+    # (trainer.build_model_config data_smiles)
+    w256 = gb.w_bonds.astype(np.float64) * 256.0
+    w_exact = bool(((gb.w_bonds >= 0) & (gb.w_bonds <= 1)
+                    & (w256 == np.round(w256))).all())
     enc = EncoderConfig(atom_fdim=133, bond_fdim=147, hidden_size=HIDDEN,
                         depth=DEPTH,
                         compute_dtype="bfloat16" if bf16 else "float32",
                         band_precision=precision,
-                        # polymer: stochastic bond weights -> full 3-pass band
-                        unit_bond_weights=not polymer)
+                        unit_bond_weights=w_exact)
     mcfg = ModelConfig(encoder=enc, dataset_type="regression", num_tasks=1,
                        ffn_hidden_size=HIDDEN)
     params = init_model(jax.random.PRNGKey(0), mcfg)

@@ -222,6 +222,46 @@ def parse_polymer_rules(rules: List[str]) -> Tuple[List[Tuple[str, str, float, f
     return polymer_info, 1.0 + math.log10(xn)
 
 
+def _band_exact_weight(w: float) -> bool:
+    """A bond weight the band kernel may treat as exact in bfloat16:
+    a multiple of 1/256 in [0, 1]. Then w, -w AND w - 1 (the rev-fused
+    band's own-reverse entry M[t, srev(t)]) are all bf16-exact, so the
+    kernel's q_lo MXU pass is identically zero and may be skipped with
+    BITWISE-identical results. bf16-exactness of w alone is NOT enough:
+    w = 0.251953125 is exact but 1 - w needs 9 significand bits."""
+    w32 = float(np.float32(w))
+    return 0.0 <= w32 <= 1.0 and (w32 * 256.0).is_integer()
+
+
+def polymer_bond_weights_bf16_exact(smiles_iter) -> bool:
+    """True when every stochastic-edge weight in the given wD-MPNN
+    ensemble strings is band-exact (see :func:`_band_exact_weight`).
+
+    Intra-monomer bonds carry weight 1.0 and the rule weights land in
+    ``w_bonds`` verbatim (MolGraph polymer path above), so this string-
+    level check proves every featurized bond weight is band-exact — the
+    kernels may then run the 2-pass mode
+    (ops/pallas_mpnn._dot_band). Common edge rules (0.5, 0.25, 0.75)
+    qualify; e.g. 0.3 or 0.075 do not. Non-polymer strings (no '<'
+    rules) contribute only unit weights and pass trivially; unparsable
+    rules return False (featurization will raise later with its own
+    message)."""
+    import warnings
+    for s in smiles_iter:
+        if "<" not in s:
+            continue
+        try:
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                info, _ = parse_polymer_rules(s.split("<")[1:])
+        except (ValueError, IndexError):
+            return False
+        for _, _, w12, w21 in info:
+            if not (_band_exact_weight(w12) and _band_exact_weight(w21)):
+                return False
+    return True
+
+
 def remove_wildcard_atoms(mol: Molecule) -> Molecule:
     """Drop wildcard atoms and re-perceive (reference featurization.py:326-332)."""
     while True:

@@ -59,9 +59,13 @@ class EncoderConfig:
     # ~2x the speed of 'highest' — see ops/pallas_mpnn._dot_band),
     # 'highest' (6-pass fp32 emulation, bit-matches the XLA oracle), or
     # 'default' (1-pass bf16, fastest but ~1e-3 relative error — experimental)
-    unit_bond_weights: bool = False  # all w_bonds are bf16-exact (true for
-    # every non-polymer featurization, where they are 1.0): the band
-    # kernel's Q hi/lo split drops the identically-zero q_lo pass
+    unit_bond_weights: bool = False  # all w_bonds are BAND-EXACT:
+    # multiples of 1/256 in [0,1], so w, -w and w-1 (the rev-fused own-
+    # reverse entry) are bf16-exact. True for every non-polymer
+    # featurization (all 1.0) and for polymer data with tidy edge rules
+    # (0.5/0.25/... — detected from the dataset by
+    # trainer.build_model_config): the band kernel's Q hi/lo split drops
+    # the identically-zero q_lo pass, bitwise-identically
 
 
 def init_encoder(key: jax.Array, cfg: EncoderConfig) -> Dict:

@@ -150,8 +150,9 @@ def make_predictions(args: PredictConfig,
         result = [None] * len(full_data)
         return (result, {}) if return_index_map else result
 
-    model_cfg = build_model_config(tcfg, num_tasks,
-                                   features_size=test_data.features_size())
+    model_cfg = build_model_config(
+        tcfg, num_tasks, features_size=test_data.features_size(),
+        data_smiles=(s for dp in test_data for s in dp.smiles))
     predict_step = make_predict_step(model_cfg)
     embed_step = make_embed_step(model_cfg) if args.save_graph_embeddings else None
 

@@ -49,8 +49,9 @@ def molecule_fingerprint(args: FingerprintConfig) -> np.ndarray:
                          tcfg.features_generator,
                          store_row=True)
     full_to_valid, test_data = partition_valid(full_data, fcfg)
-    model_cfg = build_model_config(tcfg, _num_tasks(tcfg),
-                                   features_size=test_data.features_size())
+    model_cfg = build_model_config(
+        tcfg, _num_tasks(tcfg), features_size=test_data.features_size(),
+        data_smiles=(s for dp in test_data for s in dp.smiles))
     if len(test_data) == 0:
         # all rows unparseable: placeholder CSV at the fingerprint width
         width = (model_cfg.ffn_hidden_size if args.fingerprint_type ==

@@ -43,8 +43,19 @@ def build_model_config(cfg: TrainConfig, num_tasks: int,
                        features_size: int = 0,
                        atom_descriptors_size: int = 0,
                        atom_fdim: Optional[int] = None,
-                       bond_fdim: Optional[int] = None) -> ModelConfig:
+                       bond_fdim: Optional[int] = None,
+                       data_smiles=None) -> ModelConfig:
     fcfg = cfg.featurization()
+    # bond weights are bf16-exact for every non-polymer featurization
+    # (all 1.0) AND for polymer data whose edge-rule weights are exact
+    # (0.5/0.25/... — the common case); the band kernel then drops its
+    # identically-zero q_lo MXU pass, bitwise-identically. data_smiles
+    # must cover every set the model will consume (train+val+test, or
+    # the prediction set) — without it, polymer stays conservative.
+    w_exact = not cfg.polymer
+    if cfg.polymer and data_smiles is not None:
+        from ..features.featurization import polymer_bond_weights_bf16_exact
+        w_exact = polymer_bond_weights_bf16_exact(data_smiles)
     enc = EncoderConfig(
         atom_fdim=atom_fdim or fcfg.atom_fdim,
         bond_fdim=bond_fdim or fcfg.bond_fdim(cfg.atom_messages),
@@ -62,10 +73,7 @@ def build_model_config(cfg: TrainConfig, num_tasks: int,
         compute_dtype="bfloat16" if cfg.param_dtype in ("bfloat16", "bf16")
         else "float32",
         band_precision=cfg.band_precision,
-        # non-polymer featurization always yields unit bond weights, which
-        # are bf16-exact: the band kernel drops the identically-zero q_lo
-        # pass (see ops/pallas_mpnn._dot_band)
-        unit_bond_weights=not cfg.polymer,
+        unit_bond_weights=w_exact,
     )
     return ModelConfig(
         encoder=enc,
@@ -387,7 +395,9 @@ def run_training(cfg: TrainConfig,
         features_size=train_data.features_size(),
         atom_descriptors_size=train_data.atom_descriptors_size(),
         atom_fdim=fcfg.atom_fdim,
-        bond_fdim=fcfg.bond_fdim(cfg.atom_messages))
+        bond_fdim=fcfg.bond_fdim(cfg.atom_messages),
+        data_smiles=(s for d in (train_data, val_data, test_data)
+                     for dp in d for s in dp.smiles))
     predict_step = make_predict_step(model_cfg)
 
     save_dir = cfg.save_dir

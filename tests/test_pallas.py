@@ -764,3 +764,78 @@ class TestTrainingReadoutPath:
                         jax.tree_util.tree_leaves(g_i)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=1e-5)
+
+
+class TestBandExactWeights:
+    """Band-exact bond weights (multiples of 1/256 in [0,1]): the 2-pass
+    band mode (w_exact=True, q_lo pass skipped) must be BITWISE identical
+    to the full 3-pass mode — w, -w and the rev-fused own-reverse entry
+    w-1 are all bf16-exact, so the skipped pass is identically zero."""
+
+    def test_two_pass_bitwise_equals_three_pass(self, interpret_mode,
+                                                batch):
+        from polymer_chemprop_tpu.ops.pallas_mpnn import (
+            band_rev_layer_step_sorted,
+        )
+        gb = batch
+        rng = np.random.default_rng(3)
+        choices = np.float32([0.25, 0.5, 0.75, 0.125, 37 / 256.0, 1.0])
+        w_bonds = np.where(
+            gb.w_bonds > 0,
+            choices[rng.integers(0, len(choices), gb.w_bonds.shape)],
+            np.float32(0.0))
+        aux_t = build_sorted_aux(gb.b2dst, gb.b2revb, w_bonds,
+                                 num_atoms=gb.f_atoms.shape[0])
+        assert aux_t.rs_rev is not None
+        aux = {k: jnp.asarray(getattr(aux_t, k)) for k in aux_t._fields
+               if getattr(aux_t, k) is not None}
+        B = gb.f_bonds.shape[0]
+        r2 = np.random.default_rng(0)
+        msg = jnp.asarray(r2.normal(size=(B, 384)).astype(np.float32))
+        wh = jnp.asarray(r2.normal(size=(300, 300)).astype(np.float32)
+                         * 0.05)
+        inp = jnp.asarray(r2.normal(size=(B, 384)).astype(np.float32))
+        # the production precision mode (manual bf16 emulation) is where
+        # the q_lo skip lives
+        prec = "high"
+        o3 = band_rev_layer_step_sorted(msg, wh, inp, aux, "relu", prec,
+                                        w_exact=False)
+        o2 = band_rev_layer_step_sorted(msg, wh, inp, aux, "relu", prec,
+                                        w_exact=True)
+        np.testing.assert_array_equal(np.asarray(o2), np.asarray(o3))
+
+    def test_weight_exactness_predicate(self):
+        from polymer_chemprop_tpu.features.featurization import (
+            _band_exact_weight,
+            polymer_bond_weights_bf16_exact,
+        )
+        assert _band_exact_weight(0.5) and _band_exact_weight(0.25)
+        assert _band_exact_weight(1.0) and _band_exact_weight(0.0)
+        assert _band_exact_weight(37 / 256.0)
+        assert not _band_exact_weight(0.075)
+        assert not _band_exact_weight(0.3)
+        # bf16-exact but w-1 is not: the rev-fused entry disqualifies it
+        assert not _band_exact_weight(0.251953125)
+        assert not _band_exact_weight(1.5)
+        ok = "[*:1]CC[*:2].[*:3]OO[*:4]|0.5|0.5|<1-3:0.5:0.5<2-4:0.25:0.75~10"
+        bad = "[*:1]CC[*:2].[*:3]OO[*:4]|0.5|0.5|<1-3:0.075:0.075~10"
+        plain = "c1ccccc1"
+        assert polymer_bond_weights_bf16_exact([ok, plain])
+        assert not polymer_bond_weights_bf16_exact([ok, bad])
+
+    def test_trainer_detects_exact_polymer_weights(self, tmp_path):
+        import csv as _csv
+
+        from polymer_chemprop_tpu.config import TrainConfig
+        from polymer_chemprop_tpu.train.trainer import build_model_config
+        cfg = TrainConfig(data_path="x.csv", dataset_type="regression",
+                          polymer=True)
+        exact = ["[*:1]CC[*:2].[*:3]OO[*:4]|0.5|0.5|<1-3:0.5:0.5~5"]
+        rough = ["[*:1]CC[*:2].[*:3]OO[*:4]|0.5|0.5|<1-3:0.3:0.7~5"]
+        m1 = build_model_config(cfg, 1, data_smiles=exact)
+        assert m1.encoder.unit_bond_weights
+        m2 = build_model_config(cfg, 1, data_smiles=rough)
+        assert not m2.encoder.unit_bond_weights
+        # without data visibility, polymer stays conservative
+        m3 = build_model_config(cfg, 1)
+        assert not m3.encoder.unit_bond_weights
