@@ -66,8 +66,13 @@ LANE = 128
 # bonds (contiguous in sorted order) must fit an EXT_A window (~2 bonds per
 # atom on molecular graphs -> 512*2 + alignment slack; the host verifies
 # per batch and falls back to segment_sum when exceeded).
-TILE_A = 512
-EXT_A = 1536
+TILE_A = 256
+EXT_A = 1024
+# (r4: shrunk from 512/1536 — the readout q contraction does 2*EXT_A*Hp
+# FLOPs per atom, so the narrower absolute window wins like the bond
+# band's tile-256 flip: interleaved on-chip A/B 2.713 vs 2.774 ms/step.
+# EXT_A keeps ~2x margin over the ~2.1 incoming bonds/atom of molecular
+# graphs; denser batches fall back to segment_sum via ra=None.)
 def band_paths_for(B: int, nblocks: int, hp: int):
     """(fused_ok, plain_ok): VMEM feasibility of the band kernels at the
     lane-padded width hp. The encoder degrades fused -> plain band ->
@@ -688,10 +693,13 @@ def to_sorted(x: jnp.ndarray, aux: dict) -> jnp.ndarray:
     return permute_rows(pad_lane(x), aux["perm"], aux["rank"])
 
 
-BAND_CHUNK = 768   # widest chunk the EXT=768-window bond kernels admit
-ATOM_CHUNK = 512   # the EXT_A=1536-window atom kernels hold double the
-# window rows, so their in-context VMEM bound is tighter (measured:
-# 17.3 MB > the 16 MB scoped limit at 768 inside the jitted train step)
+BAND_CHUNK = 768   # widest chunk the bond kernels admit (probed at the
+# r3 EXT=768 windows; the r4 EXT=512 default only shrinks the buffers)
+ATOM_CHUNK = 512   # the atom kernels held double the bond window rows at
+# the r3 EXT_A=1536, making their in-context VMEM bound tighter
+# (measured: 17.3 MB > the 16 MB scoped limit at 768 inside the jitted
+# train step); the r4 EXT_A=1024 halves that pressure — 512 stays the
+# conservative probed value
 
 
 def _chunked_cols(fn, x: jnp.ndarray, chunk: int = BAND_CHUNK) -> jnp.ndarray:

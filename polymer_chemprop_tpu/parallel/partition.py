@@ -490,8 +490,9 @@ def make_edge_parallel_forward_halo_band(cfg: EncoderConfig, mesh: Mesh,
         sh = jax.tree_util.tree_map(lambda x: x[0], sharded)
         H = cfg.hidden_size
         Hp = ((H + 127) // 128) * 128
+        from ..ops.pallas_mpnn import TILE_A
         Aw = sh["f_atoms_win"].shape[0]
-        Aw1 = sh["ra"].shape[0] * 512  # TILE_A
+        Aw1 = sh["ra"].shape[0] * TILE_A
         off_prev = sh["off_prev"].reshape(())
         off_next = sh["off_next"].reshape(())
         prec = {"highest": jax.lax.Precision.HIGHEST,

@@ -762,8 +762,10 @@ class TestTrainingReadoutPath:
         g_i = jax.grad(lambda p: jnp.sum(emb_infer(p) ** 2))(params)
         for a, b in zip(jax.tree_util.tree_leaves(g_t),
                         jax.tree_util.tree_leaves(g_i)):
+            # atol: the two W_o widths reduce in different orders; the
+            # r4 256/1024 readout windows land single elements at ~1e-5
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-3, atol=1e-5)
+                                       rtol=1e-3, atol=5e-5)
 
 
 class TestBandExactWeights:
