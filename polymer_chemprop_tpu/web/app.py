@@ -129,18 +129,28 @@ def make_handler(state: AppState):
         MAX_BODY = 64 * 1024 * 1024
 
         def _read_body(self, cap=MAX_BODY):
-            """Read the request body; an oversized one is drained TO THE
-            END (bounded 1 MB chunks, never buffered) so the error
-            response is deliverable — any unread remainder at close
-            triggers a client-visible RST that eats the message."""
+            """Read the request body; an oversized one is drained
+            (bounded 1 MB chunks, never buffered, under a short socket
+            timeout) so the error response is deliverable — but the
+            drain itself is capped at 2x the body limit: a client
+            declaring a huge Content-Length and trickling data must not
+            occupy the single-threaded handler indefinitely, so past
+            the drain cap the connection is closed and the RST is
+            accepted as the lesser evil."""
             length = int(self.headers.get("Content-Length", 0))
             if length > cap:
-                left = length
-                while left > 0:
-                    chunk = self.rfile.read(min(left, 1 << 20))
-                    if not chunk:
-                        break
-                    left -= len(chunk)
+                left = min(length, 2 * cap)
+                self.connection.settimeout(10.0)
+                try:
+                    while left > 0:
+                        chunk = self.rfile.read(min(left, 1 << 20))
+                        if not chunk:
+                            break
+                        left -= len(chunk)
+                except OSError:
+                    pass  # slow-trickle client timed out mid-drain
+                if length > 2 * cap:
+                    self.close_connection = True
                 raise _BodyTooLarge(
                     f"request body too large ({length} bytes)")
             return self.rfile.read(length)
