@@ -215,11 +215,80 @@ def _cdf_table():
     return _CDF_TABLE
 
 
+_PRECOMPUTED_RDKIT2D: dict = {}  # split SMILES string -> raw (200,) vector
+_PRECOMPUTED_RDKIT2D_NORM: dict = {}  # split SMILES -> CDF-normalized vector
+_PRECOMPUTE_CUTOFF = 50000  # ~80 MB of float64 rows per cache
+
+
+def generator_input_smiles(s: str) -> str:
+    """The string a features generator actually featurizes: reaction
+    SMILES use the REACTANT side, polymer ensemble strings the monomer
+    SMILES — must match MoleculeDatapoint's per-string split
+    (data/datapoint.py). Idempotent."""
+    if ">" in s:
+        return s.split(">")[0]
+    if "|" in s:
+        return s.split("|")[0]
+    return s
+
+
+def precompute_rdkit2d_batch(smiles_list, n_threads: int = None) -> int:
+    """Featurize a whole dataset's strings through the native batch
+    engine in ONE multi-threaded call and stash the raw vectors for the
+    per-datapoint generator invocations (data/datapoint.py calls
+    generators one molecule at a time, which would otherwise run the
+    engine as a batch-of-one on one thread — measured 3x below the
+    engine's own rate, VERDICT r4). Bit-identical to the per-molecule
+    path: the engine is deterministic per molecule and threading only
+    partitions the batch (pinned by tests/test_data.py).
+
+    Returns the number of newly cached molecules (0 when the native
+    engine is unavailable — callers need no fallback logic; the
+    per-molecule path simply takes over)."""
+    from .. import native_ext
+    if not native_ext.rdkit2d_available():
+        return 0
+    pending, seen = [], set()
+    for s in smiles_list:
+        s = generator_input_smiles(s)
+        if s not in _PRECOMPUTED_RDKIT2D and s not in seen:
+            seen.add(s)
+            pending.append(s)
+    if not pending:
+        return 0
+    if n_threads is None:
+        import os
+        n_threads = max(1, min(os.cpu_count() or 1, 8))
+    vals, ok = native_ext.rdkit2d_batch_native(pending, n_threads=n_threads)
+    if len(_PRECOMPUTED_RDKIT2D) + len(pending) > _PRECOMPUTE_CUTOFF:
+        _PRECOMPUTED_RDKIT2D.clear()
+        _PRECOMPUTED_RDKIT2D_NORM.clear()
+    # CDF-normalize the whole batch in one vectorized pass: np.interp is
+    # elementwise, so the column-at-a-time batch transform is bit-equal
+    # to the per-molecule 200-interp loop it replaces (which measured
+    # ~50x slower than the engine itself)
+    norm = rdkit2d_normalize_batch(vals[ok]) if ok.any() else None
+    n_new = 0
+    j = 0
+    for s, v, o in zip(pending, vals, ok):
+        if o:  # parse failures fall back to the Python engine per-mol
+            _PRECOMPUTED_RDKIT2D[s] = v
+            _PRECOMPUTED_RDKIT2D_NORM[s] = norm[j]
+            j += 1
+            n_new += 1
+    return n_new
+
+
 def _rdkit2d_raw_any(mol: Mol) -> np.ndarray:
     """Raw 200-descriptor vector: the C++ engine for SMILES input (~60x
     the Python engine, bit-identical — tests/test_native.py), the Python
-    engine for Molecule objects or native parse failures."""
+    engine for Molecule objects or native parse failures. Strings
+    batch-featurized by precompute_rdkit2d_batch are served from its
+    cache (the live data path, data/csv_io.py)."""
     if isinstance(mol, str):
+        cached = _PRECOMPUTED_RDKIT2D.get(mol)
+        if cached is not None:
+            return cached
         from .. import native_ext
         if native_ext.rdkit2d_available():
             vals, ok = native_ext.rdkit2d_batch_native([mol], n_threads=1)
@@ -245,7 +314,13 @@ def rdkit_2d_normalized_features_generator(mol: Mol) -> np.ndarray:
     Raw descriptors are computed live; the per-column CDF transform is
     interpolated from the vendored reference outputs (values outside the
     fitted range clamp to the nearest observed quantile — see
-    docs/parity.md for the per-column validation status)."""
+    docs/parity.md for the per-column validation status). Strings
+    batch-featurized by precompute_rdkit2d_batch serve the normalized
+    vector straight from its cache (clamps were accounted there)."""
+    if isinstance(mol, str):
+        cached = _PRECOMPUTED_RDKIT2D_NORM.get(mol)
+        if cached is not None:
+            return cached
     raw = _rdkit2d_raw_any(mol)
     x, y, off = _cdf_table()
     out = np.empty(200, dtype=np.float64)

@@ -234,3 +234,74 @@ class TestUntestedTrainerPaths:
         assert path.exists()
         rows = list(_csv.DictReader(open(path)))
         assert rows and all(np.isfinite(float(r["pred_0"])) for r in rows)
+
+
+class TestBatchDescriptorIngest:
+    """The live rdkit_2d(_normalized) data path batches the native
+    descriptor engine (VERDICT r4 item 2): get_data makes ONE
+    multi-threaded rdkit2d_batch_native call and the per-datapoint
+    generator invocations serve from its cache — bit-identical to the
+    per-molecule path, and the skip_invalid validation reuses the native
+    parse verdicts."""
+
+    def _per_mol(self, monkeypatch, *args, **kw):
+        """get_data with the batch precompute disabled (per-mol path)."""
+        import polymer_chemprop_tpu.features.generators as G
+        G._PRECOMPUTED_RDKIT2D.clear()
+        G._PRECOMPUTED_RDKIT2D_NORM.clear()
+        monkeypatch.setattr(G, "precompute_rdkit2d_batch",
+                            lambda *a, **k: 0)
+        try:
+            return get_data(*args, **kw)
+        finally:
+            monkeypatch.undo()
+            G._PRECOMPUTED_RDKIT2D.clear()
+            G._PRECOMPUTED_RDKIT2D_NORM.clear()
+
+    @pytest.mark.parametrize("gen", ["rdkit_2d", "rdkit_2d_normalized"])
+    def test_batch_equals_per_mol(self, monkeypatch, gen):
+        import polymer_chemprop_tpu.features.generators as G
+        from polymer_chemprop_tpu import native_ext
+        if not native_ext.rdkit2d_available():
+            pytest.skip("native descriptor engine not built")
+        path = os.path.join(DATA, "regression.csv")
+        G._PRECOMPUTED_RDKIT2D.clear()
+        G._PRECOMPUTED_RDKIT2D_NORM.clear()
+        batched = get_data(path, features_generators=[gen],
+                           max_data_size=60)
+        assert len(G._PRECOMPUTED_RDKIT2D) > 0  # precompute actually ran
+        per_mol = self._per_mol(monkeypatch, path,
+                                features_generators=[gen],
+                                max_data_size=60)
+        fb = np.stack([d.features for d in batched])
+        fp = np.stack([d.features for d in per_mol])
+        assert np.array_equal(fb, fp)  # bit-identical
+
+    def test_native_parse_matches_python_validation(self, tmp_path):
+        """The skip_invalid shortcut rests on native-ok == parseable;
+        pin it on valid fixtures + malformed strings."""
+        import csv as _csv
+
+        from polymer_chemprop_tpu import native_ext
+        from polymer_chemprop_tpu.chem import parse_smiles
+        if not native_ext.rdkit2d_available():
+            pytest.skip("native descriptor engine not built")
+        with open(os.path.join(DATA, "regression.csv")) as f:
+            r = _csv.reader(f)
+            next(r)
+            smiles = [row[0] for row in r][:80]
+        bad = ["C(", "xyz", "C1CC", "[Zz]", "c1ccc1", "C)C", "C=(C)",
+               "C%99C"]
+        _, ok = native_ext.rdkit2d_batch_native(smiles + bad, n_threads=2)
+        for s, o in zip(smiles + bad, ok):
+            assert bool(o) == (parse_smiles(s, strict=False) is not None), s
+
+    def test_invalid_rows_still_dropped(self, tmp_path):
+        from polymer_chemprop_tpu import native_ext
+        if not native_ext.rdkit2d_available():
+            pytest.skip("native descriptor engine not built")
+        p = tmp_path / "mix.csv"
+        p.write_text("smiles,y\nCCO,1.0\nnot_a_smiles,2.0\nc1ccccc1,3.0\n")
+        data = get_data(str(p), features_generators=["rdkit_2d"])
+        assert len(data) == 2
+        assert [d.smiles for d in data] == [["CCO"], ["c1ccccc1"]]
