@@ -736,8 +736,13 @@ class TestGoldenScores:
         # vs the pinned 0.561477) — the better-side landing is the
         # protocol's, not this framework's. JAX measures 0.4806 at
         # seed 0 (init-seed spread {-14.4%, +10.0%, -6.2%}).
+        # TWO-SIDED: the value must land inside the two-framework
+        # interval [JAX seed-0 anchor, torch-replica anchor] widened by
+        # the ±12% documented init-seed noise (docs/parity.md
+        # "Round-trip MSEs ... 10-sample estimator noise"), AND under
+        # the reference pin.
+        assert 0.4806 * (1 - 0.12) < mse < 0.5302 * (1 + 0.12)
         assert mse < 0.561477 * (1 + DELTA)
-        assert abs(mse - 0.5302) / 0.5302 < 0.35  # torch-replica anchor
 
     def test_rf_roundtrip_golden(self, tmp_path):
         mse = self._roundtrip_mse(tmp_path, {}, {},
@@ -748,12 +753,13 @@ class TestGoldenScores:
         # 0.6878 — bit-for-bit our value. The -27.3% vs the pinned
         # 0.945589 is sklearn-version drift in the forest itself
         # (reference CI pinned scikit-learn<=0.22), not this codebase.
-        assert mse < 0.945589 * (1 + DELTA)
-        # 15%: the anchor value itself moves with the installed sklearn's
-        # forest (that drift IS the diagnosis); the wrapper-vs-direct
-        # equality is what matters, re-derivable any time via
+        # TWO-SIDED: wrapper == sklearn-direct is deterministic under a
+        # fixed sklearn, so the band is the golden ±5%; if sklearn's
+        # forest changes the anchor is re-derivable any time via
         # scripts/forensic_roundtrip_torch.py roundtrip_rf
-        assert abs(mse - 0.6878) / 0.6878 < 0.15  # sklearn-direct anchor
+        # (docs/parity.md round-trip table).
+        assert abs(mse - 0.6878) / 0.6878 < DELTA  # sklearn-direct anchor
+        assert mse < 0.945589 * (1 + DELTA)
 
     def test_svm_roundtrip_golden(self, tmp_path):
         mse = self._roundtrip_mse(tmp_path, {}, {}, sklearn_model="svm")
@@ -774,8 +780,11 @@ class TestGoldenScores:
         # protocol measures 2.9977 (-21.6% vs the pinned 3.825271) —
         # within 3% of the JAX 2.9218 (-23.6%). Both frameworks land
         # far below the pin; the pinned value is the 2021-CI outlier.
+        # TWO-SIDED: inside the two-framework interval [JAX seed-0,
+        # torch-replica] ± the documented 12% init-seed noise
+        # (docs/parity.md round-trip table), AND under the pin.
+        assert 2.9218 * (1 - 0.12) < mse < 2.9977 * (1 + 0.12)
         assert mse < 3.825271 * (1 + DELTA)
-        assert abs(mse - 2.9977) / 2.9977 < 0.35  # torch-replica anchor
 
     def test_rdkit_roundtrip_golden(self, tmp_path):
         mse = self._roundtrip_mse(
