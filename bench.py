@@ -53,31 +53,33 @@ def _polymer_smiles(n):
     return out
 
 
-def _load_batch(polymer: bool = False):
+def _load_batch(polymer: bool = False, batch_mols: int = BATCH_MOLS):
     from polymer_chemprop_tpu.features import (FeaturizationConfig, mol2graph,
                                                round_up)
     if polymer:
-        batch_smiles = _polymer_smiles(BATCH_MOLS)
+        batch_smiles = _polymer_smiles(batch_mols)
         cfg = FeaturizationConfig(polymer=True)
     else:
         with open("tests/data/regression.csv") as f:
             r = csv.reader(f)
             next(r)
             smiles = [row[0] for row in r]
-        batch_smiles = (smiles * ((BATCH_MOLS // len(smiles)) + 1))[:BATCH_MOLS]
+        batch_smiles = (smiles * ((batch_mols // len(smiles)) + 1))[:batch_mols]
         cfg = None
     # tight power-of-two-ish envelope
-    probe = mol2graph(batch_smiles, cfg, pad_atoms=65536, pad_bonds=131072,
-                      pad_mols=BATCH_MOLS)
+    probe = mol2graph(batch_smiles, cfg, pad_atoms=4 * 65536,
+                      pad_bonds=8 * 65536, pad_mols=batch_mols)
     pa = round_up(probe.n_atoms_real, 1024)
     pb = round_up(probe.n_bonds_real, 1024)
     gb = mol2graph(batch_smiles, cfg, pad_atoms=pa, pad_bonds=pb,
-                   pad_mols=BATCH_MOLS)
+                   pad_mols=batch_mols)
     return gb
 
 
 def bench_tpu(pallas: bool = False, bf16: bool = False,
-              precision: str = "high", polymer: bool = False) -> dict:
+              precision: str = "high", polymer: bool = False,
+              hidden: int = HIDDEN, depth: int = DEPTH,
+              batch_mols: int = BATCH_MOLS, band_tile: int = None) -> dict:
     import jax
     from polymer_chemprop_tpu.models import EncoderConfig, ModelConfig, init_model
     from polymer_chemprop_tpu.train import make_train_step
@@ -87,8 +89,8 @@ def bench_tpu(pallas: bool = False, bf16: bool = False,
     # several batches in one process, and the counters are process-global
     from polymer_chemprop_tpu.ops.pallas_mpnn import reset_fallback_stats
     reset_fallback_stats()
-    gb = _load_batch(polymer=polymer)
-    arrays = gb.arrays(pallas=pallas)
+    gb = _load_batch(polymer=polymer, batch_mols=batch_mols)
+    arrays = gb.arrays(pallas=pallas, band_tile=band_tile)
     n_real_edges = gb.n_bonds_real - 1
 
     # band-exact bond weights (multiples of 1/256 in [0,1] — then w and
@@ -99,13 +101,13 @@ def bench_tpu(pallas: bool = False, bf16: bool = False,
     w256 = gb.w_bonds.astype(np.float64) * 256.0
     w_exact = bool(((gb.w_bonds >= 0) & (gb.w_bonds <= 1)
                     & (w256 == np.round(w256))).all())
-    enc = EncoderConfig(atom_fdim=133, bond_fdim=147, hidden_size=HIDDEN,
-                        depth=DEPTH,
+    enc = EncoderConfig(atom_fdim=133, bond_fdim=147, hidden_size=hidden,
+                        depth=depth,
                         compute_dtype="bfloat16" if bf16 else "float32",
                         band_precision=precision,
                         unit_bond_weights=w_exact)
     mcfg = ModelConfig(encoder=enc, dataset_type="regression", num_tasks=1,
-                       ffn_hidden_size=HIDDEN)
+                       ffn_hidden_size=hidden)
     params = init_model(jax.random.PRNGKey(0), mcfg)
     schedule = build_schedule("noam", init_lr=1e-4, max_lr=1e-3, final_lr=1e-4,
                               warmup_epochs=2, epochs=30, steps_per_epoch=100)
@@ -116,9 +118,9 @@ def bench_tpu(pallas: bool = False, bf16: bool = False,
     rng = np.random.default_rng(0)
     batch = {
         "graphs": [arrays],
-        "targets": rng.normal(size=(BATCH_MOLS, 1)).astype(np.float32),
-        "mask": np.ones((BATCH_MOLS, 1), np.float32),
-        "weights": np.ones((BATCH_MOLS, 1), np.float32),
+        "targets": rng.normal(size=(batch_mols, 1)).astype(np.float32),
+        "mask": np.ones((batch_mols, 1), np.float32),
+        "weights": np.ones((batch_mols, 1), np.float32),
     }
     key = jax.random.PRNGKey(0)
 
@@ -179,7 +181,7 @@ def bench_tpu(pallas: bool = False, bf16: bool = False,
               f"batches lost the rev-fused layer", file=sys.stderr)
     return {
         "metric": "wD-MPNN train-step throughput (real directed edges/s, "
-                  f"batch {BATCH_MOLS} mols, hidden {HIDDEN}, depth {DEPTH}, "
+                  f"batch {batch_mols} mols, hidden {hidden}, depth {depth}, "
                   f"{kernel}, {jax.devices()[0].device_kind})",
         "value": round(edges_per_s),
         "unit": "edges/s",
@@ -200,8 +202,8 @@ def bench_predict(pallas: bool = True) -> dict:
     gb = _load_batch()
     arrays = gb.arrays(pallas=pallas)
     n_real_edges = gb.n_bonds_real - 1
-    enc = EncoderConfig(atom_fdim=133, bond_fdim=147, hidden_size=HIDDEN,
-                        depth=DEPTH, band_precision="high",
+    enc = EncoderConfig(atom_fdim=133, bond_fdim=147, hidden_size=hidden,
+                        depth=depth, band_precision="high",
                         unit_bond_weights=True)
     mcfg = ModelConfig(encoder=enc, dataset_type="regression", num_tasks=1,
                        ffn_hidden_size=HIDDEN)
@@ -307,6 +309,11 @@ if __name__ == "__main__":
         # wD-MPNN copolymer ensembles: stochastic (non-unit) bond weights
         # through the weighted 3-pass band kernels + Xn-scaled readout
         print(json.dumps(bench_tpu(pallas=True, polymer=True)))
+    elif "--wide" in sys.argv:
+        # hyperopt-corner scale (hidden 2400, depth 6 — the top of the
+        # reference search space, hyperparameter_optimization.py:21-27):
+        # rides the column-chunked band path (hidden > fused ceiling)
+        print(json.dumps(bench_tpu(pallas=True, hidden=2400, depth=6)))
     elif "--fastband" in sys.argv:
         # 1-pass bf16 MXU band kernels (diagnostics; experimental accuracy)
         print(json.dumps(bench_tpu(pallas=True, precision="default")))
