@@ -45,13 +45,18 @@ WEAK_COLUMNS = {
     **{f"PEOE_VSA{k}": 0.93 for k in range(1, 15)},
     # VSA_EState (r4): per-atom ASA rebuilt as a calibrated additive model
     # fitted to the reference bin memberships (scripts/fit_labute_asa.py)
-    # — bins [7,11) and >=11 are now exact-rank; the residual deviations
-    # concentrate in the crowded [6.07,6.45) bin (VSA_EState7), whose
-    # reference membership is inconsistent with every cap-formula or
-    # additive parameterization tried (docs/parity.md)
-    "VSA_EState2": 0.85,        # [4.78,5.0): carbonyl-O/aromatic-N bin
-    "VSA_EState5": 0.78,        # [5.74,6.0): substituted/fused aromatic C
-    "VSA_EState7": 0.42,        # [6.07,6.45): crowded bin, see above
+    # — bins [7,11) and >=11 are now exact-rank. r5 ROOT CAUSE for the
+    # three remaining columns: their REFERENCE columns are CDF-clamp-
+    # saturated around raw 0 (bin7: 457/500 values are ONE tie), which
+    # caps attainable Spearman of any un-tied raw reproduction at the
+    # injective tie ceiling — ours measures AT/ABOVE it (ratios
+    # 1.031/1.019/1.001, TestTieCeilingColumns; constraint-side
+    # confirmation in scripts/vsa_estate_feasibility.py). The floors
+    # below are the measured rhos minus margin; the ceiling-ratio test
+    # carries the real (metric-corrected) claim.
+    "VSA_EState2": 0.87,        # [4.78,5.0): measured 0.898, ceiling 0.871
+    "VSA_EState5": 0.80,        # [5.74,6.0): measured 0.839, ceiling 0.823
+    "VSA_EState7": 0.45,        # [6.07,6.45): measured 0.486, ceiling 0.486
     "VSA_EState8": 0.97,        # [6.45,7.0)
     "VSA_EState9": 0.97,        # [7.0,11.0): exact membership, ES tail
     "VSA_EState10": 0.99,       # >=11: S/Cl/Br/I, exact membership
@@ -276,3 +281,45 @@ class TestBatchNormalizeHelper:
         batch = rdkit2d_normalize_batch(raw)
         per_mol = np.array([norm_g(s) for s in smis])
         assert np.array_equal(batch, per_mol)
+
+
+class TestTieCeilingColumns:
+    """VSA_EState2/5/7 (r5, VERDICT r4 item 8): the reference columns
+    are CDF-CLAMP-SATURATED around raw 0 — 264/343/457 of the 500
+    regression-fixture values are ONE tied number (bin7's CDF tops out
+    AT raw 0, so every non-negative sum shares the top value; bin5's
+    bottom clamp lumps raw-0 with negative sums). Spearman of any
+    injective (un-tied) raw reproduction against such a column is
+    bounded by the tie structure: sorting the reference perfectly with
+    random tie-breaks measures the ceiling. Our raw columns sit AT or
+    ABOVE that ceiling (above is possible because our genuine raw-0
+    ties coincide with reference tie blocks) — the residual deviation
+    is the reference's own saturation, not model error. The CSP
+    feasibility analysis (scripts/vsa_estate_feasibility.py) shows the
+    same thing from the constraint side: these bins' empty-labels are
+    clamp-ambiguous (tie clusters mix empty with negative-sum/clamped
+    molecules), so they cannot even be used as calibration evidence."""
+
+    CEILING_COLUMNS = ["VSA_EState2", "VSA_EState5", "VSA_EState7"]
+
+    def test_at_tie_ceiling(self, regression_raw):
+        from scipy.stats import spearmanr
+        raw, ref = regression_raw
+        rng = np.random.default_rng(0)
+        failures = []
+        for nm in self.CEILING_COLUMNS:
+            k = RDKIT2D_NAMES.index(nm)
+            r = ref[:, k]
+            fin = np.isfinite(r)
+            rr = r[fin]
+            rho = spearmanr(raw[fin, k], rr).correlation
+            # injective ceiling: reference-sorted blocks, random
+            # within-tie order
+            order = np.lexsort((rng.random(rr.size), rr))
+            bx = np.empty(rr.size)
+            bx[order] = np.arange(rr.size)
+            ceil = spearmanr(bx, rr).correlation
+            # measured r5: ratios 1.031 / 1.019 / 1.001
+            if rho < 0.97 * ceil:
+                failures.append((nm, rho, ceil))
+        assert not failures, failures
