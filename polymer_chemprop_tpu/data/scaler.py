@@ -27,7 +27,15 @@ class StandardScaler:
                               self.means)
         self.stds = np.where(np.isnan(self.stds), np.ones(self.stds.shape),
                              self.stds)
-        self.stds = np.where(self.stds == 0, np.ones(self.stds.shape), self.stds)
+        # degenerate-variance guard: the reference guards exact zeros
+        # (data/scaler.py:77); float-noise stds (a column whose values
+        # tie up to 1 ulp, e.g. a CDF-normalized plateau) must degrade
+        # to identity too — dividing by ~1e-17 overflows float32
+        # downstream (r5). The threshold is relative to the column's
+        # magnitude so genuine small-variance features are untouched.
+        noise = 1e-12 * np.maximum(1.0, np.abs(self.means))
+        self.stds = np.where(self.stds <= noise, np.ones(self.stds.shape),
+                             self.stds)
         return self
 
     def transform(self, X) -> np.ndarray:

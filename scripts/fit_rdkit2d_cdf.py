@@ -91,6 +91,12 @@ def fit_table(raws, refs):
                 merged_idx[-1] += n2
         iso = np.concatenate([np.full(n, v) for v, n in
                               zip(merged_vals, merged_idx)])
+        # snap ulp-separated near-ties to EXACT equality: the reference
+        # CDF emits bit-identical values for tied raws, and downstream
+        # feature scaling relies on exact ties (a 1e-16-separated
+        # plateau gives a float-noise std that slips past the scaler's
+        # zero-std guard and overflows float32 after scaling)
+        iso = np.round(iso, 12)
         xs_all.append(ux.astype(np.float64))
         ys_all.append(iso.astype(np.float64))
         offsets.append(offsets[-1] + len(ux))
