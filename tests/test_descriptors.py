@@ -99,6 +99,16 @@ def _load(split):
 def regression_raw():
     warnings.filterwarnings("ignore")
     smis, ref = _load("regression")
+    # the C++ engine is bit-identical to the Python oracle on 199/200
+    # columns (Ipc <=8e-11 rel — rank-irrelevant), pinned by
+    # tests/test_native.py::TestRdkit2dNative on these same fixtures,
+    # so rank tests may ride it (~200x faster fixture setup); the
+    # Python path stays the covered spec through that bit-equality.
+    from polymer_chemprop_tpu import native_ext
+    if native_ext.rdkit2d_available():
+        raw, ok = native_ext.rdkit2d_batch_native(smis, n_threads=2)
+        if ok.all():
+            return raw, ref
     raw = np.array([rdkit2d_raw(parse_smiles(s)) for s in smis])
     return raw, ref
 

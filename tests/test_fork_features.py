@@ -140,10 +140,10 @@ class TestForkFeatures:
         from polymer_chemprop_tpu.hyperparameter_optimization import (
             hyperopt, load_trials)
         shared = str(tmp_path / "trials")
-        cfg1 = base(str(tmp_path / "a"), epochs=1, max_data_size=60)
+        cfg1 = base(str(tmp_path / "a"), epochs=1, max_data_size=24)
         hyperopt(cfg1, num_iters=2, hyperopt_checkpoint_dir=shared)
         assert len(load_trials(shared)) == 2
-        cfg2 = base(str(tmp_path / "b"), epochs=1, max_data_size=60)
+        cfg2 = base(str(tmp_path / "b"), epochs=1, max_data_size=24)
         hyperopt(cfg2, num_iters=3, hyperopt_checkpoint_dir=shared)
         trials = load_trials(shared)
         assert len(trials) == 3  # second instance saw 2, ran 1 more

@@ -312,7 +312,7 @@ class TestSklearn:
 class TestHyperopt:
     def test_tpe_search(self, tmp_path):
         from polymer_chemprop_tpu.hyperparameter_optimization import SPACE, hyperopt
-        cfg = train_cfg(str(tmp_path), epochs=1, max_data_size=80)
+        cfg = train_cfg(str(tmp_path), epochs=1, max_data_size=32)
         result = hyperopt(cfg, num_iters=2)
         best = result["params"]
         assert 300 <= best["hidden_size"] <= 2400
@@ -371,7 +371,7 @@ class TestHyperopt:
             "dataset_type='regression', epochs=1, num_folds=1, "
             "max_data_size=24, batch_size=12, save_dir=sys.argv[2], "
             "quiet=True, use_pallas=False, data_parallel=False)\n"
-            "hyperopt(cfg, num_iters=4, hyperopt_checkpoint_dir=sys.argv[3],"
+            "hyperopt(cfg, num_iters=3, hyperopt_checkpoint_dir=sys.argv[3],"
             " startup_random_iters=10)\n")
         procs = [subprocess.Popen(
             [sys.executable, "-c", script,
@@ -388,7 +388,10 @@ class TestHyperopt:
         assert len(seeds) == len(set(seeds)), seeds
         trials = load_trials(trials_dir)
         keys = [t["key"] for t in trials]
-        assert len(keys) == len(set(keys)) and len(keys) >= 4, keys
+        # num_iters is the SHARED total: racing workers stop when the
+        # trials dir holds 3, so 3-4 records land (each worker starts
+        # its first iteration before seeing the other's)
+        assert len(keys) == len(set(keys)) and len(keys) >= 3, keys
 
 
 class TestMultiMolecule:
