@@ -66,9 +66,13 @@ def _load_batch(polymer: bool = False, batch_mols: int = BATCH_MOLS):
             smiles = [row[0] for row in r]
         batch_smiles = (smiles * ((batch_mols // len(smiles)) + 1))[:batch_mols]
         cfg = None
-    # tight power-of-two-ish envelope
-    probe = mol2graph(batch_smiles, cfg, pad_atoms=4 * 65536,
-                      pad_bonds=8 * 65536, pad_mols=batch_mols)
+    # tight power-of-two-ish envelope; the probe envelope scales with
+    # the batch (~28 atoms / 56 directed bonds per fixture molecule,
+    # 4x margin) instead of a fixed worst case — a fixed 8*65536-bond
+    # probe allocated ~0.45 GB of transient zeros per bench call
+    probe_bonds = round_up(max(131072, batch_mols * 224), 1024)
+    probe = mol2graph(batch_smiles, cfg, pad_atoms=probe_bonds // 2,
+                      pad_bonds=probe_bonds, pad_mols=batch_mols)
     pa = round_up(probe.n_atoms_real, 1024)
     pb = round_up(probe.n_bonds_real, 1024)
     gb = mol2graph(batch_smiles, cfg, pad_atoms=pa, pad_bonds=pb,
@@ -202,8 +206,8 @@ def bench_predict(pallas: bool = True) -> dict:
     gb = _load_batch()
     arrays = gb.arrays(pallas=pallas)
     n_real_edges = gb.n_bonds_real - 1
-    enc = EncoderConfig(atom_fdim=133, bond_fdim=147, hidden_size=hidden,
-                        depth=depth, band_precision="high",
+    enc = EncoderConfig(atom_fdim=133, bond_fdim=147, hidden_size=HIDDEN,
+                        depth=DEPTH, band_precision="high",
                         unit_bond_weights=True)
     mcfg = ModelConfig(encoder=enc, dataset_type="regression", num_tasks=1,
                        ffn_hidden_size=HIDDEN)

@@ -167,35 +167,31 @@ def get_data(path: str,
     # batch-featurize descriptor generators through the native engine in
     # ONE multi-threaded call before the per-datapoint loop (which calls
     # generators one molecule at a time) — VERDICT r4: the per-datapoint
-    # batch-of-one path ran 3x below the engine's own rate. The native
-    # call runs in a worker thread (ctypes releases the GIL) so the
-    # Python-side validation parse below overlaps it.
-    precompute_thread = None
+    # batch-of-one path ran 3x below the engine's own rate. Called
+    # directly (not in a worker thread): the validation below consumes
+    # the native parse verdicts, so there is nothing to overlap, and a
+    # plain call surfaces engine exceptions.
+    precomputed = False
     if features_generators and \
             {"rdkit_2d", "rdkit_2d_normalized"} & set(features_generators):
-        import threading
-
         from ..features.generators import precompute_rdkit2d_batch
-        precompute_thread = threading.Thread(
-            target=precompute_rdkit2d_batch,
-            args=([row[c] for row in rows for c in smiles_columns],))
-        precompute_thread.start()
-
-    if precompute_thread is not None:
-        precompute_thread.join()
+        precompute_rdkit2d_batch(
+            [row[c] for row in rows for c in smiles_columns])
+        precomputed = True
 
     # validation parse (reference utils.py:158-174), memoized per unique
     # SMILES tuple. Standard strings the native engine just featurized
     # are known-parseable (the native parser accepts exactly the same
     # grammar — parity pinned on fixtures + invalid strings,
-    # tests/test_data.py), so the redundant Python re-parse is skipped
-    # for them; reaction/polymer strings always re-parse (the engine saw
-    # only the reactant/monomer side).
+    # tests/test_fork_features.py), so the redundant Python re-parse is
+    # skipped for them; reaction/polymer strings always re-parse (the
+    # engine saw only the reactant/monomer side), and explicit_h configs
+    # always re-parse (the engine's verdicts are for keep_h=False).
     keep = None
     if skip_invalid_smiles:
         native_ok = None
-        if precompute_thread is not None and \
-                not config.reaction and not config.polymer:
+        if precomputed and not config.reaction and not config.polymer \
+                and not config.explicit_h:
             from ..features.generators import _PRECOMPUTED_RDKIT2D
             native_ok = _PRECOMPUTED_RDKIT2D
         memo: dict = {}

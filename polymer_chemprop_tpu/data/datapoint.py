@@ -60,19 +60,18 @@ class MoleculeDatapoint:
         self.bond_features = bond_features
 
         if features_generators is not None:
-            from ..features.generators import get_features_generator
+            from ..features.generators import (generator_input_smiles,
+                                               get_features_generator)
             feats = [] if self.features is None else [self.features]
             for fg_name in features_generators:
                 fg = get_features_generator(fg_name)
                 for s in self.smiles:
                     # reaction SMILES: featurize the REACTANT side
                     # (reference data.py:120-122 uses m[0] of the tuple);
-                    # polymer strings: featurize the monomer SMILES
-                    if ">" in s:
-                        s = s.split(">")[0]
-                    elif "|" in s:
-                        s = s.split("|")[0]
-                    feats.append(fg(s))
+                    # polymer strings: featurize the monomer SMILES —
+                    # the split is the shared helper so the batch
+                    # precompute cache keys always match
+                    feats.append(fg(generator_input_smiles(s)))
             self.features = np.concatenate(feats) if feats else None
 
         # NaN -> 0 fixes (reference data.py:128-143)

@@ -31,11 +31,14 @@ class StandardScaler:
         # (data/scaler.py:77); float-noise stds (a column whose values
         # tie up to 1 ulp, e.g. a CDF-normalized plateau) must degrade
         # to identity too — dividing by ~1e-17 overflows float32
-        # downstream (r5). The threshold is relative to the column's
-        # magnitude so genuine small-variance features are untouched.
-        noise = 1e-12 * np.maximum(1.0, np.abs(self.means))
-        self.stds = np.where(self.stds <= noise, np.ones(self.stds.shape),
-                             self.stds)
+        # downstream (r5). The threshold is RELATIVE to the column's
+        # value magnitude (max |x|), so a column in genuinely tiny
+        # units with proportionally tiny variance is untouched.
+        with np.errstate(invalid="ignore"):
+            scale = np.nanmax(np.abs(X), axis=0)
+        scale = np.where(np.isfinite(scale), scale, 0.0)
+        self.stds = np.where(self.stds <= 1e-12 * scale,
+                             np.ones(self.stds.shape), self.stds)
         return self
 
     def transform(self, X) -> np.ndarray:

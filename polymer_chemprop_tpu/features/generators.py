@@ -248,12 +248,12 @@ def precompute_rdkit2d_batch(smiles_list, n_threads: int = None) -> int:
     from .. import native_ext
     if not native_ext.rdkit2d_available():
         return 0
-    pending, seen = [], set()
+    pending, request = [], set()
     for s in smiles_list:
         s = generator_input_smiles(s)
-        if s not in _PRECOMPUTED_RDKIT2D and s not in seen:
-            seen.add(s)
+        if s not in request and s not in _PRECOMPUTED_RDKIT2D:
             pending.append(s)
+        request.add(s)
     if not pending:
         return 0
     if n_threads is None:
@@ -261,8 +261,12 @@ def precompute_rdkit2d_batch(smiles_list, n_threads: int = None) -> int:
         n_threads = max(1, min(os.cpu_count() or 1, 8))
     vals, ok = native_ext.rdkit2d_batch_native(pending, n_threads=n_threads)
     if len(_PRECOMPUTED_RDKIT2D) + len(pending) > _PRECOMPUTE_CUTOFF:
-        _PRECOMPUTED_RDKIT2D.clear()
-        _PRECOMPUTED_RDKIT2D_NORM.clear()
+        # evict only strings OUTSIDE the current request: clearing
+        # wholesale would drop entries this dataset is about to read
+        # and silently revert them to the slow per-molecule path
+        for k in [k for k in _PRECOMPUTED_RDKIT2D if k not in request]:
+            del _PRECOMPUTED_RDKIT2D[k]
+            _PRECOMPUTED_RDKIT2D_NORM.pop(k, None)
     # CDF-normalize the whole batch in one vectorized pass: np.interp is
     # elementwise, so the column-at-a-time batch transform is bit-equal
     # to the per-molecule 200-interp loop it replaces (which measured

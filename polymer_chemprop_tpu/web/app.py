@@ -134,12 +134,15 @@ def make_handler(state: AppState):
             timeout) so the error response is deliverable — but the
             drain itself is capped at 2x the body limit: a client
             declaring a huge Content-Length and trickling data must not
-            occupy the single-threaded handler indefinitely, so past
-            the drain cap the connection is closed and the RST is
-            accepted as the lesser evil."""
+            occupy a handler thread indefinitely. Whenever the drain
+            does NOT consume the declared body (cap exceeded, timeout,
+            or early EOF), close_connection is set — leaving unread
+            bytes on a kept-alive socket would desync the next request,
+            and the possible RST racing the 413 is the lesser evil."""
             length = int(self.headers.get("Content-Length", 0))
             if length > cap:
                 left = min(length, 2 * cap)
+                old_timeout = self.connection.gettimeout()
                 self.connection.settimeout(10.0)
                 try:
                     while left > 0:
@@ -149,7 +152,9 @@ def make_handler(state: AppState):
                         left -= len(chunk)
                 except OSError:
                     pass  # slow-trickle client timed out mid-drain
-                if length > 2 * cap:
+                finally:
+                    self.connection.settimeout(old_timeout)
+                if length > 2 * cap or left > 0:
                     self.close_connection = True
                 raise _BodyTooLarge(
                     f"request body too large ({length} bytes)")
