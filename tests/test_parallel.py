@@ -386,10 +386,13 @@ class TestTrainerGraphParallel:
         from polymer_chemprop_tpu.train import run_training
 
         data_dir = os.path.join(os.path.dirname(__file__), "data")
+        # epochs 2 / 100 mols: the property under test (GP score ==
+        # single-device score, 1e-3) is config-independent; the smaller
+        # run keeps both compiles but 1/3 less stepping (suite budget)
         kw = dict(
             data_path=os.path.join(data_dir, "regression.csv"),
-            dataset_type="regression", epochs=3, batch_size=20,
-            max_data_size=120, seed=0, pytorch_seed=0, quiet=True)
+            dataset_type="regression", epochs=2, batch_size=20,
+            max_data_size=100, seed=0, pytorch_seed=0, quiet=True)
         kw.update(overrides)
         cfg = TrainConfig(**kw)
         data = get_data(cfg.data_path, config=cfg.featurization(),
