@@ -168,7 +168,7 @@ class TestTensorBoard:
         from tests.test_integration import train_cfg
         from polymer_chemprop_tpu.train.cross_validate import cross_validate
         cfg = train_cfg(str(tmp_path), epochs=1, tensorboard=True,
-                        max_data_size=60)
+                        max_data_size=30)
         cross_validate(cfg)
         events = [f for root, _, fs in os.walk(tmp_path) for f in fs
                   if f.startswith("events.out.tfevents")]

@@ -221,8 +221,12 @@ class TestSortedResidentEncoder:
         by the relu-path encoder tests)."""
         from polymer_chemprop_tpu.models import EncoderConfig, apply_encoder, init_encoder
         gb = batch_small
+        # relu (the default act, covered at depth 3 throughout the file)
+        # keeps the full depth; the other activations differ only in the
+        # per-layer epilogue, which one band layer exercises fwd+bwd
         cfg = EncoderConfig(atom_fdim=133, bond_fdim=147, hidden_size=16,
-                            depth=3, activation=act)
+                            depth=3 if act == "relu" else 2,
+                            activation=act)
         params = init_encoder(jax.random.PRNGKey(3), cfg)
         a_x = {k: jnp.asarray(v) for k, v in gb.arrays().items()}
         a_p = jax.tree_util.tree_map(jnp.asarray, gb.arrays(pallas=True))
