@@ -118,6 +118,45 @@ class TestCheckpoint:
         _, _, scalers, _ = load_checkpoint(path)
         np.testing.assert_allclose(scalers["data_scaler"].means, sc.means)
 
+    def test_scaler_float_noise_std_degrades_to_identity(self):
+        """r5: a column whose train values tie up to 1 ulp (e.g. a
+        CDF-normalized plateau) has a ~1e-17 std that slipped past the
+        exact-zero guard, producing 1e15-scale transformed values that
+        overflowed float32 and NaN'd training. Such stds must degrade
+        to identity like exact zeros."""
+        from polymer_chemprop_tpu.data import StandardScaler
+        v = 0.3847104429
+        col = np.array([v, np.nextafter(v, 1.0), v, v])
+        X = np.stack([col, np.array([1.0, 2.0, 3.0, 4.0])], axis=1)
+        sc = StandardScaler().fit(X)
+        assert sc.stds[0] == 1.0          # degenerate -> identity
+        assert sc.stds[1] != 1.0          # genuine variance untouched
+        out = sc.transform(np.array([[1.0, 2.5]]))
+        assert np.all(np.abs(out) < 1e3) and np.isfinite(out).all()
+
+    def test_scaler_tiny_units_column_untouched(self):
+        """The degeneracy threshold is RELATIVE to the column magnitude:
+        a column in genuinely tiny physical units with proportional
+        variance must still be scaled."""
+        from polymer_chemprop_tpu.data import StandardScaler
+        X = np.array([[1e-13], [3e-13], [9e-13], [5e-13]])
+        sc = StandardScaler().fit(X)
+        assert sc.stds[0] != 1.0
+        out = sc.transform(X)
+        assert np.abs(out).max() > 0.5    # genuinely standardized
+
+    def test_cdf_table_plateaus_exactly_tied(self):
+        """The shipped CDF table must hold EXACT ties on plateaus: an
+        ulp-separated plateau feeds the float-noise-std failure above
+        (scripts/fit_rdkit2d_cdf.py snaps to 12 decimals)."""
+        from polymer_chemprop_tpu.features.generators import _cdf_table
+        x, y, off = _cdf_table()
+        for k in range(200):
+            ys = y[off[k]:off[k + 1]]
+            d = np.diff(ys)
+            near = d[(d > 0) & (d < 1e-13)]
+            assert near.size == 0, (k, near[:3])
+
 
 class TestTPE:
     def test_convergence_on_toy_objective(self):
