@@ -20,7 +20,14 @@ The evidence chain (see docs/parity.md "VSA_EState calibration"):
    of 0 maps every molecule onto one shared normalized value.  The
    interior zero-ties of the VSA_EState columns therefore label, per
    molecule, which ASA bins are EMPTY — hard membership constraints.
-   (Bottom/top ties are CDF clamps and carry no such information.)
+   (Bottom/top ties are CDF clamps and carry no such information.
+   r5 caveat, scripts/vsa_estate_feasibility.py: supervised tie
+   calibration shows only bins 2/8/9 yield clamp-unambiguous labels on
+   the regression fixtures — for most other columns the raw-0 tie
+   coincides with a CDF clamp cluster, which is why the r4 fit's
+   reliable gains concentrated in bins 8/9/10 and why the residual
+   VSA_EState2/5/7 "deviation" is metric saturation, not model error —
+   see tests/test_descriptors.py::TestTieCeilingColumns.)
 2. Those labels pin memberships no cap-formula parameterization can
    reach (CH3-C in [6.45,7) but CH3-O/N in [7,11); S/Cl/Br/I >= 11;
    aromatic CH NOT in [6.07,6.45)); hence the additive model.
